@@ -1,0 +1,495 @@
+"""R-series: the reference platform's own operator semantics, batch form.
+
+Each query mirrors a cited operator of the reference (SURVEY.md §2a /
+§2c) over the driver's ``events`` table. Mapping of the reference event
+to the testdata schema: ``source → event_type``, ``attributes.metric →
+value``, ``status='error' → event_type='error'`` (FIXTURES.md §A).
+
+Scale notes are attached per query: everything here is a single
+declarative plan (shuffle only where the operator semantically requires
+a repartition by key), so the same code runs unchanged on a 1000-executor
+cluster over date-partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+from .helpers import davg, fmt_ts, round2, sql_davg, sql_round2
+
+# ---------------------------------------------------------------------------
+# R1 — projection + validity filter (reference: EventAggregationJob.java
+# 171-194 parse/flatten; :74-76 null filter; AnomalyDetectionJob.java:83
+# metric > 0). Filter is pushed into the parquet scan by Catalyst.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r1_project_filter",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events WHERE value > 0
+    ORDER BY event_id
+    """,
+)
+def r1_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.where(F.col("value") > 0)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — keyed aggregate with error rate (EventAggregationJob.java:197-266:
+# accumulator {count, sum, errorCount}). Spark: partial (map-side) then
+# final HashAggregate — the merge step O21 is automatic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r2_keyed_agg",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS c, {sql_davg('value')} AS avg_v,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def r2_keyed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("c"),
+            davg("value").alias("avg_v"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — /series minute time-series aggregation (read-api main.py:317-334).
+# The flagship "minimum slice": date_trunc bucket + per-source agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r3_series_minute",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*) AS c, {sql_davg('value')} AS avg_v
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def r3_series_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type", fmt_ts(F.date_trunc("minute", F.col("ts"))).alias("bucket")
+        )
+        .agg(F.count("*").alias("c"), davg("value").alias("avg_v"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — sliding event-time window, width 1 min slide 10 s: each event in
+# exactly 6 windows (EventAggregationJob.java:81 SlidingEventTimeWindows).
+# Spark's window() generator must equal the explicit 6-offset expansion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r4_sliding_window",
+    oracle="""
+    SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) - off) // 60 * 60 + off)
+                                   * 1000000), '%Y-%m-%d %H:%M:%S') AS ws,
+           event_type, COUNT(*) AS c
+    FROM events CROSS JOIN (VALUES (0), (10), (20), (30), (40), (50)) o(off)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def r4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 minute", "10 seconds"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(fmt_ts(F.col("window.start")).alias("ws"), "event_type", "c")
+        .orderBy("ws", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5 — interpolated percentile, the /series p95 path (read-api
+# main.py:311 PERCENTILE_CONT). Spark percentile() ≡ DuckDB quantile_cont.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r5_percentile_cont",
+    oracle=f"""
+    SELECT event_type, {sql_round2('quantile_cont(value, 0.95)')} AS p95
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def r5_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(round2(F.percentile("value", 0.95)).alias("p95"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R6 — the Flink job's nearest-rank percentile: sorted[⌊n·q⌋], 0-based
+# (EventAggregationJob.java:247-253). Distinct from R5's interpolation —
+# both semantics exposed, per SURVEY.md §7.3(1). collect_list per key is
+# the exact path; at 100 TB swap to percentile_approx (documented).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r6_percentile_rank",
+    oracle=f"""
+    SELECT event_type,
+           {sql_round2('list_sort(list(value))[CAST(floor(COUNT(*) * 0.95) AS INT) + 1]')} AS p95,
+           {sql_round2('list_sort(list(value))[CAST(floor(COUNT(*) * 0.99) AS INT) + 1]')} AS p99
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def r6_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("vals"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "event_type",
+        round2(F.expr("element_at(vals, CAST(floor(n * 0.95) AS INT) + 1)")).alias("p95"),
+        round2(F.expr("element_at(vals, CAST(floor(n * 0.99) AS INT) + 1)")).alias("p99"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# R7/R8/R9/R10 — the anomaly detector's rolling-100 statistics
+# (AnomalyDetectionJob.java:178-246,307-352), batch form: window frame
+# ROWS BETWEEN 99 PRECEDING AND CURRENT ROW per event_type ordered by
+# (ts, event_id). Population stddev matches ANO:211. The streaming twin
+# (applyInPandasWithState) lives in streaming/anomaly.py; this frame is
+# its correctness oracle (S4).
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: per-event rolling stats + anomaly rows + severity.
+_ANOM_CTE = """
+    WITH scored AS (
+        SELECT event_id, ts, event_type, value,
+               COUNT(*) OVER w AS cnt,
+               AVG(value) OVER w AS mean,
+               STDDEV_POP(value) OVER w AS sd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    ),
+    anomalies_t AS (
+        SELECT event_id, ts, event_type, value,
+               (value - mean) / sd AS z,
+               CASE WHEN ABS((value - mean) / sd) > 4.0 THEN 'critical'
+                    WHEN ABS((value - mean) / sd) > 3.5 THEN 'warning'
+                    ELSE 'info' END AS severity
+        FROM scored
+        WHERE cnt >= 10 AND sd > 0 AND ABS((value - mean) / sd) > 3
+    )
+"""
+
+
+def _rolling_scored(events: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return events.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count("*").over(w).alias("cnt"),
+        F.avg("value").over(w).alias("mean"),
+        F.stddev_pop("value").over(w).alias("sd"),
+    )
+
+
+def _anomalies_t(events: DataFrame) -> DataFrame:
+    """Anomaly rows + severity tiers (AnomalyDetectionJob.java:327-337:
+    >4.0 critical, >3.5 warning, else info)."""
+    scored = _rolling_scored(events)
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        scored.where((F.col("cnt") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            z.alias("z"),
+            F.when(F.abs(z) > 4.0, "critical")
+            .when(F.abs(z) > 3.5, "warning")
+            .otherwise("info")
+            .alias("severity"),
+        )
+    )
+
+
+@query(
+    "r7_rolling_zscore",
+    oracle=_ANOM_CTE
+    + f"""
+    SELECT event_id, event_type, value, {sql_round2('z')} AS z, severity
+    FROM anomalies_t ORDER BY event_id
+    """,
+)
+def r7_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        _anomalies_t(events)
+        .select("event_id", "event_type", "value", round2("z").alias("z"), "severity")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "r8_rolling_median",
+    oracle=f"""
+    SELECT event_id, event_type,
+           {sql_round2("median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)")} AS med
+    FROM events ORDER BY event_id
+    """,
+)
+def r8_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling median (the MAD numerator, AnomalyDetectionJob.java:215-246);
+    # full MAD is exercised by the stateful streaming processor (S4 test).
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        round2(F.percentile("value", 0.5).over(w)).alias("med"),
+    ).orderBy("event_id")
+
+
+@query(
+    "r9_alerts_scan",
+    oracle=_ANOM_CTE
+    + """
+    SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, value, severity
+    FROM anomalies_t
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '24 hours'
+      AND severity = 'critical'
+    ORDER BY ts DESC, event_id LIMIT 1000
+    """,
+)
+def r9_alerts_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # /alerts filtered scan: conjunctive predicates + ORDER BY ts DESC
+    # LIMIT 1000 (read-api main.py:385-400). Catalyst plans the limit as
+    # TakeOrderedAndProject — no global sort materialization.
+    events = load(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts")).first()[0]
+    return (
+        _anomalies_t(events)
+        .where(
+            (F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("severity") == "critical")
+        )
+        .orderBy(F.col("ts").desc(), "event_id")
+        .limit(1000)
+        .select(
+            "event_id",
+            fmt_ts(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+            "event_type",
+            "value",
+            "severity",
+        )
+    )
+
+
+@query(
+    "r10_conditional_agg",
+    oracle=_ANOM_CTE
+    + """
+    SELECT severity, COUNT(*) AS total,
+           CAST(SUM(CASE WHEN ts > (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS last_hour
+    FROM anomalies_t GROUP BY 1 ORDER BY 1
+    """,
+)
+def r10_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(CASE WHEN ...) per severity (alert-service main.py:465-474).
+    events = load(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts")).first()[0]
+    return (
+        _anomalies_t(events)
+        .groupBy("severity")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(
+                    F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 1 HOUR"), 1
+                ).otherwise(0)
+            ).alias("last_hour"),
+        )
+        .orderBy("severity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R11 — /kpi latest-N per key (read-api main.py:228-291: newest window
+# rows per source, LIMIT). Subquery + ROW_NUMBER form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r11_kpi_latest_per_key",
+    oracle="""
+    SELECT event_type, bucket, c, rn FROM (
+        SELECT event_type, bucket, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket DESC) AS rn
+        FROM (
+            SELECT event_type,
+                   strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+    ) WHERE rn <= 3 ORDER BY event_type, bucket
+    """,
+)
+def r11_kpi_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    minute_aggs = events.groupBy(
+        "event_type", fmt_ts(F.date_trunc("minute", F.col("ts"))).alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("bucket").desc())
+    return (
+        minute_aggs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R12 — relative-time view (01-init-timescaledb.sql:68-84 events_last_hour)
+# anchored to max(ts), never wall clock (determinism convention).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r12_relative_time",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    ORDER BY event_id
+    """,
+)
+def r12_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts")).first()[0]
+    return (
+        events.where(F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 1 HOUR"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R13 — JSONB attribute extraction (sql:12 attributes JSONB; GIN-indexed
+# predicates become scan+filter in Spark — SURVEY.md §7.3(5)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r13_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS c
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def r13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R14 — severity classification thresholds (AnomalyDetectionJob.java:
+# 327-337), value-domain variant per SURVEY §2c.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r14_severity_case",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 400 THEN 'critical'
+                WHEN value > 350 THEN 'warning'
+                ELSE 'info' END AS sev
+    FROM events ORDER BY event_id
+    """,
+)
+def r14_severity_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.when(F.col("value") > 400, "critical")
+        .when(F.col("value") > 350, "warning")
+        .otherwise("info")
+        .alias("sev"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# R15 — cooldown dedup, batch form (alert-service main.py:186-202): keep
+# the first event per (user_id, event_type) per 5-minute bucket. The
+# wall-clock streaming twin is streaming/alerts.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r15_cooldown_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                  CAST(floor(epoch(ts)) AS BIGINT) // 300
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def r15_cooldown_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 300).cast("bigint")  # 5-min bucket
+    w = Window.partitionBy("user_id", "event_type", bucket.alias("b")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

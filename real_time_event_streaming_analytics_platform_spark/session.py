@@ -1,0 +1,81 @@
+"""Tuned SparkSession factory.
+
+The reference runs Flink with parallelism 2 on a single machine
+(EventAggregationJob.java:56); our engine targets a 1000-executor cluster,
+so every knob here is chosen to also make sense at that scale:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  join-strategy re-planning replace hand-tuned parallelism.
+- Broadcast threshold: small dimension tables (region/nation/supplier in
+  the star schema; alert rules in the streaming path) broadcast instead of
+  shuffling the fact side.
+- Arrow enabled: every Python-side operator (stateful anomaly detection,
+  multimodal decode) moves batches, never rows.
+- UTC session timezone: oracle comparisons and window math are
+  timezone-proof.
+- RocksDB state store: streaming state (sliding windows, rolling anomaly
+  stats, cooldown dedup) spills to disk instead of living on the JVM heap —
+  required for per-key state at 100 TB ingest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+class SessionFactory:
+    """Build a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) or all cores.
+    """
+
+    @staticmethod
+    def builder(app_name: str = "streaming-analytics-spark", cpus: int | None = None):
+        if cpus is None:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        b = (
+            SparkSession.builder.appName(app_name)
+            .master(f"local[{cpus}]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.parquet.filterPushdown", "true")
+            .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+            .config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+            .config("spark.ui.enabled", "false")
+        )
+        return b
+
+    @staticmethod
+    def get(app_name: str = "streaming-analytics-spark", cpus: int | None = None) -> SparkSession:
+        return SessionFactory.builder(app_name, cpus).getOrCreate()
+
+
+def get_spark(cpus: int | None = None) -> SparkSession:
+    return SessionFactory.get(cpus=cpus)
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Force session confs this engine relies on, on an externally-provided
+    session (the driver constructs its own SparkSession for ``queries()``).
+
+    - UTC session timezone: epoch math (unix_timestamp) on naive parquet
+      timestamps is session-TZ dependent.
+    - nanosAsLong: the testdata ``events.ts`` is parquet TIMESTAMP(NANOS),
+      which Spark 4 refuses to read natively; we read it as a long and the
+      catalog converts to TimestampType (µs) — the data is µs-distinct, so
+      ordering/bucketing semantics are unchanged.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
