@@ -39,10 +39,31 @@ def fmt_ts(col) -> Column:
 
 
 def round2(col) -> Column:
-    """Cross-engine-deterministic ROUND(x, 2)."""
+    """Cross-engine-deterministic ROUND(x, 2).
+
+    Precondition: finite input. Spark FLOOR(double)→BIGINT maps NaN→0 and
+    ±Inf→Long.MIN/MAX while DuckDB propagates them, so oracle-facing
+    doubles must be NaN/Inf-free (guaranteed by the davg/dsum decimal
+    accumulation and the sd>0 guards upstream).
+    """
     if isinstance(col, str):
         col = F.col(col)
     return F.floor(col * 100 + F.lit(0.5)) / 100
+
+
+def quant6(col) -> Column:
+    """Quantize a double to 1e-6 before THRESHOLD comparisons.
+
+    Cross-engine window aggregates (AVG/STDDEV_POP over a frame) can differ
+    in the final ULPs between Spark and DuckDB; comparing the raw double
+    against a constant (z > 3) lets that noise flip borderline rows into or
+    out of the result on one engine only. Quantizing both sides first makes
+    the comparison see identical inputs unless the true value sits within
+    ~1e-12 of a 5e-7 boundary.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
 
 
 def dsum(col) -> Column:
@@ -64,6 +85,10 @@ def davg(col) -> Column:
 
 def sql_round2(x: str) -> str:
     return f"floor(({x}) * 100 + 0.5) / 100"
+
+
+def sql_quant6(x: str) -> str:
+    return f"floor(({x}) * 1000000 + 0.5) / 1000000"
 
 
 def sql_dsum(x: str) -> str:

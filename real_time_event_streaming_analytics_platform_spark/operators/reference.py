@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..plans.registry import query
-from .helpers import davg, fmt_ts, round2, sql_davg, sql_round2
+from .helpers import davg, fmt_ts, quant6, round2, sql_davg, sql_round2
+
+
+def _with_anchor(events: DataFrame, df: DataFrame) -> DataFrame:
+    """Attach `_anchor` = max(events.ts) as a broadcast scalar — one plan,
+    one job; the anchor never leaves the cluster (replaces the former
+    driver-side `.first()[0]`, which forced an extra full scan per query)."""
+    anchor = events.agg(F.max("ts").alias("_anchor"))
+    return df.join(F.broadcast(anchor))
 
 # ---------------------------------------------------------------------------
 # R1 — projection + validity filter (reference: EventAggregationJob.java
@@ -187,6 +195,9 @@ def r6_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Shared oracle CTE: per-event rolling stats + anomaly rows + severity.
+# Threshold comparisons quantize z to 1e-6 first (helpers.quant6): window
+# AVG/STDDEV_POP can differ between engines in the last ULPs, and an
+# unquantized `z > 3` would let that noise flip borderline rows.
 _ANOM_CTE = """
     WITH scored AS (
         SELECT event_id, ts, event_type, value,
@@ -198,13 +209,17 @@ _ANOM_CTE = """
                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
     ),
     anomalies_t AS (
-        SELECT event_id, ts, event_type, value,
-               (value - mean) / sd AS z,
-               CASE WHEN ABS((value - mean) / sd) > 4.0 THEN 'critical'
-                    WHEN ABS((value - mean) / sd) > 3.5 THEN 'warning'
+        SELECT event_id, ts, event_type, value, z,
+               CASE WHEN ABS(zq) > 4.0 THEN 'critical'
+                    WHEN ABS(zq) > 3.5 THEN 'warning'
                     ELSE 'info' END AS severity
-        FROM scored
-        WHERE cnt >= 10 AND sd > 0 AND ABS((value - mean) / sd) > 3
+        FROM (
+            SELECT event_id, ts, event_type, value, cnt, sd,
+                   (value - mean) / sd AS z,
+                   floor((value - mean) / sd * 1000000 + 0.5) / 1000000 AS zq
+            FROM scored
+        )
+        WHERE cnt >= 10 AND sd > 0 AND ABS(zq) > 3
     )
 """
 
@@ -228,19 +243,21 @@ def _rolling_scored(events: DataFrame) -> DataFrame:
 
 def _anomalies_t(events: DataFrame) -> DataFrame:
     """Anomaly rows + severity tiers (AnomalyDetectionJob.java:327-337:
-    >4.0 critical, >3.5 warning, else info)."""
+    >4.0 critical, >3.5 warning, else info). Thresholds compare the
+    1e-6-quantized z (see _ANOM_CTE note)."""
     scored = _rolling_scored(events)
     z = (F.col("value") - F.col("mean")) / F.col("sd")
+    zq = quant6(z)
     return (
-        scored.where((F.col("cnt") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        scored.where((F.col("cnt") >= 10) & (F.col("sd") > 0) & (F.abs(zq) > 3))
         .select(
             "event_id",
             "ts",
             "event_type",
             "value",
             z.alias("z"),
-            F.when(F.abs(z) > 4.0, "critical")
-            .when(F.abs(z) > 3.5, "warning")
+            F.when(F.abs(zq) > 4.0, "critical")
+            .when(F.abs(zq) > 3.5, "warning")
             .otherwise("info")
             .alias("severity"),
         )
@@ -305,11 +322,10 @@ def r9_alerts_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LIMIT 1000 (read-api main.py:385-400). Catalyst plans the limit as
     # TakeOrderedAndProject — no global sort materialization.
     events = load(spark, sf_dir, "events")
-    anchor = events.agg(F.max("ts")).first()[0]
     return (
-        _anomalies_t(events)
+        _with_anchor(events, _anomalies_t(events))
         .where(
-            (F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 24 HOURS"))
+            (F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 24 HOURS"))
             & (F.col("severity") == "critical")
         )
         .orderBy(F.col("ts").desc(), "event_id")
@@ -337,15 +353,14 @@ def r9_alerts_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r10_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNT(CASE WHEN ...) per severity (alert-service main.py:465-474).
     events = load(spark, sf_dir, "events")
-    anchor = events.agg(F.max("ts")).first()[0]
     return (
-        _anomalies_t(events)
+        _with_anchor(events, _anomalies_t(events))
         .groupBy("severity")
         .agg(
             F.count("*").alias("total"),
             F.sum(
                 F.when(
-                    F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 1 HOUR"), 1
+                    F.col("ts") > F.col("_anchor") - F.expr("INTERVAL 1 HOUR"), 1
                 ).otherwise(0)
             ).alias("last_hour"),
         )
@@ -403,9 +418,9 @@ def r11_kpi_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r12_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    anchor = events.agg(F.max("ts")).first()[0]
     return (
-        events.where(F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 1 HOUR"))
+        _with_anchor(events, events)
+        .where(F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 1 HOUR"))
         .select("event_id", "event_type")
         .orderBy("event_id")
     )
@@ -420,7 +435,7 @@ def r12_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "r13_json_extract",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS c
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS c
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )

@@ -7,7 +7,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from real_time_event_streaming_analytics_platform_spark.session import SessionFactory
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to sf0.01 — the driver's CORRECTNESS gate scale — so local green
+# predicts the gate. Set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for
+# a faster smoke loop while iterating.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_DIR_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
 
 

@@ -28,8 +28,6 @@ def _norm(v):
             return "NaN"
         # collapse -0.0 / 0.0 and fix float noise surviving ROUND(x, 2)
         return round(v, 9) + 0.0
-    if isinstance(v, int):
-        return float(v) if False else v
     return v
 
 
