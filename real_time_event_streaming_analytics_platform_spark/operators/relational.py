@@ -1,1 +1,777 @@
-"""(stub — populated in this round)"""
+"""Q-series: the general relational surface over the TPC-H-ish star schema.
+
+The reference delegates everything relational to PostgreSQL — its read API
+assembles GROUP BY/ORDER BY SQL strings (services/read-api/main.py:317-334)
+and the alert service runs conditional aggregates (services/alert-service/
+main.py:338-344,465-474) against the TimescaleDB cold store. "Same query
+capabilities" therefore means a full relational engine; these queries
+exercise every category from SURVEY.md §2b on the driver testdata, each
+with a DuckDB oracle twin.
+
+Scale stance (100 TB): every query is one declarative plan. Dimension
+tables (region/nation) carry explicit broadcast hints; fact-fact joins
+shuffle on their join keys and rely on AQE for skew; aggregates are
+partial-final (map-side combine) automatically. No driver-side loops, no
+collect, no crossJoin except the deliberate broadcast-scalar pattern.
+
+Determinism: double aggregates go through DECIMAL(18,6) accumulation
+(helpers.dsum/davg) and cross-engine round2; running window sums
+accumulate in decimal; comparisons against computed doubles are exact
+(decimal) or quantized. See operators/helpers.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+from .helpers import (
+    DEC,
+    davg,
+    dsum,
+    fmt_ts,
+    round2,
+    sql_davg,
+    sql_dsum,
+    sql_round2,
+)
+
+# ---------------------------------------------------------------------------
+# Q1 — scan + filter + multi-aggregate (TPC-H Q1 shape). The filter and the
+# 7-column projection push into the parquet scan; one shuffle on the 2-key
+# groupBy; partial aggregation map-side.
+# ---------------------------------------------------------------------------
+
+# Column expressions must be built lazily (F.col needs a live SparkContext).
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _charge():
+    return _rev() * (1 + F.col("l_tax"))
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base"),
+            dsum(_rev()).alias("sum_disc"),
+            dsum(_charge()).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — inner equi-join orders ⋈ customer. Both sides shuffle on custkey
+# (sort-merge or shuffled-hash per AQE); at 100 TB this is the canonical
+# co-partitioned fact-dim join — bucketing both tables on custkey would
+# eliminate the shuffle entirely.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_join_segment",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q02_join_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — 5-way join with join reordering. nation/region are broadcast
+# (explicit hint: they are KBs even at 100 TB); lineitem⋈orders⋈customer
+# shuffle on their keys; Catalyst + CBO pick the order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_multiway_join",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q03_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — left outer join + distribution histogram (TPC-H Q13 shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_orders_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) GROUP BY 1 ORDER BY 1
+    """,
+)
+def q04_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist")).orderBy("c_count")
+
+
+# ---------------------------------------------------------------------------
+# Q5 — left semi join (EXISTS). Semi joins ship only the join key of the
+# probe side; no row multiplication.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_semi_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — left anti join (NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — theta self-join: same-order line pairs. Equi on l_orderkey (the
+# shuffle key) + non-equi residual l1.ln < l2.ln — stays a hash/SMJ join
+# with a post-filter, never a cartesian product.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_theta_self_join",
+    oracle="""
+    SELECT l1.l_returnflag AS flag, COUNT(*) AS pairs
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q07_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("ln1"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_linenumber").alias("ln2"))
+    return (
+        l1.join(l2, (F.col("k1") == F.col("k2")) & (F.col("ln1") < F.col("ln2")))
+        .groupBy("flag")
+        .agg(F.count("*").alias("pairs"))
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — broadcast join of two small dims. The hint is explicit; the plan
+# must show BroadcastHashJoin (asserted in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q08_broadcast_join",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q08_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — ranking window functions: top-3 customers by acctbal per nation.
+# row_number uses the total order (acctbal DESC, custkey); rank/dense_rank
+# use the tie-bearing order (acctbal DESC) — deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_ranking_window",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,
+               DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk
+        FROM customer
+    ) WHERE rn <= 3 ORDER BY c_nationkey, rn
+    """,
+)
+def q09_ranking_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    w_total = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        customer.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w_total).alias("rn"),
+            F.rank().over(w_ties).alias("rk"),
+            F.dense_rank().over(w_ties).alias("drk"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — analytic window: running sum + lag/lead per customer. The running
+# sum accumulates in DECIMAL so every prefix is exact (identical across
+# engines regardless of accumulation internals).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_analytic_window",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_round2(f'CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)')} AS running,
+           {sql_round2('LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)')} AS prev,
+           {sql_round2('LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)')} AS nxt
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q10_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        round2(F.sum(F.col("o_totalprice").cast(DEC)).over(wf).cast("double")).alias(
+            "running"
+        ),
+        round2(F.lag("o_totalprice").over(w)).alias("prev"),
+        round2(F.lead("o_totalprice").over(w)).alias("nxt"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q11 — top-k: ORDER BY ... LIMIT plans as TakeOrderedAndProject (per-
+# partition heaps + driver merge), never a global sort materialization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_topk",
+    oracle="""
+    SELECT p_partkey, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+)
+def q11_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — set operations on customer vs supplier nation keys (4 variants).
+# ---------------------------------------------------------------------------
+
+_SET_SQL = """
+    SELECT nkey FROM (
+        SELECT c_nationkey AS nkey FROM customer
+        {op}
+        SELECT s_nationkey AS nkey FROM supplier
+    ) ORDER BY nkey
+"""
+
+
+def _set_sides(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c, s
+
+
+@query("q12_union", oracle=_SET_SQL.format(op="UNION"))
+def q12_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _set_sides(spark, sf_dir)
+    return c.union(s).distinct().orderBy("nkey")
+
+
+@query("q12_union_all", oracle=_SET_SQL.format(op="UNION ALL"))
+def q12_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _set_sides(spark, sf_dir)
+    return c.union(s).orderBy("nkey")
+
+
+@query("q12_intersect", oracle=_SET_SQL.format(op="INTERSECT"))
+def q12_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _set_sides(spark, sf_dir)
+    return c.intersect(s).orderBy("nkey")
+
+
+@query("q12_except", oracle=_SET_SQL.format(op="EXCEPT"))
+def q12_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _set_sides(spark, sf_dir)
+    return c.subtract(s).orderBy("nkey")  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------------------
+# Q13 — COUNT(DISTINCT) per group (expands to a two-phase aggregate).
+# The approx_count_distinct twin is x1 (tolerance-checked, no oracle).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS buyers, COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q13_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("buyers"), F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — ROLLUP with GROUPING() disambiguation (NULL group vs rollup NULL).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY 3, 4, 1, 2
+    """,
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "revenue")
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — correlated scalar subquery (Catalyst decorrelates to an aggregate
+# + join). The comparison is decimal-exact (price·count > exact sum) so
+# both engines see identical tie behavior regardless of plan shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_correlated_subquery",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n FROM orders o
+    WHERE CAST(o_totalprice AS {DEC})
+          * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(o2.o_totalprice AS {DEC})) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q15_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, COUNT(*) AS n FROM orders o
+        WHERE CAST(o_totalprice AS {DEC})
+              * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o2.o_totalprice AS {DEC})) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — string scalar functions (projection; whole-stage codegen, no
+# shuffle at all).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_string_funcs",
+    oracle="""
+    SELECT p_partkey, UPPER(p_name) AS uname, SUBSTR(p_name, 1, 5) AS pfx,
+           p_name LIKE '%green%' AS has_green,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q17 — IN-list + BETWEEN predicates (both push into the parquet scan).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_in_between",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q17_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity").between(10, 20) & F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — HAVING (post-aggregation filter).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n FROM orders
+    GROUP BY 1 HAVING COUNT(*) > 5 ORDER BY o_custkey
+    """,
+)
+def q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 5)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — NULL handling across an outer join: COALESCE'd totals + the
+# no-orders flag (IS NULL on the right side of the left join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_null_handling",
+    oracle=f"""
+    SELECT c_custkey,
+           {sql_round2(f'COALESCE(CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE), 0)')} AS total,
+           CAST(COUNT(o_orderkey) = 0 AS BOOLEAN) AS no_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q19_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            round2(F.coalesce(dsum("o_totalprice"), F.lit(0.0))).alias("total"),
+            (F.count("o_orderkey") == 0).alias("no_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — date arithmetic: interval shift (a) and day-diff bucketing (b).
+# Bucket uses floor(x/90.0) so negative diffs floor identically in both
+# engines (integer `/` truncates in Spark but floors in DuckDB).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_date_shift",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate + INTERVAL '90 days'),
+                    '%Y-%m-%d %H:%M:%S') AS ship_month_p90,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def q20_date_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            fmt_ts(
+                F.date_trunc("month", F.col("l_shipdate") + F.expr("INTERVAL 90 DAYS"))
+            ).alias("ship_month_p90")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("ship_month_p90")
+    )
+
+
+@query(
+    "q20b_date_diff_buckets",
+    oracle="""
+    SELECT CAST(floor(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) / 90.0) AS INT)
+               AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q20b_date_diff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    diff = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    return (
+        orders.groupBy(F.floor(diff / 90.0).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — array ops: split + explode word counts (generator → aggregate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_array_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(p_type, ' ')) AS word FROM part
+    ) GROUP BY 1 ORDER BY 1
+    """,
+)
+def q21_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — as-of join over an event sequence: for each purchase, the most
+# recent STRICTLY PRIOR click by the same user. Expressed as a window max
+# over the type-tagged stream (frame ends at 1 PRECEDING) — one shuffle on
+# user_id, no self-join. This is the scalable as-of pattern: at 100 TB the
+# alternative (range self-join) would be quadratic in events-per-user.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_asof_prior_click",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(prior_click, '%Y-%m-%d %H:%M:%S') AS prior_click_ts
+    FROM (
+        SELECT event_id, user_id, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_click
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ) WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def q22_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w).alias(
+                "prior_click"
+            ),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", fmt_ts("prior_click").alias("prior_click_ts"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 — sessionization (batch): 30-min-gap sessions via lag → gap flag →
+# prefix-sum session id. Batch mirror of streaming session_window (S7).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_sessionization",
+    oracle="""
+    SELECT user_id, session_id, COUNT(*) AS n,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_sec
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL THEN 1
+                        WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                             > 1800 THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+        )
+    ) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q23_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select(
+            "user_id", "ts", F.sum("is_new").over(wf).alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "dur_sec"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
