@@ -1,1 +1,3 @@
-"""(stub — populated in this round)"""
+"""LLM-data-pipeline extension operators: dedup, text analysis,
+similarity search, multimodal columns. Importing the submodules registers
+their queries (see ..plans.registry)."""

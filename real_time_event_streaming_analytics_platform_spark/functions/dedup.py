@@ -1,1 +1,233 @@
-"""(stub — populated in this round)"""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies, all expressed as single declarative plans that scale by
+shuffling on content-derived keys — never an all-pairs comparison:
+
+- exact keep-first (hash-groupBy / ROW_NUMBER=1) — generalizes the
+  reference's cooldown keep-first (services/alert-service/main.py:186-202,
+  batch form in operators/reference.py R15);
+- MinHash signatures + banded LSH bucket-join for near-duplicates;
+- exact n-gram Jaccard verification over the LSH candidate pairs only;
+- SimHash with 16-bit band candidate generation + Hamming filter.
+
+At 100 TB: exact dedup shuffles once on the content hash; MinHash/SimHash
+shuffle (doc_id, band_key) rows — candidate generation is linear in docs ×
+bands, and only bucket collisions are joined. The quadratic step (pair
+scoring) runs on candidates only, whose cardinality is controlled by the
+band/row parameters (16 bands × 4 rows ⇒ pairs with Jaccard ≥ ~0.5 are
+found w.h.p., random collisions are ~0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+from .._shingle import NUM_HASHES, BANDS, ROWS_PER_BAND, shingles_df, signature_df
+
+# ---------------------------------------------------------------------------
+# Q24 — exact dedup on events: keep-first per (user_id, event_type, value).
+# One shuffle on the dedup key; ROW_NUMBER over a total order makes "first"
+# deterministic. (SURVEY.md §2c Q24.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, value
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup on documents by content hash. Hashing first (md5) means
+# the shuffle key is 16 bytes regardless of document size — at 100 TB the
+# full text never shuffles, only (hash, doc_id).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_dedup_docs_exact",
+    oracle="""
+    SELECT content_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           COUNT(*) - 1 AS removed
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def d1_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"), (F.count("*") - 1).alias("removed"))
+        .orderBy("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash + banded LSH near-duplicate pairs.
+#
+# Pipeline (one plan): word 3-gram shingles → 64 minhashes per doc →
+# 16 bands of 4 → explode band keys → self-join on (band, band_hash) with
+# doc_a < doc_b → distinct candidate pairs → estimated Jaccard = fraction
+# of agreeing signature components. No oracle (DuckDB lacks xxhash64);
+# correctness via planted-duplicate recall tests (tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, est_jaccard) via banded LSH."""
+    sig = signature_df(docs)  # (doc_id, sig: array<bigint>)
+    band_cols = []
+    for b in range(BANDS):
+        parts = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bh")))
+    banded = sig.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {NUM_HASHES}D"
+    )
+    return pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+
+
+@query("x2_minhash_near_dup")
+def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        minhash_candidates(docs)
+        .where(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b — exact n-gram Jaccard, computed ONLY for LSH candidate pairs (the
+# scalable shape: the quadratic scoring is restricted to bucket collisions).
+# ---------------------------------------------------------------------------
+
+
+@query("x2b_ngram_jaccard")
+def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_candidates(docs).where(F.col("est_jaccard") >= 0.3)
+    sh = shingles_df(docs)  # (doc_id, shingle) distinct
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c — SimHash near-dup: 64-bit signature from per-word hash bits, 4×16-bit
+# bands for candidates, Hamming distance ≤ 6 filter via bit_count(xor).
+# ---------------------------------------------------------------------------
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint): sign-aggregated bitwise fingerprint."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+    ).where(F.col("word") != "")
+    h = F.xxhash64("word")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+@query("x2c_simhash_near_dup")
+def x2c_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_df(docs)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bh")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .where(hamming <= 6)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

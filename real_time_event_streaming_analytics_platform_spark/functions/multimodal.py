@@ -1,1 +1,144 @@
-"""(stub — populated in this round)"""
+"""Multimodal column pattern: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a
+metadata struct — the pattern a 100 TB multimodal training pipeline needs:
+the engine never interprets media bytes in the JVM; decode/feature-extract
+runs in Arrow-batched Python (`mapInPandas`), so bytes move Arrow-batch at
+a time, never row at a time.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): `decode_image` raises NotImplementedError unless
+`fake=True`, in which case it derives deterministic pseudo-features from
+the payload bytes. The Spark-side plumbing — schema, batch iteration, UDF
+signature, partitioning — is real and tested (tests/test_multimodal.py).
+
+x4 (oracle): binary round-trip — encode text→bytes, measure and hash
+JVM-side. Proves BinaryType flows through scan/shuffle/compare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load
+from ..plans.registry import query
+
+# ---------------------------------------------------------------------------
+# X4 — binary round-trip with metadata struct (oracle-checked).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_multimodal_roundtrip",
+    oracle="""
+    SELECT doc_id, octet_length(payload) AS n_bytes, sha256(text) AS digest,
+           fmt
+    FROM (
+        SELECT doc_id, text, encode(text) AS payload, 'text/plain' AS fmt
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def x4_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("fmt"),
+    )
+    return with_payload.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+        "fmt",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Media feature extraction via mapInPandas (Arrow batches).
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict[str, Any]:
+    """Decode one media payload into (width, height, n_frames, feature).
+
+    Real decode needs an image/audio library that is not in this
+    container — callers must pass fake=True, which derives deterministic
+    pseudo-features from the bytes (length-based dims, byte-histogram
+    feature vector). The surrounding Spark plumbing is identical either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires an image/audio library not available here; "
+            "pass fake=True for the deterministic stub"
+        )
+    n = len(payload)
+    # deterministic pseudo-features: normalized byte-value histogram buckets
+    hist = [0] * FEATURE_DIM
+    for byte in payload:
+        hist[byte % FEATURE_DIM] += 1
+    total = max(n, 1)
+    return {
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+        "n_frames": 1,
+        "feature": [h / total for h in hist],
+    }
+
+
+def extract_media_features(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → MEDIA_SCHEMA via Arrow-batched Python.
+
+    mapInPandas streams column batches; each batch is decoded in one
+    Python call (no per-row fn dispatch beyond the decode itself). At
+    scale, partition count controls parallelism; payload bytes stay
+    columnar Arrow buffers end-to-end.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_image(p, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "feature": [d["feature"] for d in decoded],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+@query("x4b_media_features")
+def x4b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(with_payload).orderBy("doc_id")

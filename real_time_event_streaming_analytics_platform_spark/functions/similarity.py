@@ -1,1 +1,188 @@
-"""(stub — populated in this round)"""
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two paths, per the scale doctrine:
+
+- x3 brute-force cosine top-k — the exactness baseline. Query set is tiny
+  (broadcast); the corpus streams once. Dot products are sequential
+  double folds (Spark `aggregate` ≡ DuckDB `list_reduce`), which makes
+  the oracle comparison EXACT — identical fold order ⇒ identical bits ⇒
+  identical ranking.
+- x3b LSH-bucketed ANN — the 100 TB path. Random-hyperplane signatures
+  (deterministic ±1 planes derived from xxhash64 bits, no RNG state to
+  ship) bucket the corpus; candidates are searched within the query's
+  bucket only. Recall vs brute force is asserted in tests/test_similarity.py.
+
+Everything is built-in expressions — the fold/array lambdas run in the
+JVM; no Python UDF is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+from ..operators.helpers import round2, sql_round2
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 5
+
+
+def _dot(a: str, b: str) -> str:
+    """Sequential left-fold double dot product (Spark SQL expression)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """The same fold in DuckDB — identical order ⇒ identical bits."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def with_norm(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(_dot("embedding", "embedding"))).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Brute-force cosine top-k of `queries` against `emb` (both with nrm).
+
+    The query side is broadcast (a handful of probe rows even at scale);
+    the corpus is scanned once — no shuffle of the corpus at all.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = (F.expr(_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+        "cos"
+    )
+    scored = joined.select("qid", F.col("vec_id").alias("cid"), cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+    )
+
+
+@query(
+    "x3_cosine_topk",
+    oracle=f"""
+    WITH normed AS (
+        SELECT vec_id, embedding,
+               sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+        WHERE sqrt({_duck_dot('embedding', 'embedding')}) > 0
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos
+        FROM normed q JOIN normed c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT qid, cid, rank, {sql_round2('cos')} AS cos FROM (
+        SELECT qid, cid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K} ORDER BY qid, rank
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(emb, queries).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# X3b — LSH-bucketed ANN, multi-table random-hyperplane style. Each of
+# N_TABLES tables assigns a BITS_PER_TABLE-bit bucket (sign of projections
+# onto pseudo-random ±1 hyperplanes derived from xxhash64 parity bits —
+# fully deterministic, nothing random to broadcast). A corpus vector is a
+# candidate if it shares ANY table's bucket with the query. Neighbor
+# search joins on (table, bucket): the pair work is corpus × bucket-size ×
+# tables, never corpus². Recall/coverage trades off via (tables, bits).
+# ---------------------------------------------------------------------------
+
+# Tuned for weakly-clustered corpora (testdata top-5 cosines ≈ 0.35 ⇒
+# per-plane agreement ≈ 0.62): 8 tables × 4 bits gives ~0.7 recall of the
+# true top-5. Tightly-clustered real embeddings warrant more bits per
+# table (smaller candidate sets) — the tradeoff knobs are these two.
+N_TABLES = 8
+BITS_PER_TABLE = 4
+
+
+def _bucket_expr(table: int) -> str:
+    bits = []
+    for p in range(BITS_PER_TABLE):
+        plane = table * BITS_PER_TABLE + p
+        proj = (
+            f"aggregate(sequence(0, size(embedding) - 1), 0D, "
+            f"(acc, d) -> acc + CAST(element_at(embedding, d + 1) AS DOUBLE) "
+            f"* (CASE WHEN (xxhash64({plane}, d) & 1) = 1 THEN 1.0D ELSE -1.0D END))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
+    return " + ".join(bits)
+
+
+def lsh_tables(emb: DataFrame) -> DataFrame:
+    """One row per (vector, table): vec_id, embedding, nrm, table, bucket."""
+    keys = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), F.expr(_bucket_expr(t)).alias("bucket"))
+            for t in range(N_TABLES)
+        ]
+    )
+    return emb.select(
+        "vec_id", "embedding", "nrm", F.explode(keys).alias("tb")
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+@query("x3b_ann_lsh")
+def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tabled = lsh_tables(with_norm(load(spark, sf_dir, "embeddings")))
+    q = tabled.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        tabled.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
+        .distinct()  # de-dup vectors found in several tables
+    )
+    cos = (F.expr(_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+        "cos"
+    )
+    scored = cand.select("qid", F.col("vec_id").alias("cid"), cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
+    )

@@ -1,1 +1,254 @@
-"""(stub — populated in this round)"""
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All tokenization happens JVM-side (split/filter/transform/regexp_*) so the
+hot path stays inside whole-stage codegen — no Python UDFs. Each operator
+is a single plan: scan → per-row expressions → (optionally) one aggregate
+shuffle. At 100 TB these scale linearly with input; the only shuffle is
+the token-count aggregation (partial map-side combine applies).
+
+Queries: Q25 per-lang stats + top-20 tokens (SURVEY.md §2c), language-ID
+heuristic, quality scoring, token counting (whitespace + BPE-ish), and a
+rolling-hash fingerprint (xxhash64-based, no DuckDB twin → rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+from ..operators.helpers import davg, round2, sql_davg, sql_round2
+
+# tokens = non-empty runs of [a-z0-9] in the lowercased text
+_TOK_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+_TOK_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w != '')"
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "les", "et", "un", "une", "des"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu"),
+    "es": ("el", "la", "los", "las", "y", "un", "una"),
+}
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Q25 — per-language document stats.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_text_stats",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, {sql_davg('n_chars')} AS avg_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), davg("n_chars").alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25b — global top-20 tokens: explode → count → TakeOrderedAndProject
+# (top-k heaps, no global sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25b_top_tokens",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest({_TOK_DUCK}) AS token FROM documents
+    ) GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q25b_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOK_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — language-ID heuristic: per-language stopword hit counts, winner by
+# deterministic priority. Integer comparisons only → exact across engines.
+# ---------------------------------------------------------------------------
+
+
+def _lang_counts_spark():
+    return [
+        F.expr(f"size(filter({_TOK_SPARK}, w -> w IN ({_in_list(ws)})))").alias(
+            f"c_{lang}"
+        )
+        for lang, ws in _STOPWORDS.items()
+    ]
+
+
+@query(
+    "t1_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN c_en > 0 AND c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+                WHEN c_fr > 0 AND c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+                WHEN c_de > 0 AND c_de >= c_es THEN 'de'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter({_TOK_DUCK}, w -> w IN ({_in_list(_STOPWORDS['en'])}))) AS c_en,
+               len(list_filter({_TOK_DUCK}, w -> w IN ({_in_list(_STOPWORDS['fr'])}))) AS c_fr,
+               len(list_filter({_TOK_DUCK}, w -> w IN ({_in_list(_STOPWORDS['de'])}))) AS c_de,
+               len(list_filter({_TOK_DUCK}, w -> w IN ({_in_list(_STOPWORDS['es'])}))) AS c_es
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *_lang_counts_spark())
+    pred = (
+        F.when(
+            (F.col("c_en") > 0)
+            & (F.col("c_en") >= F.col("c_fr"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_es")),
+            "en",
+        )
+        .when(
+            (F.col("c_fr") > 0)
+            & (F.col("c_fr") >= F.col("c_de"))
+            & (F.col("c_fr") >= F.col("c_es")),
+            "fr",
+        )
+        .when((F.col("c_de") > 0) & (F.col("c_de") >= F.col("c_es")), "de")
+        .when(F.col("c_es") > 0, "es")
+        .otherwise("und")
+    )
+    return scored.select("doc_id", "lang", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T2 — quality scoring: token count, alpha-char density, stopword ratio,
+# mean token length. Ratios round2-quantized on both engines.
+# ---------------------------------------------------------------------------
+
+_ALL_STOP = _in_list(w for ws in _STOPWORDS.values() for w in ws)
+
+
+@query(
+    "t2_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           {sql_round2('alpha_chars / GREATEST(n_chars, 1)')} AS alpha_ratio,
+           {sql_round2('stop_hits / GREATEST(n_tokens, 1)')} AS stop_ratio,
+           {sql_round2('alpha_chars / GREATEST(n_tokens, 1)')} AS mean_tok_len
+    FROM (
+        SELECT doc_id, n_chars,
+               len({_TOK_DUCK}) AS n_tokens,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+               len(list_filter({_TOK_DUCK}, w -> w IN ({_ALL_STOP}))) AS stop_hits
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"size({_TOK_SPARK})").alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias(
+            "alpha_chars"
+        ),
+        F.expr(f"size(filter({_TOK_SPARK}, w -> w IN ({_ALL_STOP})))").alias(
+            "stop_hits"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        round2(F.col("alpha_chars") / F.greatest("n_chars", F.lit(1))).alias(
+            "alpha_ratio"
+        ),
+        round2(F.col("stop_hits") / F.greatest("n_tokens", F.lit(1))).alias(
+            "stop_ratio"
+        ),
+        round2(F.col("alpha_chars") / F.greatest("n_tokens", F.lit(1))).alias(
+            "mean_tok_len"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T3 — token counting: whitespace tokens and a BPE-ish regex segmentation
+# (letter runs | digit runs | single punctuation marks).
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# Spark SQL string literals consume one level of backslash escaping
+# (unknown escapes drop the backslash: '\s' → 's'), DuckDB's do not —
+# so the Spark-side literal needs its backslashes doubled.
+_BPE_RE_SPARK = _BPE_RE.replace("\\", "\\\\")
+
+
+@query(
+    "t3_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), w -> w != ''))").alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{_BPE_RE_SPARK}', 0))").alias(
+            "bpe_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T4 — document fingerprint: min/max/xor-fold of xxhash64 over word
+# 4-grams (a winnowing-style rolling hash). xxhash64 has no DuckDB twin →
+# registered rows-only; determinism asserted in tests/test_text.py.
+# ---------------------------------------------------------------------------
+
+
+@query("t4_fingerprint")
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"""
+        transform(
+            sequence(1, greatest(size({_TOK_SPARK}) - 3, 1)),
+            i -> xxhash64(concat_ws(' ', slice({_TOK_SPARK}, i, 4))))
+        """
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+        F.expr(
+            f"""aggregate(
+                transform(sequence(1, greatest(size({_TOK_SPARK}) - 3, 1)),
+                          i -> xxhash64(concat_ws(' ', slice({_TOK_SPARK}, i, 4)))),
+                0L, (acc, h) -> acc ^ h)"""
+        ).alias("fp_xor"),
+    ).orderBy("doc_id")

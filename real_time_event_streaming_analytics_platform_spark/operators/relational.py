@@ -443,6 +443,23 @@ def q13_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X1 — approx_count_distinct (HLL++): the 100 TB path for Q13 — one pass,
+# constant memory per group, no expansion. No SQL oracle (sketches are
+# engine-specific); tolerance vs exact asserted in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+
+@query("x1_approx_distinct")
+def x1_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_buyers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q14 — ROLLUP with GROUPING() disambiguation (NULL group vs rollup NULL).
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,178 @@
+"""Property/tolerance tests for the non-oracle extension operators
+(X1 approx distinct, X2 MinHash/SimHash near-dup, X3 similarity, X4
+multimodal) — SURVEY.md §5.2(4)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.catalog import load
+from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+    minhash_candidates,
+    simhash_df,
+)
+from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_media_features,
+)
+from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+    N_QUERIES,
+    TOP_K,
+    cosine_topk,
+    with_norm,
+)
+
+from .conftest import SF_DIR
+
+
+def _planted_dups(spark, sf_dir, n=10):
+    """documents ∪ near-copies of the first n docs (one word appended) —
+    known near-dup pairs (doc_id, doc_id + 100000)."""
+    docs = load(spark, sf_dir, "documents")
+    dups = (
+        docs.where(F.col("doc_id") < n)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzduplicatemarker")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return docs.unionByName(dups), {(i, i + 100000) for i in range(n)}
+
+
+def test_x1_approx_within_tolerance(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderstatus"]: r["buyers"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("buyers"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["approx_buyers"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_buyers"))
+        .collect()
+    }
+    for status, n in exact.items():
+        assert abs(approx[status] - n) <= max(0.05 * n, 2), (status, n, approx[status])
+
+
+def test_x2_minhash_recall_on_planted_dups(spark):
+    docs, truth = _planted_dups(spark, SF_DIR)
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(docs).where(F.col("est_jaccard") >= 0.5).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall}: {sorted(truth - found)}"
+
+
+def test_x2_minhash_precision_on_testdata(spark):
+    # The driver testdata plants genuine near-duplicates; every pair the
+    # LSH surfaces at est >= 0.9 must be a true near-dup (word-3-gram
+    # Jaccard >= 0.8) — precision, the complement of the recall test.
+    docs = load(spark, SF_DIR, "documents")
+    pairs = minhash_candidates(docs).where(F.col("est_jaccard") >= 0.9).collect()
+    assert pairs, "expected planted near-dups in the testdata"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def jac(a, b, w=3):
+        ta, tb = texts[a].lower().split(), texts[b].lower().split()
+        sa = {" ".join(ta[i : i + w]) for i in range(len(ta) - w + 1)}
+        sb = {" ".join(tb[i : i + w]) for i in range(len(tb) - w + 1)}
+        return len(sa & sb) / max(len(sa | sb), 1)
+
+    for p in pairs:
+        true_j = jac(p["doc_a"], p["doc_b"])
+        assert true_j >= 0.8, (p["doc_a"], p["doc_b"], p["est_jaccard"], true_j)
+
+
+def test_x2c_simhash_detects_planted_dups(spark):
+    docs, truth = _planted_dups(spark, SF_DIR)
+    sig = simhash_df(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    hits = 0
+    for a, b in truth:
+        hamming = bin(rows[a] ^ rows[b]).count("1")
+        if hamming <= 6:
+            hits += 1
+    assert hits / len(truth) >= 0.9, hits
+
+
+def test_x3_brute_cosine_matches_numpy(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    result = cosine_topk(
+        with_norm(emb), with_norm(emb).where(F.col("vec_id") < N_QUERIES)
+    ).collect()
+    by_q = {}
+    for r in result:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cid"], r["cos"]))
+    for qid, got in by_q.items():
+        q = vecs[qid]
+        sims = {
+            cid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for cid, v in vecs.items()
+            if cid != qid
+        }
+        expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+        got = sorted(got)
+        assert [cid for _, cid, _ in got] == [cid for cid, _ in expect], (qid, got, expect)
+        for (_, _, cos_spark), (_, cos_np) in zip(got, expect):
+            assert math.isclose(cos_spark, cos_np, abs_tol=0.01), (qid, cos_spark, cos_np)
+
+
+def test_x3b_lsh_recall_vs_brute(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    brute = engine.QUERIES["x3_cosine_topk"](spark, SF_DIR).collect()
+    ann = engine.QUERIES["x3b_ann_lsh"](spark, SF_DIR).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["qid"], set()).add(r["cid"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["qid"], set()).add(r["cid"])
+    # 8 tables × 4-bit buckets: expected recall ≈ 0.7 at the testdata's
+    # weak clustering (top-5 cosines ≈ 0.35); assert a safe floor.
+    recalls = [
+        len(ann_sets.get(q, set()) & cids) / len(cids) for q, cids in brute_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_x4_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    d = decode_image(b"hello world", fake=True)
+    assert set(d) == {"width", "height", "n_frames", "feature"}
+    assert len(d["feature"]) == FEATURE_DIM
+    assert d == decode_image(b"hello world", fake=True)  # deterministic
+
+
+def test_x4_media_features_schema_and_batches(spark):
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = extract_media_features(with_payload)
+    assert out.schema["feature"].dataType.simpleString() == "array<float>"
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalization
+
+
+def test_t4_fingerprint_deterministic(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    a = engine.QUERIES["t4_fingerprint"](spark, SF_DIR).collect()
+    b = engine.QUERIES["t4_fingerprint"](spark, SF_DIR).collect()
+    assert a == b
+    assert all(r["fp_min"] is not None for r in a)
