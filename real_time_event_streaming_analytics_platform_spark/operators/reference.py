@@ -305,6 +305,151 @@ def r8_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# R8b — the COMPLETE anomaly scorer: rolling median + MAD + z, with
+# anomaly_type ∈ {z-score, mad, normal} and severity tiers, mirroring
+# AnomalyDetectionJob.java:203-246 (median/MAD array math: even-size →
+# mean of the two middles) and :305-345 (scoring, type, severity).
+# Median/MAD are computed from the frame's collected values with pure
+# array expressions — identical arithmetic on identical doubles in both
+# engines, so mad_score is bitwise reproducible; z thresholds use the
+# 1e-6-quantized z as elsewhere.
+# ---------------------------------------------------------------------------
+
+# median of a sorted array (1-based element_at), Java semantics
+_MED_SPARK = (
+    "CASE WHEN {n} % 2 = 0 THEN (element_at({a}, CAST({n} div 2 AS INT)) + element_at({a}, CAST({n} div 2 AS INT) + 1)) / 2.0 "
+    "ELSE element_at({a}, CAST({n} div 2 AS INT) + 1) END"
+)
+_MED_DUCK = (
+    "CASE WHEN {n} % 2 = 0 THEN (({a})[{n} // 2] + ({a})[{n} // 2 + 1]) / 2.0 "
+    "ELSE ({a})[{n} // 2 + 1] END"
+)
+
+
+@query(
+    "r8b_rolling_mad",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_id, event_type, value,
+               COUNT(*) OVER w AS cnt,
+               AVG(value) OVER w AS mean,
+               STDDEV_POP(value) OVER w AS sd,
+               list_sort(list(value) OVER w) AS vals
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    ),
+    med1 AS (
+        SELECT *, {_MED_DUCK.format(a='vals', n='cnt')} AS med FROM framed WHERE cnt >= 10
+    ),
+    med2 AS (
+        SELECT *, {_MED_DUCK.format(a="list_sort(list_transform(vals, x -> abs(x - med)))", n='cnt')} AS mad
+        FROM med1
+    ),
+    scored AS (
+        SELECT event_id, event_type, value, med, mad,
+               CASE WHEN sd > 0 THEN (value - mean) / sd ELSE 0.0 END AS z,
+               floor((CASE WHEN sd > 0 THEN (value - mean) / sd ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS zq,
+               CASE WHEN mad > 0 THEN abs(value - med) / mad ELSE 0.0 END AS mad_score
+        FROM med2
+    )
+    SELECT event_id, event_type, value,
+           {sql_round2('z')} AS z, {sql_round2('mad_score')} AS mad_score,
+           CASE WHEN ABS(zq) > 3 THEN 'z-score'
+                WHEN mad_score > 3 THEN 'mad'
+                ELSE 'normal' END AS anomaly_type,
+           CASE WHEN ABS(zq) > 3 OR mad_score > 3 THEN
+                    CASE WHEN ABS(zq) > 4.0 OR mad_score > 4.0 THEN 'critical'
+                         WHEN ABS(zq) > 3.5 OR mad_score > 3.5 THEN 'warning'
+                         ELSE 'info' END
+                ELSE 'info' END AS severity
+    FROM scored ORDER BY event_id
+    """,
+)
+def r8b_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    framed = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count("*").over(w).alias("cnt"),
+        F.avg("value").over(w).alias("mean"),
+        F.stddev_pop("value").over(w).alias("sd"),
+        F.sort_array(F.collect_list("value").over(w)).alias("vals"),
+    ).where(F.col("cnt") >= 10)
+    med1 = framed.withColumn("med", F.expr(_MED_SPARK.format(a="vals", n="cnt")))
+    med2 = med1.withColumn(
+        "mad",
+        F.expr(
+            _MED_SPARK.format(
+                a="array_sort(transform(vals, x -> abs(x - med)))", n="cnt"
+            )
+        ),
+    )
+    z = F.when(F.col("sd") > 0, (F.col("value") - F.col("mean")) / F.col("sd")).otherwise(
+        F.lit(0.0)
+    )
+    scored = med2.select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("z"),
+        quant6(z).alias("zq"),
+        F.when(
+            F.col("mad") > 0, F.abs(F.col("value") - F.col("med")) / F.col("mad")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mad_score"),
+    )
+    is_z = F.abs(F.col("zq")) > 3
+    is_mad = F.col("mad_score") > 3
+    sev = F.when(
+        is_z | is_mad,
+        F.when((F.abs(F.col("zq")) > 4.0) | (F.col("mad_score") > 4.0), "critical")
+        .when((F.abs(F.col("zq")) > 3.5) | (F.col("mad_score") > 3.5), "warning")
+        .otherwise("info"),
+    ).otherwise("info")
+    return scored.select(
+        "event_id",
+        "event_type",
+        "value",
+        round2("z").alias("z"),
+        round2("mad_score").alias("mad_score"),
+        F.when(is_z, "z-score").when(is_mad, "mad").otherwise("normal").alias(
+            "anomaly_type"
+        ),
+        sev.alias("severity"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# R6b — the 100 TB percentile path: percentile_approx (one pass, bounded
+# state per group) instead of R6's collect_list (unbounded per-key state).
+# No SQL oracle (sketch semantics are engine-specific); tolerance vs the
+# exact R6 asserted in tests/test_functions.py. Production deployments use
+# THIS variant; R6 stays as the semantics oracle.
+# ---------------------------------------------------------------------------
+
+
+@query("r6b_percentile_approx")
+def r6b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            round2(F.percentile_approx("value", 0.95, 10000)).alias("p95"),
+            round2(F.percentile_approx("value", 0.99, 10000)).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "r9_alerts_scan",
     oracle=_ANOM_CTE

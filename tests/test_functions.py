@@ -176,3 +176,20 @@ def test_t4_fingerprint_deterministic(spark):
     b = engine.QUERIES["t4_fingerprint"](spark, SF_DIR).collect()
     assert a == b
     assert all(r["fp_min"] is not None for r in a)
+
+
+def test_r6b_approx_close_to_exact(spark, sf_dir):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    exact = {
+        r["event_type"]: (r["p95"], r["p99"])
+        for r in engine.QUERIES["r6_percentile_rank"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p95"], r["p99"])
+        for r in engine.QUERIES["r6b_percentile_approx"](spark, sf_dir).collect()
+    }
+    for et, (p95, p99) in exact.items():
+        a95, a99 = approx[et]
+        assert abs(a95 - p95) <= max(0.02 * abs(p95), 0.5), (et, p95, a95)
+        assert abs(a99 - p99) <= max(0.02 * abs(p99), 0.5), (et, p99, a99)
