@@ -1,1 +1,3 @@
-"""(stub — populated in this round)"""
+"""Structured Streaming layer: event source + parse + watermark +
+windowed aggregates (entries), stateful anomaly detection and cooldown
+dedup (anomaly)."""

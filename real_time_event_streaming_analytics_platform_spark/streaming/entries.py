@@ -1,1 +1,173 @@
-"""(stub — populated in this round)"""
+"""Structured Streaming core: source → parse → watermark → windowed
+aggregates, mirroring the reference aggregation job
+(EventAggregationJob.java:59-110) Spark-first.
+
+Kafka in production is the same pipeline with
+``readStream.format("kafka")`` + the value column through ``from_json``;
+tests use the file-stream source (identical parse/watermark/window path,
+and replayable). Every aggregate is expressed so streaming and batch
+share the plan: the S2/S3 parity tests run the SAME logical query in
+both modes and compare results.
+
+Scale: the stream shuffles once per aggregate (on the window+source
+keys); state is windowed and evicted by the watermark; RocksDB state
+store (session.py) keeps per-key state off-heap. p95/p99 use
+percentile_approx (bounded state) — the exact nearest-rank form (R6) is
+batch-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The reference flattens the JSON event to a typed record, dropping
+# source-specific extra attributes (EventAggregationJob.java:129-152,
+# 171-194). This schema mirrors that flatten.
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("source", StringType()),
+        StructField("timestamp", StringType()),
+        StructField(
+            "attributes",
+            StructType(
+                [
+                    StructField("user_id", StringType()),
+                    StructField("metric", DoubleType()),
+                    StructField("status", StringType()),
+                    StructField("session_id", StringType()),
+                    StructField("region", StringType()),
+                    StructField("version", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+WATERMARK = "10 seconds"  # bounded out-of-orderness, AGG:68-71
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream twin of the Kafka source (O1). Each JSONL line is one
+    event; maxFilesPerTrigger=1 replays one file per micro-batch (the
+    knob the watermark tests use to control batch boundaries)."""
+    reader = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+    )
+    return reader.load(path).withColumnRenamed("value", "raw")
+
+
+def parse_events(raw: DataFrame, require_positive_metric: bool = False) -> DataFrame:
+    """JSON parse + flatten + validity filter + event-time watermark
+    (O9/O10/O2/O12). Bad rows → null json → dropped, like the Flink
+    parse (EventAggregationJob.java:188-193, :74-76)."""
+    j = raw.select(F.from_json("raw", EVENT_SCHEMA).alias("j")).where(
+        F.col("j").isNotNull() & F.col("j.event_id").isNotNull()
+    )
+    parsed = j.select(
+        F.col("j.event_id").alias("event_id"),
+        F.col("j.source").alias("source"),
+        # ISO-8601 → timestamp; parse failure falls back to processing
+        # time (EventAggregationJob.java:116-126)
+        F.coalesce(
+            F.to_timestamp("j.timestamp"), F.current_timestamp()
+        ).alias("ts"),
+        F.col("j.attributes.metric").alias("metric"),
+        F.col("j.attributes.status").alias("status"),
+        F.col("j.attributes.user_id").alias("user_id"),
+        F.col("j.attributes.session_id").alias("session_id"),
+    ).where(F.col("metric").isNotNull())
+    if require_positive_metric:  # anomaly job's extra filter (ANO:83)
+        parsed = parsed.where(F.col("metric") > 0)
+    return parsed.withWatermark("ts", WATERMARK)
+
+
+def sliding_aggregates(parsed: DataFrame) -> DataFrame:
+    """1-minute windows sliding by 10 s per source (O17-O19), producing
+    the metrics_1min row shape (count/avg/error_rate/sum + approx
+    p95/p99). Works identically as a batch plan — the S2 parity test
+    relies on that."""
+    return (
+        parsed.groupBy(F.window("ts", "1 minute", "10 seconds"), "source")
+        .agg(
+            F.count("*").alias("count_events"),
+            F.avg("metric").alias("avg_metric"),
+            F.percentile_approx("metric", 0.95, 10000).alias("p95_metric"),
+            F.percentile_approx("metric", 0.99, 10000).alias("p99_metric"),
+            (
+                F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+                / F.count("*")
+            ).alias("error_rate"),
+            F.sum("metric").alias("sum_metric"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "source",
+            "count_events",
+            "avg_metric",
+            "p95_metric",
+            "p99_metric",
+            "error_rate",
+            "sum_metric",
+        )
+    )
+
+
+def session_counts(parsed: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (S7; batch mirror is Q23)."""
+    return (
+        parsed.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    output_mode: str = "append",
+    name: str = "stream_result",
+) -> DataFrame:
+    """Drain the stream with trigger(availableNow) into a memory sink and
+    return the materialized result — the batch↔stream parity harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain to a parquet table with exactly-once file-sink semantics —
+    the checkpoint/recovery (S6) path."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,221 @@
+"""S-series streaming behavior tests (SURVEY.md §2c S1-S7):
+S1 watermark drops late data; S2 batch↔streaming aggregate parity;
+S3/S6 exactly-once file sink + checkpoint restart; S4 stateful anomaly
+parity with the batch window-frame oracle; S5 cooldown suppression;
+S7 session windows consistent with batch sessionization."""
+
+import math
+import shutil
+import tempfile
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.sources.fixtures import (
+    BASE_TS,
+    generate_events,
+    write_jsonl,
+)
+from real_time_event_streaming_analytics_platform_spark.streaming.anomaly import (
+    anomaly_batch_oracle,
+    anomaly_stream,
+    cooldown_stream,
+    COOLDOWN_SECONDS,
+)
+from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+    parse_events,
+    read_event_stream,
+    run_available_now,
+    run_to_parquet,
+    session_counts,
+    sliding_aggregates,
+)
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgr-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_batch(spark, path):
+    """Batch twin of read_event_stream → parse_events (same plan)."""
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    return parse_events(raw)
+
+
+def test_s1_watermark_drops_late_rows(spark, tmpdir):
+    # file a: events t=0..118s → commits watermark ~108s; file b: filler
+    # at t=125s (the commit from a takes effect one batch later — Spark
+    # applies the watermark computed through batch N-1 at batch N+1's
+    # filter); file c: one LATE event at t=5s + filler at t=130s. By the
+    # time c processes, the operator watermark is ≥108s, so the t=5s
+    # event's window [0,60) is finalized and the row must be dropped.
+    on_time = generate_events(60, seed=1, interval_ms=2000)  # 0..118s
+    filler = generate_events(1, seed=3, base_ts=BASE_TS + timedelta(seconds=125))
+    late = generate_events(1, seed=2, base_ts=BASE_TS + timedelta(seconds=5))
+    filler2 = generate_events(1, seed=4, base_ts=BASE_TS + timedelta(seconds=130))
+    write_jsonl(on_time, f"{tmpdir}/in", prefix="a")
+    write_jsonl(filler, f"{tmpdir}/in", prefix="b")
+    write_jsonl(late + filler2, f"{tmpdir}/in", prefix="c")
+
+    stream = parse_events(read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1))
+    counts = stream.groupBy(F.window("ts", "1 minute")).agg(F.count("*").alias("n"))
+    result = run_available_now(
+        counts, f"{tmpdir}/ck", output_mode="append", name="s1"
+    ).collect()
+
+    got = {r["window"].start.second + r["window"].start.minute * 60: r["n"] for r in result}
+    # window [0,60): 30 on-time events; the late t=5s event must be dropped
+    assert got.get(0) == 30, got
+    # batch run over the same files COUNTS the late row — proving the
+    # streaming drop is the watermark, not the data
+    batch = _read_batch(spark, f"{tmpdir}/in")
+    batch_n = batch.where(F.col("ts") < F.lit("2024-01-01 00:01:00").cast("timestamp")).count()
+    assert batch_n == 31
+
+
+def test_s2_batch_stream_aggregate_parity(spark, tmpdir):
+    events = generate_events(500, seed=7, interval_ms=500, out_of_order_ms=3000)
+    write_jsonl(events, f"{tmpdir}/in", n_files=4)
+
+    stream_res = run_available_now(
+        sliding_aggregates(
+            parse_events(read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1))
+        ),
+        f"{tmpdir}/ck",
+        output_mode="complete",
+        name="s2",
+    ).collect()
+    batch_res = sliding_aggregates(_read_batch(spark, f"{tmpdir}/in")).collect()
+
+    def keyed(rows):
+        return {
+            (r["window_start"], r["source"]): r for r in rows
+        }
+
+    s, b = keyed(stream_res), keyed(batch_res)
+    assert set(s) == set(b)
+    for k in s:
+        assert s[k]["count_events"] == b[k]["count_events"], k
+        assert math.isclose(s[k]["avg_metric"], b[k]["avg_metric"], rel_tol=1e-9), k
+        assert math.isclose(s[k]["sum_metric"], b[k]["sum_metric"], rel_tol=1e-9), k
+        assert math.isclose(s[k]["error_rate"], b[k]["error_rate"], rel_tol=1e-9), k
+        # sketches merge in different orders between modes — tolerance
+        assert math.isclose(s[k]["p95_metric"], b[k]["p95_metric"], rel_tol=0.05), k
+
+
+def test_s3_s6_checkpoint_exactly_once(spark, tmpdir):
+    batch_a = generate_events(100, seed=11)
+    write_jsonl(batch_a, f"{tmpdir}/in", prefix="a")
+    stream = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    run_to_parquet(stream, f"{tmpdir}/out", f"{tmpdir}/ck")
+    assert spark.read.parquet(f"{tmpdir}/out").count() == 100
+
+    # "restart": new files arrive, same checkpoint — only the new files
+    # are processed, nothing is duplicated or lost
+    batch_b = generate_events(50, seed=12, base_ts=BASE_TS + timedelta(seconds=60))
+    write_jsonl(batch_b, f"{tmpdir}/in", prefix="b")
+    stream2 = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    run_to_parquet(stream2, f"{tmpdir}/out", f"{tmpdir}/ck")
+    out = spark.read.parquet(f"{tmpdir}/out")
+    assert out.count() == 150
+    assert out.select("event_id").distinct().count() == 150
+
+
+def test_s4_stateful_anomaly_parity_with_batch_oracle(spark, tmpdir):
+    events = generate_events(1500, seed=21, interval_ms=300, outlier_rate=0.08)
+    write_jsonl(events, f"{tmpdir}/in", n_files=3)
+
+    stream = parse_events(
+        read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1),
+        require_positive_metric=True,
+    )
+    got = run_available_now(
+        anomaly_stream(stream), f"{tmpdir}/ck", output_mode="append", name="s4"
+    ).collect()
+    expect = anomaly_batch_oracle(
+        _read_batch(spark, f"{tmpdir}/in").where(F.col("metric") > 0)
+    ).collect()
+
+    def canon(rows):
+        return sorted(
+            (
+                r["event_id"],
+                round(r["z_score"], 6),
+                round(r["mad_score"], 6),
+                r["anomaly_type"],
+                r["severity"],
+                r["is_anomaly"],
+            )
+            for r in rows
+        )
+
+    assert len(got) == len(expect)
+    assert canon(got) == canon(expect)
+
+
+def test_s5_cooldown_suppression(spark, tmpdir):
+    # alerts every 30 s per (source, severity) — only one per cooldown
+    # interval may pass
+    events = generate_events(200, seed=31, interval_ms=30000)  # 30s apart
+    write_jsonl(events, f"{tmpdir}/in")
+    stream = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    alerts = stream.select(
+        "source", F.col("status").alias("severity"), "event_id", "ts"
+    )
+    out = run_available_now(
+        cooldown_stream(alerts), f"{tmpdir}/ck", output_mode="append", name="s5"
+    ).collect()
+
+    by_key = {}
+    for r in sorted(out, key=lambda r: r["ts"]):
+        by_key.setdefault((r["source"], r["severity"]), []).append(r["ts"])
+    assert by_key, "no notifications emitted"
+    for key, times in by_key.items():
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
+
+
+def test_s7_session_windows_match_batch_sessionization(spark, tmpdir):
+    # 3 bursts per user separated by >30 min gaps
+    chunks = []
+    for i, offset in enumerate([0, 3600, 7200]):
+        chunks += generate_events(
+            60, seed=41 + i, base_ts=BASE_TS + timedelta(seconds=offset), interval_ms=1000
+        )
+    write_jsonl(chunks, f"{tmpdir}/in", n_files=3)
+
+    stream = parse_events(read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1))
+    emitted = run_available_now(
+        session_counts(stream), f"{tmpdir}/ck", output_mode="append", name="s7"
+    ).collect()
+
+    batch = _read_batch(spark, f"{tmpdir}/in")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        batch.withColumn(
+            "is_new", F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .collect()
+    )
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    final_watermark = max_ts - timedelta(seconds=10)
+    closed = {
+        (r["user_id"], r["start"], r["n"])
+        for r in sess
+        if r["end"] + timedelta(minutes=30) <= final_watermark
+    }
+    got = {(r["user_id"], r["session_start"], r["n"]) for r in emitted}
+    assert got == closed, (len(got), len(closed))
