@@ -1,1 +1,15 @@
-"""(stub — populated in this round)"""
+"""Serving layer: kpi/series/alerts DataFrame functions mirroring the
+reference read API, plus hot-store maintenance and anchored SQL views."""
+
+from .api import (  # noqa: F401
+    WINDOW_SECONDS,
+    active_alert_counts,
+    alerts,
+    hot_store_writer,
+    kpi,
+    parse_window,
+    read_hot_store,
+    regroup_series,
+    register_views,
+    series,
+)

@@ -1,0 +1,212 @@
+"""Serving layer: the reference read-API surface as DataFrame functions.
+
+Mirrors services/read-api/main.py — `/kpi` (:228-291), `/series`
+(:293-338 with the avg/sum/count/p95 agg map :307-314), `/alerts`
+(:372-431) — plus the per-source regroup (O31, :342-362), the
+window-string parser (O16, :166-175), the SQL views
+(01-init-timescaledb.sql:68-84), and hot-store maintenance (O7: the
+Kafka→Redis writer re-expressed as a foreachBatch upsert).
+
+The serving layer stays a thin shim: every function builds ONE
+DataFrame plan against the hot/cold tables; Catalyst does predicate
+pushdown and partition pruning. Time anchors are data-derived
+(max(ts)), never wall clock, so results are deterministic and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# O16: window-string parser (read-api main.py:166-175)
+WINDOW_SECONDS = {"1m": 60, "5m": 300, "15m": 900, "1h": 3600, "1d": 86400}
+
+
+def parse_window(window: str) -> int:
+    if window not in WINDOW_SECONDS:
+        raise ValueError(f"unsupported window {window!r}; one of {sorted(WINDOW_SECONDS)}")
+    return WINDOW_SECONDS[window]
+
+
+def _anchored(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach `_anchor` = max(ts) as a broadcast scalar (one plan)."""
+    anchor = df.agg(F.max(ts_col).alias("_anchor"))
+    return df.join(F.broadcast(anchor))
+
+
+# ---------------------------------------------------------------------------
+# /kpi — latest aggregates from the hot store (main.py:228-291).
+# ---------------------------------------------------------------------------
+
+
+def kpi(
+    hot: DataFrame,
+    source: str | None = None,
+    window: str = "1m",
+    limit: int = 100,
+    ttl_seconds: int = 3600,
+) -> DataFrame:
+    """Latest hot aggregates, newest first. The Redis TTL becomes a
+    read-time predicate against the data's own max window_start."""
+    parse_window(window)
+    df = hot.where(F.col("window") == window)
+    if source is not None:
+        df = df.where(F.col("source") == source)
+    df = _anchored(df, "window_start").where(
+        F.col("window_start")
+        >= F.col("_anchor") - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+    )
+    return (
+        df.drop("_anchor")
+        .orderBy(F.col("window_start").desc(), "source")
+        .limit(limit)
+    )
+
+
+# ---------------------------------------------------------------------------
+# /series — time-series aggregation over the raw events (main.py:293-338).
+# ---------------------------------------------------------------------------
+
+_SERIES_AGGS = {
+    "avg": lambda: F.avg("metric"),
+    "sum": lambda: F.sum("metric"),
+    "count": lambda: F.count("*").cast("double"),
+    "p95": lambda: F.percentile("metric", 0.95),
+}
+
+
+def series(
+    events: DataFrame,
+    start=None,
+    end=None,
+    source: str | None = None,
+    agg: str = "avg",
+    bucket: str = "minute",
+) -> DataFrame:
+    """(source, bucket, value) series — the agg map mirrors main.py:307-314."""
+    if agg not in _SERIES_AGGS:
+        raise ValueError(f"unsupported agg {agg!r}; one of {sorted(_SERIES_AGGS)}")
+    df = events
+    if start is not None:
+        df = df.where(F.col("ts") >= F.lit(start))
+    if end is not None:
+        df = df.where(F.col("ts") <= F.lit(end))
+    if source is not None:
+        df = df.where(F.col("source") == source)
+    return (
+        df.groupBy("source", F.date_trunc(bucket, "ts").alias("bucket"))
+        .agg(_SERIES_AGGS[agg]().alias("value"))
+        .orderBy("source", "bucket")
+    )
+
+
+def regroup_series(series_df: DataFrame) -> DataFrame:
+    """O31 (main.py:342-362): tall series → one row per source with the
+    ordered (bucket, value) points nested — sort_array over structs keeps
+    it a single aggregate, no driver-side loop."""
+    return (
+        series_df.groupBy("source")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "value"))).alias("points")
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# /alerts — conjunctive filtered scan (main.py:372-431).
+# ---------------------------------------------------------------------------
+
+
+def alerts(
+    anomalies: DataFrame,
+    since=None,
+    severity: str | None = None,
+    resolved: bool | None = None,
+    limit: int = 1000,
+) -> DataFrame:
+    """Dynamic conjunctive predicates + ORDER BY ts DESC LIMIT n (plans
+    as TakeOrderedAndProject)."""
+    df = anomalies
+    if since is not None:
+        df = df.where(F.col("ts") >= F.lit(since))
+    if severity is not None:
+        df = df.where(F.col("severity") == severity)
+    if resolved is not None and "resolved" in df.columns:
+        df = df.where(F.col("resolved") == resolved)
+    order = [F.col("ts").desc()] + (
+        [F.col("event_id")] if "event_id" in df.columns else []
+    )
+    return df.orderBy(*order).limit(limit)
+
+
+def active_alert_counts(anomalies: DataFrame) -> DataFrame:
+    """O33 (alert-service main.py:338-344): unresolved count per severity
+    over the trailing hour, anchored to the data's max ts."""
+    df = _anchored(anomalies)
+    if "resolved" in anomalies.columns:
+        df = df.where(~F.col("resolved"))
+    return (
+        df.where(F.col("ts") > F.col("_anchor") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("severity")
+        .agg(F.count("*").alias("n"))
+        .orderBy("severity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL views (01-init-timescaledb.sql:68-84), anchored to max(ts).
+# ---------------------------------------------------------------------------
+
+
+def register_views(events: DataFrame, anomalies: DataFrame | None = None) -> None:
+    spark = events.sparkSession
+    _anchored(events).where(
+        F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 1 HOUR")
+    ).drop("_anchor").createOrReplaceTempView("events_last_hour")
+    if anomalies is not None:
+        _anchored(anomalies).where(
+            F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 24 HOURS")
+        ).drop("_anchor").createOrReplaceTempView("anomalies_last_24h")
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW active_anomalies AS "
+            "SELECT * FROM anomalies_last_24h"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Hot-store maintenance (O7): the reference's Kafka→Redis writer as a
+# foreachBatch upsert. Parquet append + read-time last-write-wins (the
+# keep-latest is a window over (source, window, window_start) by batch);
+# with a Delta/Iceberg table this becomes a real MERGE and the read-side
+# dedup disappears.
+# ---------------------------------------------------------------------------
+
+
+def hot_store_writer(path: str):
+    """foreachBatch callback: append each micro-batch with its batch id."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return write
+
+
+def read_hot_store(spark, path: str) -> DataFrame:
+    """Last-write-wins view of the hot store (Redis SET semantics,
+    EventAggregationJob.java:277-292)."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy("source", "window", "window_start").orderBy(
+        F.col("_batch").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch")
+    )

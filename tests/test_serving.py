@@ -1,0 +1,156 @@
+"""Serving-layer tests: kpi/series/alerts mirror the read-API semantics
+(read-api main.py:228-431), anchored on the same shapes R3/R9/R11 prove
+against the oracle; hot-store upsert has Redis SET (last-write-wins)
+semantics."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.catalog import load
+from real_time_event_streaming_analytics_platform_spark.serving import (
+    active_alert_counts,
+    alerts,
+    hot_store_writer,
+    kpi,
+    parse_window,
+    read_hot_store,
+    regroup_series,
+    register_views,
+    series,
+)
+from real_time_event_streaming_analytics_platform_spark.sources.fixtures import (
+    generate_events,
+    write_jsonl,
+)
+from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+    parse_events,
+    read_event_stream,
+    sliding_aggregates,
+)
+
+
+@pytest.fixture
+def events(spark, sf_dir):
+    # reference-shaped columns over the testdata events table
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("source"),
+        F.col("value").alias("metric"),
+    )
+
+
+def test_parse_window():
+    assert parse_window("5m") == 300
+    with pytest.raises(ValueError, match="unsupported window"):
+        parse_window("7m")
+
+
+def test_series_matches_plain_aggregate(spark, events):
+    got = series(events, agg="avg").collect()
+    expect = (
+        events.groupBy("source", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.avg("metric").alias("value"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    with pytest.raises(ValueError, match="unsupported agg"):
+        series(events, agg="median")
+
+
+def test_series_filters_and_regroup(spark, events):
+    src = events.select("source").first()["source"]
+    tall = series(events, source=src, agg="count")
+    rows = tall.collect()
+    assert rows and all(r["source"] == src for r in rows)
+    nested = regroup_series(tall).collect()
+    assert len(nested) == 1
+    points = nested[0]["points"]
+    assert len(points) == len(rows)
+    assert [p["bucket"] for p in points] == sorted(p["bucket"] for p in points)
+
+
+def test_alerts_scan_predicates_and_limit(spark, events):
+    scored = events.select(
+        "event_id", "ts", "source", F.lit("critical").alias("severity")
+    )
+    out = alerts(scored, severity="critical", limit=10).collect()
+    assert len(out) == 10
+    ts_list = [r["ts"] for r in out]
+    assert ts_list == sorted(ts_list, reverse=True)
+    assert alerts(scored, severity="nope").count() == 0
+
+
+def test_active_alert_counts_trailing_hour(spark, events):
+    scored = events.select(
+        "event_id",
+        "ts",
+        F.when(F.col("metric") > 400, "critical").otherwise("info").alias("severity"),
+    )
+    counts = {r["severity"]: r["n"] for r in active_alert_counts(scored).collect()}
+    anchor = events.agg(F.max("ts")).first()[0]
+    expect = (
+        scored.where(F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("severity")
+        .count()
+        .collect()
+    )
+    assert counts == {r["severity"]: r["count"] for r in expect}
+
+
+def test_register_views(spark, events):
+    register_views(events)
+    n = spark.table("events_last_hour").count()
+    anchor = events.agg(F.max("ts")).first()[0]
+    expect = events.where(
+        F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 1 HOUR")
+    ).count()
+    assert n == expect
+
+
+def test_hot_store_upsert_and_kpi(spark):
+    d = tempfile.mkdtemp(prefix="sgr-hot-")
+    try:
+        # stream the fixture through sliding aggregates into the hot store
+        events = generate_events(300, seed=55, interval_ms=500)
+        write_jsonl(events, f"{d}/in", n_files=2)
+        q = (
+            sliding_aggregates(
+                parse_events(read_event_stream(spark, f"{d}/in", max_files_per_trigger=1))
+            )
+            .withColumn("window", F.lit("1m"))
+            .writeStream.foreachBatch(hot_store_writer(f"{d}/hot"))
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        hot = read_hot_store(spark, f"{d}/hot")
+        # last-write-wins: one row per (source, window, window_start)
+        dup = (
+            hot.groupBy("source", "window", "window_start")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+        top = kpi(hot, window="1m", limit=5).collect()
+        assert 0 < len(top) <= 5
+        starts = [r["window_start"] for r in top]
+        assert starts == sorted(starts, reverse=True)
+        # the hot-store counts must agree with a batch recomputation
+        raw = spark.read.text(f"{d}/in").withColumnRenamed("value", "raw")
+        batch = sliding_aggregates(parse_events(raw))
+        merged = hot.select("source", "window_start", "count_events").join(
+            batch.select("source", "window_start", F.col("count_events").alias("b_n")),
+            ["source", "window_start"],
+        )
+        bad = merged.where(F.col("count_events") != F.col("b_n")).count()
+        assert bad == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
