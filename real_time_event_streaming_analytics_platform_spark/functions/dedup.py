@@ -176,7 +176,9 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_df(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): sign-aggregated bitwise fingerprint."""
-    words = docs.select(
+    from .._shingle import _parallelize
+
+    words = _parallelize(docs).select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
     ).where(F.col("word") != "")

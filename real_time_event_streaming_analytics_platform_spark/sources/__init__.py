@@ -1,1 +1,3 @@
-"""(stub — populated in this round)"""
+"""Input sources: deterministic streaming fixtures (fixtures.py). The
+parquet batch loaders live in ..catalog; the file/Kafka stream readers in
+..streaming.entries."""

@@ -1,0 +1,126 @@
+"""Sink-side formatters and writers (O3/O5/O14/O15, SURVEY.md §2a).
+
+The reference emits four JSON message shapes to Kafka
+(EventAggregationJob.java:269-321 redis/db payloads;
+AnomalyDetectionJob.java:371-427 alert/db payloads). Here each is a
+`to_json(struct(...))` projection — pure JVM expressions, testable
+without a broker; `to_kafka`/`jdbc_writer` attach the actual transport.
+
+uuid() (O15) appears only in the alert payload and is excluded from
+oracle comparisons by design (nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def redis_payload(aggs: DataFrame, window: str = "1m") -> DataFrame:
+    """(key, value) rows matching the Redis writer contract
+    (EventAggregationJob.java:277-292): key agg:{source}:{window}:{iso},
+    value the aggregate JSON."""
+    key = F.format_string(
+        f"agg:%s:{window}:%s",
+        F.col("source"),
+        F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+    )
+    value = F.to_json(
+        F.struct(
+            F.col("count_events").alias("count"),
+            "avg_metric",
+            "p95_metric",
+            "p99_metric",
+            "error_rate",
+            "sum_metric",
+        )
+    )
+    return aggs.select(key.alias("key"), value.alias("value"))
+
+
+def db_payload(aggs: DataFrame) -> DataFrame:
+    """metrics_1min insert rows as JSON (EventAggregationJob.java:304-319)."""
+    return aggs.select(
+        F.to_json(
+            F.struct(
+                F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+                "source",
+                "count_events",
+                "avg_metric",
+                "p95_metric",
+                "p99_metric",
+                "error_rate",
+            )
+        ).alias("value")
+    )
+
+
+def alert_payload(alerts: DataFrame) -> DataFrame:
+    """alerts.v1 message shape (AnomalyDetectionJob.java:371-427):
+    nested stats object, uuid alert_id (O15 — nondeterministic, never
+    oracle-compared)."""
+    return alerts.select(
+        F.to_json(
+            F.struct(
+                F.expr("uuid()").alias("alert_id"),
+                "source",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+                "anomaly_type",
+                "severity",
+                "value",
+                "z_score",
+                "mad_score",
+                "is_anomaly",
+            )
+        ).alias("value")
+    )
+
+
+def to_kafka(payload: DataFrame, topic: str, bootstrap: str, checkpoint: str):
+    """Kafka sink (O3). Requires the spark-sql-kafka package on the
+    classpath; the payload df must have `value` (and optionally `key`)
+    string columns — exactly what the formatters above produce."""
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def jdbc_writer(url: str, table: str, properties: dict | None = None):
+    """foreachBatch JDBC append (O5) — the alert service's INSERT INTO
+    anomalies (services/alert-service/main.py:204-230) as a batch write."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.jdbc(url, table, mode="append", properties=properties or {})
+
+    return write
+
+
+# ---------------------------------------------------------------------------
+# O36 — retention/TTL maintenance (01-init-timescaledb.sql:63-65; the
+# reference documents 30/90-day retention). On a date-partitioned table
+# this is partition pruning in reverse: enumerate partition directories
+# older than the cutoff and drop them — never a row-level delete scan.
+# ---------------------------------------------------------------------------
+
+
+def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "event_date") -> list[str]:
+    """Partition values (yyyy-MM-dd) older than max(partition) - keep_days.
+    Listing-only: the caller decides to delete (storage-side operation)."""
+    parts = [
+        row[0]
+        for row in spark.read.parquet(path)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not parts:
+        return []
+    dates = sorted(str(p) for p in parts)
+    cutoff = spark.sql(
+        f"SELECT date_sub(DATE '{dates[-1]}', {keep_days})"
+    ).first()[0]
+    return [d for d in dates if d < str(cutoff)]

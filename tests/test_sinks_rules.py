@@ -1,0 +1,96 @@
+"""Sink formatters (O3/O14/O15), rule matching (O27), retention listing
+(O36)."""
+
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.serving.rules import make_rules, match_rules
+from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+    alert_payload,
+    db_payload,
+    expired_partitions,
+    redis_payload,
+)
+
+
+from datetime import datetime
+
+_TS = datetime(2024, 1, 1)
+
+
+def _aggs(spark):
+    return spark.createDataFrame(
+        [("web", _TS, 10, 50.0, 90.0, 99.0, 0.1, 500.0)],
+        "source string, window_start timestamp, count_events long, avg_metric double,"
+        "p95_metric double, p99_metric double, error_rate double, sum_metric double",
+    )
+
+
+def test_redis_payload_shape(spark):
+    row = redis_payload(_aggs(spark)).first()
+    assert row["key"] == "agg:web:1m:2024-01-01T00:00:00Z"
+    v = json.loads(row["value"])
+    assert v == {
+        "count": 10,
+        "avg_metric": 50.0,
+        "p95_metric": 90.0,
+        "p99_metric": 99.0,
+        "error_rate": 0.1,
+        "sum_metric": 500.0,
+    }
+
+
+def test_db_payload_shape(spark):
+    v = json.loads(db_payload(_aggs(spark)).first()["value"])
+    assert v["ts"] == "2024-01-01T00:00:00Z" and v["source"] == "web"
+    assert set(v) == {
+        "ts", "source", "count_events", "avg_metric", "p95_metric",
+        "p99_metric", "error_rate",
+    }
+
+
+def test_alert_payload_has_uuid(spark):
+    alerts = spark.createDataFrame(
+        [("a1", "web", _TS, "z-score", "critical", 410.0, 5.1, 2.0, True)],
+        "event_id string, source string, ts timestamp, anomaly_type string,"
+        "severity string, value double, z_score double, mad_score double, is_anomaly boolean",
+    )
+    v = json.loads(alert_payload(alerts).first()["value"])
+    assert v["severity"] == "critical" and v["anomaly_type"] == "z-score"
+    assert len(v["alert_id"]) == 36  # uuid format
+
+
+def test_rule_matching(spark):
+    alerts = spark.createDataFrame(
+        [("e1", "web", "critical"), ("e2", "api", "critical"), ("e3", "web", "info")],
+        "event_id string, source string, severity string",
+    )
+    rules = make_rules(
+        spark,
+        [
+            ("r-all-crit", True, [], "critical"),      # all sources
+            ("r-web-crit", True, ["web"], "critical"),  # web only
+            ("r-disabled", False, [], "critical"),      # disabled
+            ("r-info", True, ["mobile"], "info"),       # wrong source
+        ],
+    )
+    got = {(r["event_id"], r["rule_id"]) for r in match_rules(alerts, rules).collect()}
+    assert got == {("e1", "r-all-crit"), ("e1", "r-web-crit"), ("e2", "r-all-crit")}
+
+
+def test_expired_partitions(spark):
+    d = tempfile.mkdtemp(prefix="sgr-ret-")
+    try:
+        df = spark.createDataFrame(
+            [(i, f"2024-01-{day:02d}") for day in (1, 5, 10, 20) for i in range(3)],
+            "id long, event_date string",
+        )
+        df.write.partitionBy("event_date").parquet(f"{d}/t")
+        old = expired_partitions(spark, f"{d}/t", keep_days=12)
+        assert old == ["2024-01-01", "2024-01-05"]
+        assert expired_partitions(spark, f"{d}/t", keep_days=30) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
