@@ -142,26 +142,30 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x2b_ngram_jaccard")
 def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .._shingle import _grams_expr, _parallelize
+
     docs = load(spark, sf_dir, "documents")
     cand = minhash_candidates(docs).where(F.col("est_jaccard") >= 0.3)
-    sh = shingles_df(docs)  # (doc_id, shingle) distinct
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # Candidates are few (bucket collisions only): join them back to the
+    # per-doc shingle ARRAYS and score with array_intersect/array_union -
+    # no shingle explode anywhere; the exact scoring is per-pair array
+    # math over a join that is linear in the candidate count.
+    grams = _parallelize(docs).select(
+        "doc_id", F.array_distinct(_grams_expr()).alias("grams")
     )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        cand.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb")),
+                4,
             ).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")

@@ -491,6 +491,94 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q14b/Q14c — CUBE and explicit GROUPING SETS (complete the grouping-set
+# family; Q14 covers ROLLUP).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY 3, 4, 1, 2
+    """,
+)
+def q14b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n")
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q14c_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY 3, 4, 1, 2
+    """,
+)
+def q14c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY 3, 4, 1, 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12e/Q12f — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL),
+# completing the set-operation family.
+# ---------------------------------------------------------------------------
+
+
+@query("q12_intersect_all", oracle=_SET_SQL.format(op="INTERSECT ALL"))
+def q12_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _set_sides(spark, sf_dir)
+    return c.intersectAll(s).orderBy("nkey")
+
+
+@query("q12_except_all", oracle=_SET_SQL.format(op="EXCEPT ALL"))
+def q12_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _set_sides(spark, sf_dir)
+    return c.exceptAll(s).orderBy("nkey")
+
+
+# ---------------------------------------------------------------------------
+# Q26 — sampling (TABLESAMPLE). Row membership is partition-layout
+# dependent, so no value oracle — the tolerance test bounds the fraction.
+# ---------------------------------------------------------------------------
+
+
+@query("q26_sample")
+def q26_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # Q15 — correlated scalar subquery (Catalyst decorrelates to an aggregate
 # + join). The comparison is decimal-exact (price·count > exact sum) so
 # both engines see identical tie behavior regardless of plan shape.

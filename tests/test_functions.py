@@ -193,3 +193,14 @@ def test_r6b_approx_close_to_exact(spark, sf_dir):
         a95, a99 = approx[et]
         assert abs(a95 - p95) <= max(0.02 * abs(p95), 0.5), (et, p95, a95)
         assert abs(a99 - p99) <= max(0.02 * abs(p99), 0.5), (et, p99, a99)
+
+
+def test_q26_sample_fraction_bounds(spark, sf_dir):
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+
+    total = load(spark, sf_dir, "orders").count()
+    n = engine.QUERIES["q26_sample"](spark, sf_dir).count()
+    assert 0.05 * total <= n <= 0.15 * total, (n, total)
+    # seeded: deterministic across runs in one session
+    assert n == engine.QUERIES["q26_sample"](spark, sf_dir).count()
