@@ -67,6 +67,28 @@ def read_event_stream(
     return reader.load(path).withColumnRenamed("value", "raw")
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str = "events.v1",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka twin of the file source (O1: EventAggregationJob.java:59-65 —
+    subscribe events.v1, value-only, latest offsets). Produces the same
+    `raw` column as read_event_stream, so parse_events and everything
+    downstream is shared. Requires the spark-sql-kafka connector on the
+    classpath (not present in this test container — exercised via the
+    file twin)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").cast("string").alias("raw"))
+    )
+
+
 def parse_events(raw: DataFrame, require_positive_metric: bool = False) -> DataFrame:
     """JSON parse + flatten + validity filter + event-time watermark
     (O9/O10/O2/O12). Bad rows → null json → dropped, like the Flink
