@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -142,3 +143,67 @@ def x4b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return extract_media_features(with_payload).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample: the remaining media ops. Like decode, the pixel
+# work is stubbed (no media libs in this container); the Spark plumbing —
+# Arrow batching, schema, deterministic sampling — is real.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(with_payload: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """'Resize' payloads to a fixed target: the stub truncates/pads the
+    byte stream to width*height bytes deterministically — the real
+    implementation swaps in a decode→resample→encode inside the same
+    batch loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in it:
+            out = [bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def frame_sample(with_payload: DataFrame, every_k: int = 4, frame_bytes: int = 256) -> DataFrame:
+    """Split each payload into fixed-size 'frames' and keep every k-th —
+    the video frame-sampling access pattern. Output one row per kept
+    frame (doc_id, frame_no, frame payload)."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("frame", RESIZED_SCHEMA["payload"].dataType),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(p) // frame_bytes)
+                for f in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    nos.append(f)
+                    frames.append(bytes(p[f * frame_bytes : (f + 1) * frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return with_payload.mapInPandas(batches, out_schema)

@@ -157,6 +157,41 @@ def lsh_tables(emb: DataFrame) -> DataFrame:
     )
 
 
+@query("x2d_embedding_near_dup")
+def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup method):
+    LSH-bucket candidates (any shared table bucket), exact cosine on
+    candidates only, keep pairs with cos ≥ 0.95. Never all-pairs — the
+    same bucket-join shape as the text near-dup ops."""
+    tabled = lsh_tables(with_norm(load(spark, sf_dir, "embeddings")))
+    a = tabled.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "table",
+        "bucket",
+    )
+    b = tabled.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "table",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+        .distinct()
+    )
+    cos = F.expr(_dot("emb_a", "emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.select("vec_a", "vec_b", round2(cos).alias("cos"))
+        .where(F.col("cos") >= 0.95)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @query("x3b_ann_lsh")
 def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -174,6 +209,75 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
         .distinct()  # de-dup vectors found in several tables
+    )
+    cos = (F.expr(_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+        "cos"
+    )
+    scored = cand.select("qid", F.col("vec_id").alias("cid"), cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3c — IVF ANN: k-means coarse quantizer (pyspark.ml, fixed seed) splits
+# the corpus into nlist cells; each query probes its nprobe nearest
+# centroids and scores cosine only within those cells. The index build is
+# one ML fit (a few passes over the corpus); search cost is
+# corpus×nprobe/nlist per query. The classic alternative to x3b's LSH.
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ivf_assignments(emb: DataFrame):
+    """Fit the coarse quantizer and return (assigned_df, centers)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = emb.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=IVF_NLIST, seed=42, maxIter=10).fit(vec)
+    assigned = model.transform(vec).select(
+        "vec_id", "embedding", "nrm", F.col("prediction").alias("cell")
+    )
+    return assigned, model.clusterCenters()
+
+
+@query("x3c_ann_ivf")
+def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    assigned, centers = ivf_assignments(emb)
+
+    # nprobe nearest cells per query vector — centers are tiny (nlist×dim),
+    # so this is driver-side numpy over the collected probe vectors only.
+    import numpy as np
+
+    qrows = assigned.where(F.col("vec_id") < N_QUERIES).collect()
+    cmat = np.array([c.toArray() if hasattr(c, "toArray") else c for c in centers])
+    probe_rows = []
+    for r in qrows:
+        q = np.array(r["embedding"], dtype=np.float64)
+        d = ((cmat - q) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:IVF_NPROBE]:
+            probe_rows.append((r["vec_id"], int(cell)))
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), ["cell"])
+        .join(F.broadcast(q), ["qid"])
+        .where(F.col("vec_id") != F.col("qid"))
     )
     cos = (F.expr(_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
         "cos"

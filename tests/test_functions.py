@@ -204,3 +204,63 @@ def test_q26_sample_fraction_bounds(spark, sf_dir):
     assert 0.05 * total <= n <= 0.15 * total, (n, total)
     # seeded: deterministic across runs in one session
     assert n == engine.QUERIES["q26_sample"](spark, sf_dir).count()
+
+
+def test_x2d_embedding_near_dup_finds_planted(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        lsh_tables as _lsh,
+        with_norm as _wn,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    dups = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(dups)
+    tabled = _lsh(_wn(planted))
+    a = tabled.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    b = tabled.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .collect()
+    }
+    # identical vectors share every bucket in every table → always candidates
+    truth = {(i, i + 100000) for i in range(5)}
+    assert truth <= pairs, truth - pairs
+    # and the registered query (on the raw table) runs with sane output
+    out = engine.QUERIES["x2d_embedding_near_dup"](spark, SF_DIR).collect()
+    assert all(r["cos"] >= 0.95 for r in out)
+
+
+def test_x3c_ivf_recall_vs_brute(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    brute = engine.QUERIES["x3_cosine_topk"](spark, SF_DIR).collect()
+    ivf = engine.QUERIES["x3c_ann_ivf"](spark, SF_DIR).collect()
+    b, v = {}, {}
+    for r in brute:
+        b.setdefault(r["qid"], set()).add(r["cid"])
+    for r in ivf:
+        v.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [len(v.get(q, set()) & cids) / len(cids) for q, cids in b.items()]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        frame_sample,
+        resize_media,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    resized = resize_media(payloads, width=16, height=16).collect()
+    assert all(len(r["payload"]) == 256 for r in resized)
+    frames = frame_sample(payloads, every_k=2, frame_bytes=64).collect()
+    assert frames and all(r["frame_no"] % 2 == 0 for r in frames)
+    assert all(len(r["frame"]) <= 64 for r in frames)
