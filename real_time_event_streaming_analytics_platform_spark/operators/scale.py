@@ -1,0 +1,86 @@
+"""Scale toolkit: the partitioning/skew/bucketing techniques the 100 TB
+deployment relies on, as reusable operators with plan-checkable effects.
+
+- Date-partitioned event storage: the Spark analogue of the reference's
+  TimescaleDB hypertable chunking (01-init-timescaledb.sql:17,38) — time
+  predicates become partition pruning (PartitionFilters in the scan).
+- Salted aggregation: two-phase groupBy for skewed keys — phase 1
+  aggregates (key, salt) partials across SALT_BUCKETS× more tasks, phase
+  2 merges per key. Identical results to a plain groupBy; the skewed
+  key's work is spread instead of landing on one task. (AQE's skew-join
+  handles JOIN skew; aggregation skew needs this.)
+- Bucketed tables: pre-shuffling both sides of a recurring join key at
+  write time (saveAsTable with bucketBy) removes the Exchange from every
+  subsequent join on that key.
+
+tests/test_scale.py asserts the plan-level effects at small SF — the
+same plans, scaled, are the 100 TB behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_BUCKETS = 16
+
+
+def write_events_partitioned(events: DataFrame, path: str) -> None:
+    """Persist events partitioned by event_date (hypertable-chunk twin)."""
+    (
+        events.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def read_events_range(spark: SparkSession, path: str, start: str, end: str) -> DataFrame:
+    """Time-range read that prunes partitions: the date predicate is on
+    the partition column, so non-matching date directories are never
+    listed, let alone scanned."""
+    return spark.read.parquet(path).where(
+        (F.col("event_date") >= start) & (F.col("event_date") <= end)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys, for the decomposable aggs
+    {sum, count, min, max}. agg_exprs maps output column → "fn(col)".
+
+    Phase 1 groups by (key, salt) — the hot key's rows split across
+    SALT_BUCKETS tasks; phase 2 merges the partials per key (sum of
+    sums/counts, min of mins, max of maxes). Result equals the plain
+    groupBy exactly for these aggregates (integer/decimal accumulation
+    recommended for float determinism, as elsewhere).
+    """
+    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_aggs, phase2_aggs = [], []
+    for out, expr in agg_exprs.items():
+        fn, _, col = expr.partition("(")
+        fn = fn.strip().lower()
+        col = col.rstrip(")").strip()
+        if fn not in mergers:
+            raise ValueError(f"{fn!r} is not decomposable; use sum/count/min/max")
+        part = F.count("*") if fn == "count" else getattr(F, fn)(col)
+        phase1_aggs.append(part.alias(f"_p_{out}"))
+        phase2_aggs.append(mergers[fn](f"_p_{out}").alias(out))
+    salt: Column = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(SALT_BUCKETS))
+    phase1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*phase1_aggs)
+    return phase1.groupBy(key).agg(*phase2_aggs)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8) -> None:
+    """Materialize a table bucketed (and sorted) on the join key; joins
+    between two tables bucketed the same way need no Exchange."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

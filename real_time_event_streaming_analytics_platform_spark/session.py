@@ -53,6 +53,14 @@ class SessionFactory:
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
             .config("spark.ui.enabled", "false")
+            # saveAsTable target (bucketed tables); static conf, so it must
+            # be set at session build — keep it out of the repo tree
+            .config(
+                "spark.sql.warehouse.dir",
+                os.environ.get(
+                    "SPARK_GRAFT_WAREHOUSE", f"/tmp/sgr-warehouse-{os.getpid()}"
+                ),
+            )
         )
         return b
 

@@ -1,0 +1,89 @@
+"""Plan-level scale checks: partition pruning reaches the scan, salted
+aggregation equals the plain aggregation, bucketed joins drop the
+Exchange."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.catalog import load
+from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+    read_events_range,
+    salted_agg,
+    write_bucketed,
+    write_events_partitioned,
+)
+
+from .conftest import SF_DIR
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgr-scale-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partition_pruning_reaches_scan(spark, tmpdir):
+    events = load(spark, SF_DIR, "events")
+    write_events_partitioned(events, f"{tmpdir}/ev")
+    ranged = read_events_range(spark, f"{tmpdir}/ev", "2024-01-05", "2024-01-10")
+    plan = _formatted_plan(ranged)
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the data honors the range
+    dates = {str(r["event_date"]) for r in ranged.select("event_date").distinct().collect()}
+    assert dates and all("2024-01-05" <= d <= "2024-01-10" for d in dates)
+    # equivalence with the unpartitioned time filter
+    expect = events.where(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-11")
+    ).count()
+    assert ranged.count() == expect
+
+
+def test_salted_agg_equals_plain(spark):
+    events = load(spark, SF_DIR, "events")
+    plain = {
+        (r["event_type"]): (r["n"], r["mx"])
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"]): (r["n"], r["mx"])
+        for r in salted_agg(
+            events, "event_type", {"n": "count(*)", "mx": "max(value)"}
+        ).collect()
+    }
+    assert salted == plain
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_agg(events, "event_type", {"a": "avg(value)"})
+
+
+def test_bucketed_join_has_no_exchange(spark, tmpdir):
+    # warehouse dir is a static conf, set by SessionFactory (under /tmp)
+    orders = load(spark, SF_DIR, "orders")
+    customer = load(spark, SF_DIR, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "k"), "orders_b", "k")
+    write_bucketed(customer.withColumnRenamed("c_custkey", "k"), "customer_b", "k")
+    joined = spark.table("orders_b").join(spark.table("customer_b"), "k")
+    # disable broadcast so the join strategy decision is about bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    # result correctness vs plain join
+    assert joined.count() == orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
