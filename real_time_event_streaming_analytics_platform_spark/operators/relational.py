@@ -579,6 +579,112 @@ def q26_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q27 — PIVOT: order counts per status spread across priority columns.
+# The oracle uses the portable conditional-aggregation form (what PIVOT
+# desugars to), so both engines compute identical CASE/COUNT aggregates.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q27_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    for old, new in renames.items():
+        pivoted = pivoted.withColumnRenamed(old, new)
+    # pivot leaves NULL for absent combos; the CASE form yields 0
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Q28 — UNPIVOT/melt: wide per-part price+size back to tall (attr, val).
+# Oracle is the portable UNION ALL desugaring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_unpivot",
+    oracle="""
+    SELECT p_partkey, attr, val FROM (
+        SELECT p_partkey, 'retail' AS attr, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    ) ORDER BY p_partkey, attr
+    """,
+)
+def q28_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retail"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retail", "size"], "attr", "val")
+        .orderBy("p_partkey", "attr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9b — the remaining analytic window functions: ntile, percent_rank,
+# cume_dist, first/nth value over a frame. percent_rank/cume_dist are
+# exact rationals of row positions — identical doubles cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09b_analytic_funcs",
+    oracle=f"""
+    SELECT c_nationkey, c_custkey,
+           NTILE(4) OVER w_total AS quartile,
+           {sql_round2('PERCENT_RANK() OVER w_total')} AS prank,
+           {sql_round2('CUME_DIST() OVER w_total')} AS cdist,
+           FIRST_VALUE(c_custkey) OVER w_total AS richest,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS second_richest
+    FROM customer
+    WINDOW w_total AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q09b_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        round2(F.percent_rank().over(w)).alias("prank"),
+        round2(F.cume_dist().over(w)).alias("cdist"),
+        F.first("c_custkey").over(wf).alias("richest"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_richest"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
 # Q15 — correlated scalar subquery (Catalyst decorrelates to an aggregate
 # + join). The comparison is decimal-exact (price·count > exact sum) so
 # both engines see identical tie behavior regardless of plan shape.

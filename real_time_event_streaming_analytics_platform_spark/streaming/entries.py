@@ -159,6 +159,43 @@ def session_counts(parsed: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by event time: each left row
+    matches right rows with the same key whose ts lies in
+    [left.ts - within, left.ts]. Both sides carry watermarks, so the
+    join state is evicted once the bound passes — the Structured
+    Streaming interval-join pattern (SURVEY.md §2b joins row)."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond)
+
+
+def dedup_within_watermark(parsed: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key only as long as the
+    watermark allows a duplicate to still arrive — the streaming twin of
+    the batch keep-first (Q24)."""
+    return parsed.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,

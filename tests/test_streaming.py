@@ -219,3 +219,49 @@ def test_s7_session_windows_match_batch_sessionization(spark, tmpdir):
     }
     got = {(r["user_id"], r["session_start"], r["n"]) for r in emitted}
     assert got == closed, (len(got), len(closed))
+
+
+def test_s8_stream_stream_interval_join(spark, tmpdir):
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import interval_join
+
+    events = generate_events(400, seed=61, interval_ms=1000)
+    write_jsonl(events, f"{tmpdir}/in", n_files=2)
+    left = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    right = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    joined = interval_join(left, right, key="user_id", within="2 minutes")
+    got = run_available_now(joined, f"{tmpdir}/ck", output_mode="append", name="s8").collect()
+
+    batch = _read_batch(spark, f"{tmpdir}/in")
+    l = batch.select(
+        F.col("user_id").alias("l_key"), F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    r = batch.select(
+        F.col("user_id").alias("r_key"), F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts")
+    )
+    expect = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).collect()
+    key = lambda rows: sorted((x["l_event_id"], x["r_event_id"]) for x in rows)
+    assert key(got) == key(expect)
+    assert got, "interval join produced no pairs"
+
+
+def test_s9_streaming_dedup_within_watermark(spark, tmpdir):
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        dedup_within_watermark,
+    )
+
+    events = generate_events(150, seed=71, interval_ms=500)
+    dupes = events[:30]  # replay the first 30 events (same event_ids)
+    write_jsonl(events, f"{tmpdir}/in", prefix="a")
+    write_jsonl(dupes, f"{tmpdir}/in", prefix="b")
+    stream = parse_events(read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1))
+    out = run_available_now(
+        dedup_within_watermark(stream), f"{tmpdir}/ck", output_mode="append", name="s9"
+    ).collect()
+    ids = [r["event_id"] for r in out]
+    assert len(ids) == 150, len(ids)  # duplicates suppressed
+    assert len(set(ids)) == 150
