@@ -87,3 +87,31 @@ def test_bucketed_join_has_no_exchange(spark, tmpdir):
     assert joined.count() == orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).count()
+
+
+def test_round2_quant6_cross_engine_property(spark):
+    """The determinism scheme's core claim: floor(x*s+0.5)/s evaluates
+    bitwise-identically in Spark and DuckDB for any finite double —
+    checked over a seeded random sample spanning magnitudes."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    xs = (
+        [rng.uniform(-1e6, 1e6) for _ in range(4000)]
+        + [rng.gauss(0, 1e-3) for _ in range(2000)]
+        + [rng.uniform(-5, 5) for _ in range(4000)]
+    )
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    spark_rows = df.selectExpr(
+        "floor(x * 100 + 0.5) / 100 AS r2",
+        "floor(x * 1000000 + 0.5) / 1000000 AS q6",
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    duck_rows = con.execute(
+        "SELECT floor(x * 100 + 0.5) / 100, floor(x * 1000000 + 0.5) / 1000000 FROM t"
+    ).fetchall()
+    assert sorted((r["r2"], r["q6"]) for r in spark_rows) == sorted(duck_rows)

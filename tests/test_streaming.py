@@ -265,3 +265,17 @@ def test_s9_streaming_dedup_within_watermark(spark, tmpdir):
     ids = [r["event_id"] for r in out]
     assert len(ids) == 150, len(ids)  # duplicates suppressed
     assert len(set(ids)) == 150
+
+
+def test_corrupt_lines_dropped_at_parse(spark, tmpdir):
+    import os
+
+    events = generate_events(50, seed=91)
+    write_jsonl(events, f"{tmpdir}/in", prefix="a")
+    with open(f"{tmpdir}/in/zz-corrupt.jsonl", "w") as fh:
+        fh.write('{not json}\nnull\n\n{"event_id": null}\n{"event_id": "x"}\n')
+    os.utime(f"{tmpdir}/in/zz-corrupt.jsonl", (1600090000, 1600090000))
+    stream = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    out = run_available_now(stream, f"{tmpdir}/ck", "append", "corrupt").collect()
+    # the {"event_id": "x"} row parses but has no metric -> dropped too
+    assert len(out) == 50
