@@ -279,3 +279,57 @@ def test_corrupt_lines_dropped_at_parse(spark, tmpdir):
     out = run_available_now(stream, f"{tmpdir}/ck", "append", "corrupt").collect()
     # the {"event_id": "x"} row parses but has no metric -> dropped too
     assert len(out) == 50
+
+
+def test_s10_full_alert_pipeline_end_to_end(spark, tmpdir):
+    """The complete reference dataflow (README.md:21-31): events →
+    stateful anomaly scoring → rule matching (stream-static broadcast
+    join) → cooldown dedup → notifications, as two chained streaming
+    queries with a table boundary (the alerts.v1 topic analogue)."""
+    from real_time_event_streaming_analytics_platform_spark.serving.rules import (
+        make_rules,
+        match_rules,
+    )
+
+    events = generate_events(1000, seed=101, interval_ms=400, outlier_rate=0.15)
+    write_jsonl(events, f"{tmpdir}/in", n_files=2)
+
+    # stage 1: anomaly job → alerts table
+    parsed = parse_events(
+        read_event_stream(spark, f"{tmpdir}/in"), require_positive_metric=True
+    )
+    run_to_parquet(
+        anomaly_stream(parsed).where(F.col("is_anomaly")), f"{tmpdir}/alerts", f"{tmpdir}/ck1"
+    )
+    n_alerts = spark.read.parquet(f"{tmpdir}/alerts").count()
+    assert n_alerts > 0
+
+    # stage 2: alert service — rule match (stream-static join) + cooldown
+    rules = make_rules(spark, [("crit-any", True, [], "critical")])
+    alert_stream = (
+        spark.readStream.schema(spark.read.parquet(f"{tmpdir}/alerts").schema)
+        .parquet(f"{tmpdir}/alerts")
+    )
+    matched = match_rules(
+        alert_stream.select("event_id", "source", "severity", "ts"), rules
+    )
+    notified = run_available_now(
+        cooldown_stream(matched.select("source", "severity", "event_id", "ts")),
+        f"{tmpdir}/ck2",
+        output_mode="append",
+        name="s10",
+    ).collect()
+
+    crit = spark.read.parquet(f"{tmpdir}/alerts").where(F.col("severity") == "critical")
+    assert crit.count() > 0
+    assert notified, "no notifications through the full pipeline"
+    # every notification is a critical alert that matched the rule
+    crit_ids = {r["event_id"] for r in crit.collect()}
+    assert all(r["event_id"] in crit_ids for r in notified)
+    # cooldown enforced per key
+    by_key = {}
+    for r in sorted(notified, key=lambda r: r["ts"]):
+        by_key.setdefault((r["source"], r["severity"]), []).append(r["ts"])
+    for key, times in by_key.items():
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
