@@ -35,14 +35,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.QUERIES["r3_series_minute"](spark, "/root/testdata/sf0.001")
 
 
+# The driver records correctness rows for the FIRST 50 queries() entries
+# only. 59 queries have oracles, so 9 must yield their slot: variants whose
+# base form already holds a green CORRECTNESS_r02 row (set-op bag variants,
+# cube/grouping-sets next to rollup, q09b next to q09, q20b next to q20).
+# They remain fully registered and oracle-checked locally
+# (tests/test_oracle_queries.py covers every oracle pair); only the
+# driver-row slot is prioritized for the LLM-pipeline operators
+# (dedup/text/similarity/multimodal, q21-q23) the brief names first-class.
+_DEMOTED = [
+    "q12_union_all",
+    "q12_intersect",
+    "q12_except",
+    "q12_intersect_all",
+    "q12_except_all",
+    "q14b_cube",
+    "q14c_grouping_sets",
+    "q09b_analytic_funcs",
+    "q20b_date_diff_buckets",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame; every
     computed column is aliased identically in the Spark plan and the
     oracle SQL. Builders call ``ensure_utc`` via ``catalog.load``.
+
+    Ordering: oracle-backed queries first (registration order, minus the
+    explicitly demoted variants), then the demoted oracle-backed
+    variants, then rows-only queries — so the driver's 50-row
+    correctness window lands on 50 distinct oracle-checkable operators.
     """
-    return dict(engine.QUERIES)
+    keys = list(engine.QUERIES)
+    priority = [k for k in keys if k in engine.ORACLE and k not in _DEMOTED]
+    demoted = [k for k in keys if k in _DEMOTED]
+    rows_only = [k for k in keys if k not in engine.ORACLE]
+    ordered = priority + demoted + rows_only
+    assert sorted(ordered) == sorted(keys)
+    return {k: engine.QUERIES[k] for k in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

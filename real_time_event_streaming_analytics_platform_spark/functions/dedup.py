@@ -91,7 +91,7 @@ def d1_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16 bands of 4 → explode band keys → self-join on (band, band_hash) with
 # doc_a < doc_b → distinct candidate pairs → estimated Jaccard = fraction
 # of agreeing signature components. No oracle (DuckDB lacks xxhash64);
-# correctness via planted-duplicate recall tests (tests/test_dedup.py).
+# correctness via planted-duplicate recall tests (tests/test_functions.py).
 # ---------------------------------------------------------------------------
 
 

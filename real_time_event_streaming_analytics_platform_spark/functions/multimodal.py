@@ -10,7 +10,7 @@ The decode step itself is STUBBED (no image/audio libraries in this
 container): `decode_image` raises NotImplementedError unless
 `fake=True`, in which case it derives deterministic pseudo-features from
 the payload bytes. The Spark-side plumbing — schema, batch iteration, UDF
-signature, partitioning — is real and tested (tests/test_multimodal.py).
+signature, partitioning — is real and tested (tests/test_functions.py).
 
 x4 (oracle): binary round-trip — encode text→bytes, measure and hash
 JVM-side. Proves BinaryType flows through scan/shuffle/compare.
@@ -99,17 +99,21 @@ def decode_image(payload: bytes, fake: bool = False) -> dict[str, Any]:
             "media decoding requires an image/audio library not available here; "
             "pass fake=True for the deterministic stub"
         )
+    import numpy as np
+
     n = len(payload)
-    # deterministic pseudo-features: normalized byte-value histogram buckets
-    hist = [0] * FEATURE_DIM
-    for byte in payload:
-        hist[byte % FEATURE_DIM] += 1
+    # deterministic pseudo-features: normalized byte-value histogram buckets,
+    # vectorized — np.bincount over the raw byte buffer, never a Python
+    # per-byte loop (the payloads dominate the batch's CPU time).
+    hist = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) % FEATURE_DIM, minlength=FEATURE_DIM
+    )
     total = max(n, 1)
     return {
         "width": (n % 640) + 1,
         "height": (n % 480) + 1,
         "n_frames": 1,
-        "feature": [h / total for h in hist],
+        "feature": (hist / total).tolist(),
     }
 
 

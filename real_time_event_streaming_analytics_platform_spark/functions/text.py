@@ -227,7 +227,7 @@ def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # T4 — document fingerprint: min/max/xor-fold of xxhash64 over word
 # 4-grams (a winnowing-style rolling hash). xxhash64 has no DuckDB twin →
-# registered rows-only; determinism asserted in tests/test_text.py.
+# registered rows-only; determinism asserted in tests/test_functions.py.
 # ---------------------------------------------------------------------------
 
 

@@ -260,7 +260,7 @@ def q07_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q8 — broadcast join of two small dims. The hint is explicit; the plan
-# must show BroadcastHashJoin (asserted in tests/test_plans.py).
+# must show BroadcastHashJoin (asserted in tests/test_scale.py).
 # ---------------------------------------------------------------------------
 
 

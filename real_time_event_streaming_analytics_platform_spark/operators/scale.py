@@ -66,7 +66,12 @@ def salted_agg(
         col = col.rstrip(")").strip()
         if fn not in mergers:
             raise ValueError(f"{fn!r} is not decomposable; use sum/count/min/max")
-        part = F.count("*") if fn == "count" else getattr(F, fn)(col)
+        # count(*) counts rows; count(col) must skip NULLs to match the
+        # plain groupBy exactly — only rewrite the star/1 forms.
+        if fn == "count":
+            part = F.count("*") if col in ("*", "1", "") else F.count(col)
+        else:
+            part = getattr(F, fn)(col)
         phase1_aggs.append(part.alias(f"_p_{out}"))
         phase2_aggs.append(mergers[fn](f"_p_{out}").alias(out))
     salt: Column = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(SALT_BUCKETS))

@@ -39,28 +39,45 @@ def _anchored(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def hot_anchor(hot: DataFrame, ts_col: str = "window_start"):
+    """Compute the hot table's max(ts) ONCE per refresh (one tiny job).
+
+    A serving process refreshes the hot table per micro-batch but reads
+    it many times; recomputing the anchor inside every /kpi plan adds an
+    aggregate + broadcast join per request. Pass the returned value to
+    ``kpi(anchor=...)`` so steady-state reads are a filter + top-N only.
+    """
+    row = hot.agg(F.max(ts_col).alias("a")).first()
+    return row["a"] if row else None
+
+
 def kpi(
     hot: DataFrame,
     source: str | None = None,
     window: str = "1m",
     limit: int = 100,
     ttl_seconds: int = 3600,
+    anchor=None,
 ) -> DataFrame:
     """Latest hot aggregates, newest first. The Redis TTL becomes a
-    read-time predicate against the data's own max window_start."""
+    read-time predicate against the data's own max window_start.
+
+    ``anchor``: optional pre-computed max(window_start) (see
+    ``hot_anchor``); when omitted the anchor is derived in-plan via a
+    broadcast scalar join (correct but one extra aggregate per read).
+    """
     parse_window(window)
     df = hot.where(F.col("window") == window)
     if source is not None:
         df = df.where(F.col("source") == source)
-    df = _anchored(df, "window_start").where(
-        F.col("window_start")
-        >= F.col("_anchor") - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
-    )
-    return (
-        df.drop("_anchor")
-        .orderBy(F.col("window_start").desc(), "source")
-        .limit(limit)
-    )
+    ttl = F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+    if anchor is not None:
+        df = df.where(F.col("window_start") >= F.lit(anchor) - ttl)
+    else:
+        df = _anchored(df, "window_start").where(
+            F.col("window_start") >= F.col("_anchor") - ttl
+        ).drop("_anchor")
+    return df.orderBy(F.col("window_start").desc(), "source").limit(limit)
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +92,18 @@ _SERIES_AGGS = {
 }
 
 
+# Minute-rollup column per agg — the metrics_1min shape produced by
+# streaming.entries.sliding_aggregates (and the reference's continuous
+# aggregate, 01-init-timescaledb.sql). p95 maps to the approx sketch the
+# rollup carries; exact percentiles require the raw path.
+_ROLLUP_COLS = {
+    "avg": "avg_metric",
+    "sum": "sum_metric",
+    "count": "count_events",
+    "p95": "p95_metric",
+}
+
+
 def series(
     events: DataFrame,
     start=None,
@@ -82,10 +111,36 @@ def series(
     source: str | None = None,
     agg: str = "avg",
     bucket: str = "minute",
+    rollup: DataFrame | None = None,
 ) -> DataFrame:
-    """(source, bucket, value) series — the agg map mirrors main.py:307-314."""
+    """(source, bucket, value) series — the agg map mirrors main.py:307-314.
+
+    ``rollup``: optional pre-aggregated minute table keyed
+    (source, window_start) — the metrics_1min analogue the streaming job
+    maintains (the reference serves /series from its continuous
+    aggregate the same way, main.py:293-299). Minute-bucket requests
+    whose agg the rollup carries read it directly — no re-aggregation of
+    raw events per request; anything else falls back to the raw path.
+    """
     if agg not in _SERIES_AGGS:
         raise ValueError(f"unsupported agg {agg!r}; one of {sorted(_SERIES_AGGS)}")
+    if (
+        rollup is not None
+        and bucket == "minute"
+        and _ROLLUP_COLS.get(agg) in rollup.columns
+    ):
+        df = rollup
+        if start is not None:
+            df = df.where(F.col("window_start") >= F.lit(start))
+        if end is not None:
+            df = df.where(F.col("window_start") <= F.lit(end))
+        if source is not None:
+            df = df.where(F.col("source") == source)
+        return df.select(
+            "source",
+            F.col("window_start").alias("bucket"),
+            F.col(_ROLLUP_COLS[agg]).cast("double").alias("value"),
+        ).orderBy("source", "bucket")
     df = events
     if start is not None:
         df = df.where(F.col("ts") >= F.lit(start))

@@ -36,10 +36,15 @@ def make_rules(spark, rows: list[tuple]) -> DataFrame:
 
 def match_rules(alerts: DataFrame, rules: DataFrame) -> DataFrame:
     """(alert columns…, rule_id) for every (alert, rule) match."""
+    # A NULL sources list means match-all, like an empty one (the
+    # reference's `not rule.sources`, alert-service main.py:182) —
+    # size(NULL) is NULL, so test isNull explicitly or the predicate
+    # silently drops the rule.
     cond = (
         F.col("enabled")
         & (
-            (F.size("sources") == 0)
+            F.col("sources").isNull()
+            | (F.size("sources") == 0)
             | F.expr("array_contains(sources, source)")
         )
         & (F.col("severity") == F.col("severity_threshold"))

@@ -115,3 +115,25 @@ def test_round2_quant6_cross_engine_property(spark):
         "SELECT floor(x * 100 + 0.5) / 100, floor(x * 1000000 + 0.5) / 1000000 FROM t"
     ).fetchall()
     assert sorted((r["r2"], r["q6"]) for r in spark_rows) == sorted(duck_rows)
+
+def test_q08_plan_is_broadcast_hash_join(spark):
+    """The explicit broadcast hint must survive to the physical plan —
+    a q08 that sort-merge-joins two dims would shuffle both sides."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    plan = _formatted_plan(engine.QUERIES["q08_broadcast_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_count_named_column_skips_nulls(spark):
+    """count(col) must skip NULLs exactly like the plain groupBy —
+    only count(*) counts rows."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], "k string, v int"
+    )
+    salted = {
+        r["k"]: (r["n_v"], r["n_rows"])
+        for r in salted_agg(df, "k", {"n_v": "count(v)", "n_rows": "count(*)"}).collect()
+    }
+    assert salted == {"a": (2, 3), "b": (0, 1)}

@@ -13,6 +13,7 @@ from real_time_event_streaming_analytics_platform_spark.catalog import load
 from real_time_event_streaming_analytics_platform_spark.serving import (
     active_alert_counts,
     alerts,
+    hot_anchor,
     hot_store_writer,
     kpi,
     parse_window,
@@ -154,3 +155,34 @@ def test_hot_store_upsert_and_kpi(spark):
         assert bad == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def test_series_rollup_path_matches_raw(spark, events):
+    """Minute-bucket /series served from the pre-aggregated rollup must
+    equal the raw-events aggregation; aggs the rollup lacks fall back."""
+    hot = events.groupBy(
+        "source", F.date_trunc("minute", "ts").alias("window_start")
+    ).agg(F.count("*").alias("count_events"), F.avg("metric").alias("avg_metric"))
+    for agg in ("avg", "count"):
+        got = sorted(map(tuple, series(events, agg=agg, rollup=hot).collect()))
+        raw = sorted(map(tuple, series(events, agg=agg).collect()))
+        assert got == raw
+    # p95 column absent from this rollup -> raw fallback, same result
+    got = sorted(map(tuple, series(events, agg="p95", rollup=hot).collect()))
+    raw = sorted(map(tuple, series(events, agg="p95").collect()))
+    assert got == raw
+    # non-minute buckets never touch the rollup
+    got = sorted(map(tuple, series(events, agg="avg", bucket="hour", rollup=hot).collect()))
+    raw = sorted(map(tuple, series(events, agg="avg", bucket="hour").collect()))
+    assert got == raw
+
+
+def test_kpi_precomputed_anchor_equivalent(spark, events):
+    """kpi(anchor=hot_anchor(hot)) must equal the in-plan anchored form."""
+    hot = (
+        events.groupBy("source", F.date_trunc("minute", "ts").alias("window_start"))
+        .agg(F.count("*").alias("count_events"))
+        .withColumn("window", F.lit("1m"))
+    )
+    anchored = kpi(hot, window="1m", limit=50).collect()
+    cached = kpi(hot, window="1m", limit=50, anchor=hot_anchor(hot)).collect()
+    assert sorted(map(tuple, anchored)) == sorted(map(tuple, cached))

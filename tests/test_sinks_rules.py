@@ -94,3 +94,13 @@ def test_expired_partitions(spark):
         assert expired_partitions(spark, f"{d}/t", keep_days=30) == []
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def test_rule_matching_null_sources_matches_all(spark):
+    """A NULL sources list means match-all like an empty one (the
+    reference treats missing and [] the same, main.py:182)."""
+    alerts = spark.createDataFrame(
+        [("e1", "web", "critical")], "event_id string, source string, severity string"
+    )
+    rules = make_rules(spark, [("r-null-crit", True, None, "critical")])
+    got = {(r["event_id"], r["rule_id"]) for r in match_rules(alerts, rules).collect()}
+    assert got == {("e1", "r-null-crit")}

@@ -333,3 +333,24 @@ def test_s10_full_alert_pipeline_end_to_end(spark, tmpdir):
     for key, times in by_key.items():
         for a, b in zip(times, times[1:]):
             assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
+
+def test_kafka_source_plan_constructs_or_connector_absent(spark):
+    """O1 transport: read_kafka_stream must build an analyzable plan when
+    the spark-sql-kafka connector is on the classpath. This container
+    ships without it, so the expected outcome here is the explicit
+    'Failed to find data source: kafka' — anything else is a real bug in
+    the builder. All parse/watermark/window logic downstream of the
+    source is covered by the file-twin S-tests either way."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        parse_events,
+        read_kafka_stream,
+    )
+
+    try:
+        stream = read_kafka_stream(spark, "localhost:9092", topic="events.v1")
+    except Exception as exc:
+        assert "kafka" in str(exc).lower()
+        pytest.skip(f"spark-sql-kafka connector not on classpath: {type(exc).__name__}")
+    parsed = parse_events(stream)
+    assert parsed.isStreaming
+    assert {"event_id", "source", "ts", "metric"} <= set(parsed.columns)
