@@ -211,8 +211,16 @@ def _bench_slo(spark, sf_dir: str) -> dict:
         out["kpi_p50_sec"] = steady(
             lambda: kpi(hot, window="1m", limit=100, anchor=anchor).collect()
         )
+        # /series requires a bounded from/to range in the reference API
+        # (read-api main.py:296-297) — measure the trailing hour, the
+        # dashboard's request shape, served from the minute rollup.
+        from datetime import timedelta
+
+        t_from, t_to = anchor - timedelta(hours=1), anchor
         out["series_sec"] = steady(
-            lambda: series(events, agg="avg", rollup=hot).collect()
+            lambda: series(
+                events, start=t_from, end=t_to, agg="avg", rollup=hot
+            ).collect()
         )
         scored = events.select(
             "event_id",
