@@ -20,6 +20,7 @@ from .functions import dedup as _dedup  # noqa: F401  north-star dedup
 from .functions import similarity as _similarity  # noqa: F401  ANN
 from .functions import text as _text  # noqa: F401  text analysis
 from .functions import multimodal as _multimodal  # noqa: F401
+from .functions import pipeline as _pipeline  # noqa: F401  corpus assembly
 from .streaming import entries as _streaming_entries  # noqa: F401
 
 __all__ = ["SessionFactory", "get_spark", "QUERIES", "ORACLE"]

@@ -89,3 +89,20 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8) -> Non
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def materialize_json_attr(
+    df: DataFrame, json_col: str, field: str, out_col: str, cast: str | None = None
+) -> DataFrame:
+    """The Spark answer to the reference's GIN index on JSONB attributes
+    (sql/01-init-timescaledb.sql:23): extract the hot JSON path ONCE at
+    write time into a typed top-level column. Readers then filter on the
+    materialized column, which parquet serves with min/max row-group
+    pruning and pushed predicates — a JSON-path predicate can never be
+    pushed below the parse. Write the result partitioned/sorted on the
+    extracted column for partition pruning on top.
+    """
+    col = F.get_json_object(F.col(json_col), f"$.{field}")
+    if cast is not None:
+        col = col.cast(cast)
+    return df.withColumn(out_col, col)

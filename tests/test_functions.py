@@ -264,3 +264,44 @@ def test_multimodal_resize_and_frame_sample(spark):
     frames = frame_sample(payloads, every_k=2, frame_bytes=64).collect()
     assert frames and all(r["frame_no"] % 2 == 0 for r in frames)
     assert all(len(r["frame"]) <= 64 for r in frames)
+
+def test_x2e_groups_resolve_transitive_chains(spark):
+    """A≈B and B≈C must land in ONE group with keeper=min even when A,C
+    never share an LSH bucket directly (transitive resolution)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        connected_components,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") == 0)
+    copy1 = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zzmarkerone")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    copy2 = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzmarkerone zzmarkertwo")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    planted = docs.unionByName(copy1).unionByName(copy2)
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        minhash_candidates as _mc,
+    )
+
+    edges = _mc(planted).where(F.col("est_jaccard") >= 0.5)
+    labels = {r["node"]: r["comp"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
+    assert labels.get(100000) == 0 and labels.get(200000) == 0
+
+
+def test_connected_components_path_graph(spark):
+    """Pure CC check on a known graph: a 4-node path + an isolated edge."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -137,3 +137,23 @@ def test_salted_agg_count_named_column_skips_nulls(spark):
         for r in salted_agg(df, "k", {"n_v": "count(v)", "n_rows": "count(*)"}).collect()
     }
     assert salted == {"a": (2, 3), "b": (0, 1)}
+
+def test_materialized_json_attr_pushes_down(spark, tmpdir):
+    """GIN-analogue: after materializing $.k as a typed column and
+    writing parquet, an equality filter reaches the scan as a
+    PushedFilter; the same predicate through get_json_object cannot."""
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        materialize_json_attr,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    materialize_json_attr(events, "props", "k", "props_k", cast="int").write.mode(
+        "overwrite"
+    ).parquet(f"{tmpdir}/ev_k")
+    back = spark.read.parquet(f"{tmpdir}/ev_k").where(F.col("props_k") == 3)
+    plan = _formatted_plan(back)
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "props_k" in pushed
+    # row-level equivalence with the unmaterialized JSON-path predicate
+    expect = events.where(F.get_json_object("props", "$.k").cast("int") == 3).count()
+    assert back.count() == expect
