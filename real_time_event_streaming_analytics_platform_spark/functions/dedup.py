@@ -95,29 +95,53 @@ def d1_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs (doc_a, doc_b, est_jaccard) via banded LSH."""
+# Skew guard for every LSH-style bucket self-join: a degenerate bucket
+# (empty/boilerplate docs hashing together) produces |bucket|² candidate
+# pairs — at corpus scale one hot bucket can dwarf the rest of the job.
+# Standard practice drops buckets past a cap: their members are
+# boilerplate better handled by exact-hash dedup (d1), and the cap bounds
+# the candidate count at buckets × cap² worst-case. The cap aggregation
+# shuffles on the same key as the join, so it adds a map-side-combined
+# pass, not a new shuffle pattern.
+MAX_BUCKET = 1000
+
+
+def cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop rows whose bucket (group of ``keys``) exceeds ``cap`` members."""
+    if cap is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    return banded.join(sizes.where(F.col("_bn") <= cap), keys).drop("_bn")
+
+
+def minhash_candidates(docs: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, est_jaccard) via banded LSH.
+
+    The bucket self-join and the pair-dedup ``distinct`` carry ONLY
+    (doc_id, band, bh) — the 64-element signatures are joined back just
+    for the agreement estimate over the (much smaller) deduped pair set,
+    so no shuffle ever moves signature arrays per candidate."""
     sig = signature_df(docs)  # (doc_id, sig: array<bigint>)
     band_cols = []
     for b in range(BANDS):
         parts = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bh")))
     banded = sig.select(
-        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = cap_buckets(banded, ["band", "bh"], max_bucket)
 
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
-    )
-    pairs = (
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    pair_ids = (
         a.join(b, ["band", "bh"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = pair_ids.join(sig_a, "doc_a").join(sig_b, "doc_b")
     est = F.expr(
         f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {NUM_HASHES}D"
     )
@@ -225,6 +249,7 @@ def x2c_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = cap_buckets(banded, ["band", "bh"], MAX_BUCKET)
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bh")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

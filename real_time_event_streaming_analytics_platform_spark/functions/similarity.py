@@ -170,8 +170,14 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the (much smaller) deduped candidate set. At 100 TB the bucket
     join and the distinct shuffle ids, never array payloads.
     """
+    from .dedup import MAX_BUCKET, cap_buckets
+
     normed = with_norm(load(spark, sf_dir, "embeddings"))
-    keys = lsh_tables(normed).select("vec_id", "table", "bucket")
+    keys = cap_buckets(
+        lsh_tables(normed).select("vec_id", "table", "bucket"),
+        ["table", "bucket"],
+        MAX_BUCKET,
+    )
     a = keys.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = keys.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     pair_ids = (

@@ -305,3 +305,29 @@ def test_connected_components_path_graph(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
+    """200 identical docs form one hot bucket; with a cap below 200 they
+    produce ZERO candidate pairs (handled by exact dedup instead of a
+    cap² pair explosion), while distinct near-dups still surface."""
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        minhash_candidates as _mc,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    boiler = spark.range(200).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit("lorem ipsum boilerplate page footer text repeated").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+        F.lit(48).alias("n_chars"),
+    )
+    planted = docs.unionByName(boiler)
+    capped = _mc(planted, max_bucket=100).where(F.col("est_jaccard") >= 0.5)
+    boiler_pairs = capped.where(F.col("doc_a") >= 500000).count()
+    assert boiler_pairs == 0
+    # real near-dups elsewhere in the corpus still found
+    assert capped.count() > 0
+    # and with the cap off, the hot bucket explodes into ~200*199/2 pairs
+    uncapped = _mc(planted, max_bucket=None).where(F.col("doc_a") >= 500000)
+    assert uncapped.count() == 199 * 100

@@ -104,3 +104,21 @@ def test_rule_matching_null_sources_matches_all(spark):
     rules = make_rules(spark, [("r-null-crit", True, None, "critical")])
     got = {(r["event_id"], r["rule_id"]) for r in match_rules(alerts, rules).collect()}
     assert got == {("e1", "r-null-crit")}
+
+def test_jdbc_writer_callback_shape():
+    """O5: no database in this container, so verify the foreachBatch
+    callback drives DataFrameWriter.jdbc with the append-mode contract
+    the alert service uses (INSERT INTO anomalies)."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import jdbc_writer
+
+    calls = []
+
+    class FakeWriter:
+        def jdbc(self, url, table, mode=None, properties=None):
+            calls.append((url, table, mode, properties))
+
+    class FakeDF:
+        write = FakeWriter()
+
+    jdbc_writer("jdbc:postgresql://db/metrics", "anomalies", {"user": "svc"})(FakeDF(), 7)
+    assert calls == [("jdbc:postgresql://db/metrics", "anomalies", "append", {"user": "svc"})]
