@@ -107,11 +107,23 @@ MAX_BUCKET = 1000
 
 
 def cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
-    """Drop rows whose bucket (group of ``keys``) exceeds ``cap`` members."""
+    """Drop rows whose bucket (group of ``keys``) exceeds ``cap`` members.
+
+    Implemented as a window count over the bucket key, NOT a
+    groupBy+join: the window rides the same single shuffle the
+    downstream bucket self-join needs anyway, whereas a separate size
+    aggregation would recompute the (expensive) signature lineage a
+    second time."""
     if cap is None:
         return banded
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_bn"))
-    return banded.join(sizes.where(F.col("_bn") <= cap), keys).drop("_bn")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bn", F.count("*").over(w))
+        .where(F.col("_bn") <= cap)
+        .drop("_bn")
+    )
 
 
 def minhash_candidates(docs: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
@@ -120,8 +132,15 @@ def minhash_candidates(docs: DataFrame, max_bucket: int | None = MAX_BUCKET) -> 
     The bucket self-join and the pair-dedup ``distinct`` carry ONLY
     (doc_id, band, bh) — the 64-element signatures are joined back just
     for the agreement estimate over the (much smaller) deduped pair set,
-    so no shuffle ever moves signature arrays per candidate."""
-    sig = signature_df(docs)  # (doc_id, sig: array<bigint>)
+    so no shuffle ever moves signature arrays per candidate.
+
+    The signature frame is the LSH *index*: it is persisted here because
+    four subplans read it (two bucket-join sides, two scoring joins) and
+    Spark does not reuse the exchange across them — without
+    materialization the shingle→minhash pipeline runs 3-4×. A production
+    deployment writes it as a bucketed table (operators/scale.py
+    write_bucketed) instead; ~0.5 KB/doc either way."""
+    sig = signature_df(docs).persist()  # (doc_id, sig: array<bigint>)
     band_cols = []
     for b in range(BANDS):
         parts = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]

@@ -173,11 +173,14 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import MAX_BUCKET, cap_buckets
 
     normed = with_norm(load(spark, sf_dir, "embeddings"))
+    # The (vec_id, table, bucket) frame is the LSH index: two join sides
+    # read it and the 32 hyperplane folds behind it are the expensive
+    # part, so materialize it once (production: a written index table).
     keys = cap_buckets(
         lsh_tables(normed).select("vec_id", "table", "bucket"),
         ["table", "bucket"],
         MAX_BUCKET,
-    )
+    ).persist()
     a = keys.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = keys.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     pair_ids = (
