@@ -203,3 +203,63 @@ def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — int8 embedding quantization: per-vector symmetric scale to
+# [-127, 127] — the storage/serving format a 100 TB embedding corpus uses
+# (4x smaller than float32, 8x than float64). All elementwise JVM
+# expressions; floor(x + 0.5) is round-half-up in every engine (native
+# ROUND ties differ across engines). The output summarizes the quantized
+# vector (min/max/sum/nonzeros) so verification never ships arrays.
+# ---------------------------------------------------------------------------
+
+_ABSMAX_SPARK = (
+    "aggregate(embedding, 0D, (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+)
+_ABSMAX_DUCK = (
+    "list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+    " (a, b) -> greatest(a, b))"
+)
+
+
+def _quant(absmax: str) -> str:
+    # identical elementwise expression in both dialects
+    return (
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / {absmax} + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "x7_embedding_quantize",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(list_reduce(q, (a, b) -> least(a, b)) AS BIGINT) AS q_min,
+           CAST(list_reduce(q, (a, b) -> greatest(a, b)) AS BIGINT) AS q_max,
+           CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(q, v -> v != 0)) AS BIGINT) AS q_nonzero
+    FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> {_quant(f'({_ABSMAX_DUCK})')}) AS q
+        FROM embeddings
+        WHERE {_ABSMAX_DUCK} > 0
+    ) ORDER BY vec_id
+    """,
+)
+def x7_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.expr(
+        f"transform(embedding, x -> {_quant(f'({_ABSMAX_SPARK})')})"
+    ).alias("q")
+    return (
+        emb.where(F.expr(_ABSMAX_SPARK) > 0)
+        .select("vec_id", q)
+        .select(
+            "vec_id",
+            F.array_min("q").cast("bigint").alias("q_min"),
+            F.array_max("q").cast("bigint").alias("q_max"),
+            F.expr("aggregate(q, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+            F.expr("size(filter(q, v -> v != 0))").cast("bigint").alias("q_nonzero"),
+        )
+        .orderBy("vec_id")
+    )

@@ -252,3 +252,52 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0L, (acc, h) -> acc ^ h)"""
         ).alias("fp_xor"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T5 — PII scrubbing: detect + redact email/phone patterns, the filter a
+# training corpus runs before anything ships to a tokenizer. Counting and
+# replacement are both JVM-side regex ops; the redacted text itself never
+# needs to leave the executor — the output carries counts and a digest of
+# the redacted content, so the verification never shuffles documents.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}[\-. ]\d{3}[\-. ]\d{4}"
+# Spark SQL string literals eat one backslash level; DuckDB's don't.
+_EMAIL_RE_SPARK = _EMAIL_RE.replace("\\", "\\\\")
+_PHONE_RE_SPARK = _PHONE_RE.replace("\\", "\\\\")
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_digest): redact emails then
+    phones from the lowercased text and digest the result."""
+    redacted = (
+        f"regexp_replace(regexp_replace(lower(text), '{_EMAIL_RE_SPARK}', '<EMAIL>'),"
+        f" '{_PHONE_RE_SPARK}', '<PHONE>')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(lower(text), '{_EMAIL_RE_SPARK}', 0))").alias(
+            "n_emails"
+        ),
+        F.expr(f"size(regexp_extract_all(lower(text), '{_PHONE_RE_SPARK}', 0))").alias(
+            "n_phones"
+        ),
+        F.expr(f"md5({redacted})").alias("clean_digest"),
+    )
+
+
+@query(
+    "t5_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(lower(text), '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(lower(text), '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_digest
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_pii(load(spark, sf_dir, "documents")).orderBy("doc_id")

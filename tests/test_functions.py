@@ -331,3 +331,30 @@ def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     # and with the cap off, the hot bucket explodes into ~200*199/2 pairs
     uncapped = _mc(planted, max_bucket=None).where(F.col("doc_a") >= 500000)
     assert uncapped.count() == 199 * 100
+
+def test_t5_pii_scrub_detects_and_redacts_planted_pii(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact Bob.Smith+spam@example.co.uk or 555-123-4567 today"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c@d.org and 111 222 3333"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 0)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (2, 1)
+    # digest is of the REDACTED text: planting different PII with the same
+    # surrounding text yields the same digest
+    import hashlib
+
+    alt = spark.createDataFrame(
+        [(1, "contact eve.adams@evil.net or 999-888-7777 today")],
+        "doc_id long, text string",
+    )
+    got = scrub_pii(alt).first()["clean_digest"]
+    want = hashlib.md5(b"contact <EMAIL> or <PHONE> today").hexdigest()
+    assert got == want
