@@ -322,4 +322,6 @@ def ivf_probe(spark: SparkSession, assigned: DataFrame, centers) -> DataFrame:
 def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     assigned, centers = ivf_assignments(emb)
-    return ivf_probe(spark, assigned, centers)
+    # the IVF index: read by the probe-set collect AND the search join —
+    # materialize once (production: a written table, like the LSH index)
+    return ivf_probe(spark, assigned.persist(), centers)
