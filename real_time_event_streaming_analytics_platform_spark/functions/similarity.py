@@ -199,7 +199,16 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = pair_ids.join(emb_a, "vec_a").join(emb_b, "vec_b")
+    # Parallelism guard for the scoring stage: the candidate set is small
+    # in BYTES (id pairs + two 64-float arrays), so AQE coalesces the
+    # post-join shuffle read down to 1-2 partitions — but the exact-cosine
+    # fold is interpreted per element, making this stage CPU-bound, not
+    # byte-bound. Explicit numPartitions is exempt from AQE coalescing.
+    pairs = (
+        pair_ids.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     cos = F.expr(_dot("emb_a", "emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.select("vec_a", "vec_b", round2(cos).alias("cos"))
