@@ -145,7 +145,11 @@ def extract_media_features(with_payload: DataFrame) -> DataFrame:
 @query("x4b_media_features")
 def x4b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # documents.parquet arrives as ONE split at test scale — without an
+    # explicit spread the Arrow decode runs on a single Python worker.
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism)
     return extract_media_features(with_payload).orderBy("doc_id")
 
 
