@@ -51,6 +51,21 @@ def main() -> None:
         except Exception:
             pass
         try:
+            # Python worker pool startup (fork + pandas/pyarrow import in
+            # each of the 32 workers, ~30s on this filesystem) would
+            # otherwise be charged to the first mapInPandas query (x4b).
+            def _ident(it):
+                yield from it
+
+            (
+                spark.range(256)
+                .repartition(int(spark.sparkContext.defaultParallelism))
+                .mapInPandas(_ident, "id long")
+                .count()
+            )
+        except Exception:
+            pass
+        try:
             # MLlib JIT/class-load (~15-25s once per JVM) would otherwise be
             # charged to the first query that fits a model (x3c IVF build).
             from pyspark.ml.clustering import KMeans
@@ -75,6 +90,11 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
         except Exception as exc:  # keep benching; a broken query reads as absent
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+        finally:
+            # index-building queries persist their index frames; drop them
+            # so query N+1 is measured against a clean executor, not the
+            # accumulated GC pressure of every index built before it
+            spark.catalog.clearCache()
 
     timings.update(_bench_ivf_split(spark, sf_dir))
     extras = _bench_slo(spark, sf_dir)
