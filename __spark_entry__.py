@@ -60,6 +60,13 @@ _DEMOTED = [
     "q16_string_funcs",
     "q17_in_between",
     "q19_null_handling",
+    # round-3 additions past the 50-slot window: oracle-checked locally
+    # (tests/test_oracle_queries.py) — the window stays pinned on the
+    # components the round-2 verdict names so correctness rows stay
+    # comparable across rounds.
+    "t6_repetition",
+    "x8_decontaminate",
+    "x9_source_mixing",
 ]
 
 

@@ -17,17 +17,33 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_WIDTH = 3
 
 
+WORDS_EXPR = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+
+
+def with_words(docs: DataFrame) -> DataFrame:
+    """Bind the tokenized word array to a column ONCE per row.
+
+    Higher-order functions run interpreted (no whole-stage codegen, no
+    common-subexpression elimination inside the lambda), so an expression
+    like ``transform(seq, i -> slice(split(text), i, 3))`` re-splits the
+    text once PER GRAM — O(words²) per document. Materializing the word
+    array as a column first makes every lambda step an O(width) slice of
+    an already-built array."""
+    return docs.withColumn("_words", F.expr(WORDS_EXPR))
+
+
 def _grams_expr() -> "F.Column":
-    """Word 3-gram array of the lowercased text (per-row, JVM-side).
-    Short documents (< width words) contribute their full text as a
-    single shingle so they still participate."""
+    """Word 3-gram array over the bound ``_words`` column (see
+    ``with_words`` — callers must apply it first). Short documents
+    (< width words) contribute their full text as a single shingle so
+    they still participate."""
     return F.expr(
         f"""
-        CASE WHEN size(filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')) < {SHINGLE_WIDTH}
+        CASE WHEN size(_words) < {SHINGLE_WIDTH}
              THEN array(lower(text))
              ELSE transform(
-                 sequence(1, size(filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')) - {SHINGLE_WIDTH - 1}),
-                 i -> concat_ws(' ', slice(filter(split(lower(text), '[^a-z0-9]+'), w -> w != ''), i, {SHINGLE_WIDTH})))
+                 sequence(1, size(_words) - {SHINGLE_WIDTH - 1}),
+                 i -> concat_ws(' ', slice(_words, i, {SHINGLE_WIDTH})))
         END
         """
     )
@@ -47,7 +63,7 @@ def _parallelize(docs: DataFrame) -> DataFrame:
 def shingles_df(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams (for exact Jaccard)."""
     return (
-        _parallelize(docs)
+        with_words(_parallelize(docs))
         .select("doc_id", F.explode(_grams_expr()).alias("shingle"))
         .distinct()
     )

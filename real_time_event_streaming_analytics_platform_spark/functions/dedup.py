@@ -185,7 +185,7 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x2b_ngram_jaccard")
 def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .._shingle import _grams_expr, _parallelize
+    from .._shingle import _grams_expr, _parallelize, with_words
 
     docs = load(spark, sf_dir, "documents")
     cand = minhash_candidates(docs).where(F.col("est_jaccard") >= 0.3)
@@ -193,7 +193,7 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc shingle ARRAYS and score with array_intersect/array_union -
     # no shingle explode anywhere; the exact scoring is per-pair array
     # math over a join that is linear in the candidate count.
-    grams = _parallelize(docs).select(
+    grams = with_words(_parallelize(docs)).select(
         "doc_id", F.array_distinct(_grams_expr()).alias("grams")
     )
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))

@@ -147,10 +147,13 @@ def x4b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # documents.parquet arrives as ONE split at test scale — without an
     # explicit spread the Arrow decode runs on a single Python worker.
+    # No orderBy on the result: a global sort range-partitions by sampling
+    # the child, which would EXECUTE the decode twice (once to sample, once
+    # to sort) — feature extraction output is set-semantics, not ordered.
     with_payload = docs.select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     ).repartition(spark.sparkContext.defaultParallelism)
-    return extract_media_features(with_payload).orderBy("doc_id")
+    return extract_media_features(with_payload)
 
 
 # ---------------------------------------------------------------------------

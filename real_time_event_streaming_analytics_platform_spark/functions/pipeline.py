@@ -44,9 +44,17 @@ def connected_components(
     shuffle on the edge endpoints plus a small label join — no driver
     data, only the per-round convergence count comes back.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # Symmetrize in ONE pass over the edge list (explode both directions
+    # per row) — a union of two selects would execute the upstream edge
+    # pipeline (here: the full LSH candidate generation) once per branch.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     sym = sym.persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
@@ -206,6 +214,140 @@ def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X8 — benchmark decontamination: flag corpus documents sharing any word
+# n-gram with a held-out benchmark set. The standard pre-training hygiene
+# step (eval-set n-gram overlap; production uses 8-13-gram windows — this
+# synthetic word-soup corpus only collides at width 4, which exercises the
+# identical plan). Grams are md5-hashed BEFORE the join, so the shuffle
+# moves 32-hex keys, never text; the benchmark gram set is orders of
+# magnitude smaller than the corpus and broadcasts. Benchmark membership
+# here is the deterministic slice doc_id % 97 == 0 (stands in for "the
+# eval set" — same plan shape for a real one read from a table).
+# ---------------------------------------------------------------------------
+
+DECON_WIDTH = 4
+_BENCH_PRED = "doc_id % 97 = 0"
+
+
+def _gram_hashes(docs: DataFrame, width: int = DECON_WIDTH) -> DataFrame:
+    """(doc_id, gh) — md5 hex of each word ``width``-gram. The word array
+    is bound to a column first (interpreted lambdas re-evaluate inlined
+    subexpressions per element — see _shingle.with_words)."""
+    from .._shingle import WORDS_EXPR, _parallelize
+
+    # Guard the short-doc case explicitly: Spark's sequence(1, 0) yields
+    # the DESCENDING [1, 0] (step defaults to -1), not an empty array.
+    grams = F.expr(
+        f"""
+        CASE WHEN size(_words) < {width} THEN array()
+             ELSE transform(sequence(1, size(_words) - {width - 1}),
+                            i -> md5(concat_ws(' ', slice(_words, i, {width}))))
+        END
+        """
+    )
+    return (
+        _parallelize(docs)
+        .withColumn("_words", F.expr(WORDS_EXPR))
+        .select("doc_id", F.explode(grams).alias("gh"))
+    )
+
+
+@query(
+    "x8_decontaminate",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(words) - {DECON_WIDTH - 1}, 0)),
+                   i -> md5(array_to_string(words[i : i + {DECON_WIDTH - 1}], ' ')))) AS gh
+        FROM w
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE {_BENCH_PRED}),
+    corpus AS (SELECT DISTINCT doc_id, gh FROM g WHERE NOT ({_BENCH_PRED}))
+    SELECT c.doc_id, COUNT(*) AS n_overlap
+    FROM corpus c JOIN bench b USING (gh)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = _gram_hashes(docs)
+    bench = (
+        grams.where(F.expr(_BENCH_PRED)).select("gh").distinct()
+    )
+    corpus = (
+        grams.where(~F.expr(_BENCH_PRED)).select("doc_id", "gh").distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X9 — stratified source mixing: deterministic per-source sampling rates
+# (the data-mixing step that reweights domains before training). A doc is
+# kept iff its md5(doc_id) hex prefix falls under its source's threshold —
+# content-free, reproducible in any engine, no RNG state, and per-doc
+# independent (adding docs never flips existing keep decisions). Rates are
+# quantized to /256 so the hex-prefix comparison is exact cross-engine.
+# ---------------------------------------------------------------------------
+
+# even sources downsampled to 129/256 ≈ 50% (hex prefix <= '80'), odd kept
+# in full — a stand-in mixing table; a real deployment broadcast-joins a
+# (source, rate) dimension instead of inlining the CASE.
+_MIX_THRESH_SPARK = (
+    "CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0 THEN '80' ELSE 'ff' END"
+)
+_MIX_THRESH_DUCK = (
+    "CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN '80' ELSE 'ff' END"
+)
+
+
+@query(
+    "x9_source_mixing",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= ({_MIX_THRESH_DUCK})
+                    THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= ({_MIX_THRESH_DUCK})
+                    THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM (SELECT source, doc_id, {_WS_TOK_DUCK} AS tokens FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x9_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kept = F.expr(
+        f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
+    )
+    return (
+        docs.select(
+            "source",
+            kept.alias("_keep"),
+            F.expr(_WS_TOK_SPARK).alias("tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("_keep"), F.col("tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X7 — int8 embedding quantization: per-vector symmetric scale to
 # [-127, 127] — the storage/serving format a 100 TB embedding corpus uses
 # (4x smaller than float32, 8x than float64). All elementwise JVM
@@ -248,11 +390,13 @@ def _quant(absmax: str) -> str:
 )
 def x7_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    q = F.expr(
-        f"transform(embedding, x -> {_quant(f'({_ABSMAX_SPARK})')})"
-    ).alias("q")
+    # Bind absmax to a column before the elementwise transform: lambda
+    # bodies are interpreted with no common-subexpression elimination, so
+    # inlining the aggregate would recompute it once PER ELEMENT (O(d²)).
+    q = F.expr(f"transform(embedding, x -> {_quant('_absmax')})").alias("q")
     return (
-        emb.where(F.expr(_ABSMAX_SPARK) > 0)
+        emb.withColumn("_absmax", F.expr(_ABSMAX_SPARK))
+        .where(F.col("_absmax") > 0)
         .select("vec_id", q)
         .select(
             "vec_id",

@@ -234,23 +234,88 @@ def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("t4_fingerprint")
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # Bind tokens, then the gram-hash array, as columns: higher-order
+    # lambdas are interpreted with no common-subexpression elimination,
+    # so inlining the tokenizer in the lambda would re-split the text
+    # once PER GRAM (O(words²)/row), and repeating the gram expression
+    # under min/max/xor would build it three times.
     grams = F.expr(
-        f"""
+        """
         transform(
-            sequence(1, greatest(size({_TOK_SPARK}) - 3, 1)),
-            i -> xxhash64(concat_ws(' ', slice({_TOK_SPARK}, i, 4))))
+            sequence(1, greatest(size(_toks) - 3, 1)),
+            i -> xxhash64(concat_ws(' ', slice(_toks, i, 4))))
         """
     )
-    return docs.select(
+    return (
+        docs.withColumn("_toks", F.expr(_TOK_SPARK))
+        .withColumn("_grams", grams)
+        .select(
+            "doc_id",
+            F.array_min("_grams").alias("fp_min"),
+            F.array_max("_grams").alias("fp_max"),
+            F.expr("aggregate(_grams, 0L, (acc, h) -> acc ^ h)").alias("fp_xor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6 — repetition quality (Gopher/C4-style): duplicate-token fraction and
+# most-frequent-token fraction per document. High values flag boilerplate
+# and degenerate generations a pretraining corpus filters out. One per-row
+# projection — no shuffle at all; ratios round2-quantized cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t6_repetition",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           {sql_round2('(n_tokens - n_distinct) * 1.0 / GREATEST(n_tokens, 1)')} AS dup_frac,
+           {sql_round2('top_count * 1.0 / GREATEST(n_tokens, 1)')} AS top_tok_frac,
+           CAST(flagged AS BOOLEAN) AS flagged
+    FROM (
+        SELECT doc_id, n_tokens, n_distinct, top_count,
+               ((n_tokens - n_distinct) * 1.0 / GREATEST(n_tokens, 1)) > 0.9 AS flagged
+        FROM (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   COALESCE(list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t)))), 0) AS top_count
+            FROM (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents)
+        )
+    ) ORDER BY doc_id
+    """,
+)
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # Bind the token array once; the top-token count re-reads it per
+    # distinct token, which stays O(distinct × tokens) per row — fine for
+    # documents, and strictly per-row (no shuffle, scales linearly).
+    base = (
+        docs.withColumn("_toks", F.expr(_TOK_SPARK))
+        .select(
+            "doc_id",
+            F.expr("size(_toks)").alias("n_tokens"),
+            F.expr("size(array_distinct(_toks))").alias("n_distinct"),
+            F.expr(
+                """coalesce(array_max(transform(array_distinct(_toks),
+                       t -> size(filter(_toks, x -> x = t)))), 0)"""
+            ).alias("top_count"),
+        )
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")) * 1.0 / F.greatest(
+        "n_tokens", F.lit(1)
+    )
+    return base.select(
         "doc_id",
-        F.array_min(grams).alias("fp_min"),
-        F.array_max(grams).alias("fp_max"),
-        F.expr(
-            f"""aggregate(
-                transform(sequence(1, greatest(size({_TOK_SPARK}) - 3, 1)),
-                          i -> xxhash64(concat_ws(' ', slice({_TOK_SPARK}, i, 4)))),
-                0L, (acc, h) -> acc ^ h)"""
-        ).alias("fp_xor"),
+        "n_tokens",
+        round2(dup_frac).alias("dup_frac"),
+        round2(
+            F.col("top_count") * 1.0 / F.greatest("n_tokens", F.lit(1))
+        ).alias("top_tok_frac"),
+        (dup_frac > 0.9).alias("flagged"),
     ).orderBy("doc_id")
 
 
