@@ -67,6 +67,7 @@ _DEMOTED = [
     "t6_repetition",
     "x8_decontaminate",
     "x9_source_mixing",
+    "x10_curation_funnel",
 ]
 
 

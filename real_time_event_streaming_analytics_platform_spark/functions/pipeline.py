@@ -407,3 +407,144 @@ def x7_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X10 — the end-to-end curation funnel: quality filter → exact dedup →
+# benchmark decontamination → source mixing, as ONE DAG, reporting
+# per-source survivorship at every stage plus the final token budget.
+# This is the composition of t2/t6 (quality), q24/d1 (dedup), x8
+# (decontamination) and x9 (mixing) — the whole pre-training curation
+# pipeline the individual operators exist for.
+#
+# Scale shape: every stage flag is a per-row projection except two —
+# the exact-dedup keeper (one window shuffle on the 16-byte text hash;
+# text itself never shuffles) and the contamination flag (gram-hash
+# explode joined against the BROADCAST benchmark gram set, reduced to a
+# distinct doc_id list before the doc-level join). The funnel is then a
+# single aggregate over the flag frame — one scan of the corpus, one
+# pass, five stages. Predicates are integer arithmetic (alpha*2 >= n
+# style), never float-ratio comparisons, so both engines decide
+# identically on every row.
+# ---------------------------------------------------------------------------
+
+_QUAL_MIN_TOKENS = 20  # regex tokens; drops ~10% of the synthetic corpus
+
+
+@query(
+    "x10_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id, text,
+               {_WS_TOK_DUCK} AS ws_tokens,
+               len(toks) AS nt, len(list_distinct(toks)) AS nd
+        FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    w -> w != '') AS toks
+              FROM documents)
+        WHERE NOT ({_BENCH_PRED})
+    ),
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(words) - {DECON_WIDTH - 1}, 0)),
+                   i -> md5(array_to_string(words[i : i + {DECON_WIDTH - 1}], ' ')))) AS gh
+        FROM w
+    ),
+    bench_g AS (SELECT DISTINCT gh FROM g WHERE {_BENCH_PRED}),
+    contam AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench_g USING (gh)
+        WHERE NOT ({_BENCH_PRED})
+    ),
+    flags AS (
+        SELECT b.source, b.ws_tokens,
+               (b.nt >= {_QUAL_MIN_TOKENS} AND (b.nt - b.nd) * 2 <= b.nt) AS qual,
+               b.doc_id = min(b.doc_id) OVER (PARTITION BY md5(lower(b.text))) AS keep1,
+               c.doc_id IS NULL AS clean,
+               substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2)
+                   <= ({_MIX_THRESH_DUCK.replace('source', 'b.source')}) AS mix
+        FROM base b LEFT JOIN contam c USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           SUM(CASE WHEN qual THEN 1 ELSE 0 END) AS n_quality,
+           SUM(CASE WHEN qual AND keep1 THEN 1 ELSE 0 END) AS n_dedup,
+           SUM(CASE WHEN qual AND keep1 AND clean THEN 1 ELSE 0 END) AS n_clean,
+           SUM(CASE WHEN qual AND keep1 AND clean AND mix THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN qual AND keep1 AND clean AND mix
+                    THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM flags GROUP BY 1 ORDER BY 1
+    """,
+)
+def x10_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(~F.expr(_BENCH_PRED))
+
+    # Contamination is a per-doc property (overlap with the FIXED
+    # benchmark gram set), so it commutes with the other stages and can
+    # be computed on the raw corpus: gram hashes → broadcast-join the
+    # bench set → distinct contaminated ids (a doc_id list, tiny).
+    grams = _gram_hashes(docs)
+    bench_g = grams.where(F.expr(_BENCH_PRED)).select("gh").distinct()
+    contam = (
+        grams.where(~F.expr(_BENCH_PRED))
+        .join(F.broadcast(bench_g), "gh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(True))
+    )
+
+    # Duplicate docs have IDENTICAL text, hence identical quality flags —
+    # so the keeper window can run over the whole corpus (not just
+    # quality survivors) without changing any keeper decision, keeping
+    # this a single pass. The window shuffles (hash, doc_id, flags),
+    # never the text.
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    flagged = (
+        corpus.withColumn("_toks", F.expr(toks))
+        .select(
+            "source",
+            "doc_id",
+            F.expr(_WS_TOK_SPARK).alias("ws_tokens"),
+            (
+                (F.expr("size(_toks)") >= _QUAL_MIN_TOKENS)
+                & (
+                    (F.expr("size(_toks)") - F.expr("size(array_distinct(_toks))")) * 2
+                    <= F.expr("size(_toks)")
+                )
+            ).alias("qual"),
+            F.md5(F.lower("text")).alias("_h"),
+            F.expr(
+                f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
+            ).alias("mix"),
+        )
+        .withColumn(
+            "keep1",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_h")),
+        )
+        .join(contam, "doc_id", "left")
+        .withColumn("clean", F.col("_contam").isNull())
+    )
+    kept = F.col("qual") & F.col("keep1") & F.col("clean")
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(as_int(F.col("qual"))).alias("n_quality"),
+            F.sum(as_int(F.col("qual") & F.col("keep1"))).alias("n_dedup"),
+            F.sum(as_int(kept)).alias("n_clean"),
+            F.sum(as_int(kept & F.col("mix"))).alias("n_kept"),
+            F.sum(F.when(kept & F.col("mix"), F.col("ws_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -422,3 +422,30 @@ def test_t6_repetition_bounds_and_planted_boilerplate(spark):
 
     out = engine.QUERIES["t6_repetition"](spark, SF_DIR).collect()
     assert all(0.0 <= r["dup_frac"] <= 1.0 and 0.0 < r["top_tok_frac"] <= 1.0 for r in out)
+
+
+def test_x10_curation_funnel_monotone_and_consistent(spark):
+    """Each funnel stage can only shrink the survivor set, and the
+    stage counts must agree with the standalone operators: total raw =
+    non-benchmark docs, contamination losses consistent with x8."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        _BENCH_PRED,
+    )
+
+    rows = engine.QUERIES["x10_curation_funnel"](spark, SF_DIR).collect()
+    assert rows, "funnel produced no sources"
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_clean"] >= r["n_kept"]
+        ), r
+        assert r["n_kept"] > 0 or r["kept_tokens"] == 0
+    n_raw = sum(r["n_raw"] for r in rows)
+    non_bench = load(spark, SF_DIR, "documents").where(~F.expr(_BENCH_PRED)).count()
+    assert n_raw == non_bench
+    # sf0.01 has planted 4-gram contamination (x8 finds 8 docs) — the
+    # funnel must lose docs at the decontamination stage overall unless
+    # every contaminated doc already failed an earlier stage.
+    lost_clean = sum(r["n_dedup"] - r["n_clean"] for r in rows)
+    x8_hits = engine.QUERIES["x8_decontaminate"](spark, SF_DIR).count()
+    assert 0 <= lost_clean <= x8_hits
