@@ -65,20 +65,8 @@ def main() -> None:
             )
         except Exception:
             pass
-        try:
-            # MLlib JIT/class-load (~15-25s once per JVM) would otherwise be
-            # charged to the first query that fits a model (x3c IVF build).
-            from pyspark.ml.clustering import KMeans
-
-            tiny = spark.range(8).selectExpr(
-                "cast(id as double) c0", "cast(id * 2 as double) c1"
-            )
-            from pyspark.ml.feature import VectorAssembler
-
-            vec = VectorAssembler(inputCols=["c0", "c1"], outputCol="features")
-            KMeans(k=2, seed=1, maxIter=1).fit(vec.transform(tiny))
-        except Exception:
-            pass
+        # (No MLlib warmup: the IVF quantizer trains driver-side on a
+        # bounded sample — nothing in the engine touches pyspark.ml.)
 
     timings: dict[str, float] = {}
     for name in names:

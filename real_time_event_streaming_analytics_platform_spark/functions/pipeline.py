@@ -230,25 +230,36 @@ _BENCH_PRED = "doc_id % 97 = 0"
 
 
 def _gram_hashes(docs: DataFrame, width: int = DECON_WIDTH) -> DataFrame:
-    """(doc_id, gh) — md5 hex of each word ``width``-gram. The word array
-    is bound to a column first (interpreted lambdas re-evaluate inlined
-    subexpressions per element — see _shingle.with_words)."""
+    """(doc_id, gh) — xxhash64 of each word ``width``-gram.
+
+    Gram POSITIONS are exploded first and the hash computed as a
+    top-level projection: hashing inside a ``transform`` lambda runs
+    interpreted (no whole-stage codegen), which measured ~4× slower at
+    sf0.1. Generate→Project fuse under codegen, so the word array is
+    never materialized per gram. 8-byte hash keys mean every downstream
+    shuffle/broadcast moves longs, never gram text. (The oracle joins on
+    raw gram strings — overlap COUNTS are hash-function-independent.)"""
     from .._shingle import WORDS_EXPR, _parallelize
 
     # Guard the short-doc case explicitly: Spark's sequence(1, 0) yields
     # the DESCENDING [1, 0] (step defaults to -1), not an empty array.
-    grams = F.expr(
+    pos = F.expr(
         f"""
         CASE WHEN size(_words) < {width} THEN array()
-             ELSE transform(sequence(1, size(_words) - {width - 1}),
-                            i -> md5(concat_ws(' ', slice(_words, i, {width}))))
+             ELSE sequence(1, size(_words) - {width - 1})
         END
         """
     )
     return (
         _parallelize(docs)
         .withColumn("_words", F.expr(WORDS_EXPR))
-        .select("doc_id", F.explode(grams).alias("gh"))
+        .select("doc_id", "_words", F.explode(pos).alias("_i"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.expr(f"concat_ws(' ', slice(_words, _i, {width}))")).alias(
+                "gh"
+            ),
+        )
     )
 
 
@@ -265,29 +276,29 @@ def _gram_hashes(docs: DataFrame, width: int = DECON_WIDTH) -> DataFrame:
         SELECT doc_id,
                unnest(list_transform(
                    generate_series(1, greatest(len(words) - {DECON_WIDTH - 1}, 0)),
-                   i -> md5(array_to_string(words[i : i + {DECON_WIDTH - 1}], ' ')))) AS gh
+                   i -> array_to_string(words[i : i + {DECON_WIDTH - 1}], ' '))) AS gh
         FROM w
     ),
-    bench AS (SELECT DISTINCT gh FROM g WHERE {_BENCH_PRED}),
-    corpus AS (SELECT DISTINCT doc_id, gh FROM g WHERE NOT ({_BENCH_PRED}))
-    SELECT c.doc_id, COUNT(*) AS n_overlap
-    FROM corpus c JOIN bench b USING (gh)
+    bench AS (SELECT DISTINCT gh FROM g WHERE {_BENCH_PRED})
+    SELECT c.doc_id, COUNT(DISTINCT c.gh) AS n_overlap
+    FROM (SELECT doc_id, gh FROM g WHERE NOT ({_BENCH_PRED})) c
+    JOIN bench b USING (gh)
     GROUP BY 1 ORDER BY 1
     """,
 )
 def x8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     grams = _gram_hashes(docs)
-    bench = (
-        grams.where(F.expr(_BENCH_PRED)).select("gh").distinct()
-    )
-    corpus = (
-        grams.where(~F.expr(_BENCH_PRED)).select("doc_id", "gh").distinct()
-    )
+    bench = grams.where(F.expr(_BENCH_PRED)).select("gh").distinct()
+    # No pre-join distinct on the corpus side: the broadcast join filters
+    # to overlapping grams FIRST (usually a tiny fraction), and
+    # countDistinct dedups map-side after — one corpus scan, no full
+    # gram-set shuffle.
+    corpus = grams.where(~F.expr(_BENCH_PRED))
     return (
         corpus.join(F.broadcast(bench), "gh")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(F.count_distinct("gh").alias("n_overlap"))
         .orderBy("doc_id")
     )
 
@@ -453,7 +464,7 @@ _QUAL_MIN_TOKENS = 20  # regex tokens; drops ~10% of the synthetic corpus
         SELECT doc_id,
                unnest(list_transform(
                    generate_series(1, greatest(len(words) - {DECON_WIDTH - 1}, 0)),
-                   i -> md5(array_to_string(words[i : i + {DECON_WIDTH - 1}], ' ')))) AS gh
+                   i -> array_to_string(words[i : i + {DECON_WIDTH - 1}], ' '))) AS gh
         FROM w
     ),
     bench_g AS (SELECT DISTINCT gh FROM g WHERE {_BENCH_PRED}),

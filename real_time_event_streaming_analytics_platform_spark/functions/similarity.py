@@ -12,11 +12,15 @@ Two paths, per the scale doctrine:
   ship) bucket the corpus; candidates are searched within the query's
   bucket only. Recall vs brute force is asserted in tests/test_functions.py.
 
-Everything is built-in expressions — the fold/array lambdas run in the
-JVM; no Python UDF is involved.
+Scoring is built-in expressions — the fold/array lambdas run in the
+JVM. The one Python touchpoint is x3c's cell-assignment pass, an
+Arrow-batched pandas UDF doing a single numpy matmul per batch (the
+vectorized exception the scale doctrine allows).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -257,28 +261,72 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X3c — IVF ANN: k-means coarse quantizer (pyspark.ml, fixed seed) splits
-# the corpus into nlist cells; each query probes its nprobe nearest
-# centroids and scores cosine only within those cells. The index build is
-# one ML fit (a few passes over the corpus); search cost is
-# corpus×nprobe/nlist per query. The classic alternative to x3b's LSH.
+# X3c — IVF ANN: k-means coarse quantizer splits the corpus into nlist
+# cells; each query probes its nprobe nearest centroids and scores cosine
+# only within those cells. FAISS-style build: the quantizer trains on a
+# bounded deterministic sample (k-means needs ~nlist×256 points, not the
+# corpus), so only the cell ASSIGNMENT is a distributed pass. The classic
+# alternative to x3b's LSH.
 # ---------------------------------------------------------------------------
 
 IVF_NLIST = 16
 IVF_NPROBE = 4
+IVF_TRAIN_MAX = 4096  # quantizer training sample cap
+IVF_ITERS = 10
+
+
+def _lloyd(X, k: int, iters: int):
+    """Deterministic numpy Lloyd iterations; init = first k sample rows
+    (the sample is already hash-shuffled). Empty cells keep their old
+    center. Ties in argmin break to the lowest cell index."""
+    import numpy as np
+
+    k = min(k, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
 
 
 def ivf_assignments(emb: DataFrame):
-    """Fit the coarse quantizer and return (assigned_df, centers)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit the coarse quantizer and return (assigned_df, centers).
 
-    vec = emb.withColumn("features", array_to_vector("embedding"))
-    model = KMeans(k=IVF_NLIST, seed=42, maxIter=10).fit(vec)
-    assigned = model.transform(vec).select(
-        "vec_id", "embedding", "nrm", F.col("prediction").alias("cell")
+    Build shape for 100 TB: training collects at most ``IVF_TRAIN_MAX``
+    hash-sampled vectors to the driver (TakeOrdered over xxhash64 — one
+    pass, deterministic, size-capped regardless of corpus size) and runs
+    Lloyd there in microseconds; the corpus-wide work is a single
+    Arrow-batched pandas-UDF scan assigning each vector to its nearest
+    center via one matmul per batch. No multi-pass distributed fit, no
+    MLlib JIT, nothing grows with the corpus except the one scan.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(IVF_TRAIN_MAX)
+        .collect()
     )
-    return assigned, model.clusterCenters()
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    C = _lloyd(X, IVF_NLIST, IVF_ITERS)
+    c_sq = (C**2).sum(axis=1)  # argmin ||x-c||^2 == argmin ||c||^2 - 2 x.c
+
+    @pandas_udf("int")
+    def _cell(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        scores = c_sq[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    assigned = emb.select(
+        "vec_id", "embedding", "nrm", _cell("embedding").alias("cell")
+    )
+    return assigned, list(C)
 
 
 def ivf_probe(spark: SparkSession, assigned: DataFrame, centers) -> DataFrame:
