@@ -157,3 +157,53 @@ def test_materialized_json_attr_pushes_down(spark, tmpdir):
     # row-level equivalence with the unmaterialized JSON-path predicate
     expect = events.where(F.get_json_object("props", "$.k").cast("int") == 3).count()
     assert back.count() == expect
+
+def test_x8_bench_gram_set_broadcasts_and_keys_are_longs(spark):
+    """Decontamination scale contract: the benchmark gram set reaches
+    the join as a BroadcastExchange (the corpus side never shuffles for
+    the join), and the join key is the 8-byte xxhash64 long, not gram
+    text."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    plan = _formatted_plan(engine.QUERIES["x8_decontaminate"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    join = plan.split("BroadcastHashJoin", 1)
+    assert len(join) == 2, plan[:1500]
+    # the join's key attributes are the xxhash64 output (bigint)
+    keys_line = join[1].split("Left keys", 1)[1].split("\n", 1)[0]
+    assert "gh" in keys_line
+    gen = plan.split("xxhash64", 1)
+    assert len(gen) == 2, "gram hashing must be xxhash64, not md5"
+
+
+def test_x2d_distinct_carries_ids_not_arrays(spark):
+    """The near-dup candidate dedup must shuffle (vec_a, vec_b) id
+    pairs only — an embedding-array-bearing Exchange above the distinct
+    re-shuffles the corpus once per LSH table at scale."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    plan = _formatted_plan(engine.QUERIES["x2d_embedding_near_dup"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(vec_a" in line:
+            assert "emb" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_matches_driver_argmin(spark):
+    """The distributed cell-assignment pass must agree exactly with a
+    driver-side numpy argmin against the same centers (ties included)."""
+    import numpy as np
+
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        ivf_assignments,
+        with_norm,
+    )
+
+    emb = with_norm(load(spark, SF_DIR, "embeddings"))
+    assigned, centers = ivf_assignments(emb)
+    rows = assigned.select("vec_id", "embedding", "cell").collect()
+    C = np.array(centers)
+    for r in rows[:200]:
+        x = np.array(r["embedding"], dtype=np.float64)
+        want = int(((C - x) ** 2).sum(axis=1).argmin())
+        assert r["cell"] == want, (r["vec_id"], r["cell"], want)
