@@ -1,0 +1,140 @@
+"""Streaming corpus curation — the x10 funnel's stages applied to a
+document STREAM, the shape a continuous-ingestion training-data pipeline
+uses (new crawl shards arrive; curated docs flow out).
+
+Stage order is chosen for STATE minimization, the streaming-specific
+concern: all row-local filters (quality, decontamination, mixing) run
+before the stateful exact-dedup, so the dedup state store only ever
+holds keys for documents that are actually eligible. That reorders the
+batch funnel (x10 dedups before mixing) — legal because contamination
+and mixing are per-document properties independent of the rest of the
+corpus; only the dedup keeper choice is order-sensitive, and the
+streaming twin's keeper is FIRST ARRIVAL (the only keeper a stream can
+implement with bounded state — `dropDuplicatesWithinWatermark` evicts
+each key once the watermark passes it).
+
+The decontamination check broadcasts the benchmark gram set (eval sets
+are small by construction) and tests each document against it in an
+Arrow-batched pandas UDF — no shuffle, no state, scales linearly with
+the stream. At real benchmark sizes the set would hold gram hashes
+rather than raw strings; the plumbing is identical.
+
+Reference parity: the reference has no document pipeline — this extends
+its streaming architecture (file/Kafka source → stateless transforms →
+stateful dedup, EventAggregationJob.java:59-76's shape) to the
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.pipeline import (
+    DECON_WIDTH,
+    _BENCH_PRED,
+    _MIX_THRESH_SPARK,
+    _QUAL_MIN_TOKENS,
+)
+from .entries import WATERMARK
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def bench_gram_set(docs: DataFrame, width: int = DECON_WIDTH) -> set:
+    """Distinct word ``width``-grams of the benchmark slice, as raw
+    strings, collected to the driver for broadcasting. Tokenization is
+    identical to the batch path's (`_shingle.WORDS_EXPR`): lowercase,
+    split on non-alphanumeric runs, drop empties."""
+    from .._shingle import WORDS_EXPR
+
+    pos = F.expr(
+        f"""
+        CASE WHEN size(_words) < {width} THEN array()
+             ELSE sequence(1, size(_words) - {width - 1})
+        END
+        """
+    )
+    rows = (
+        docs.where(F.expr(_BENCH_PRED))
+        .withColumn("_words", F.expr(WORDS_EXPR))
+        .select("_words", F.explode(pos).alias("_i"))
+        .select(F.expr(f"concat_ws(' ', slice(_words, _i, {width}))").alias("g"))
+        .distinct()
+        .collect()
+    )
+    return {r["g"] for r in rows}
+
+
+DOC_STREAM_SCHEMA = "doc_id long, ts string, source string, text string"
+
+
+def read_doc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream document source (JSONL: doc_id, ts, source, text) with
+    the standard event-time watermark — the document twin of
+    `read_event_stream`."""
+    reader = spark.readStream.format("json").schema(DOC_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger or 1000
+    )
+    return (
+        reader.load(path)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withWatermark("ts", WATERMARK)
+    )
+
+
+def curate_doc_stream(
+    docs: DataFrame,
+    bench_grams: set,
+    min_tokens: int = _QUAL_MIN_TOKENS,
+    width: int = DECON_WIDTH,
+) -> DataFrame:
+    """Quality → decontaminate → mix → streaming exact-dedup.
+
+    Quality and mixing are the same integer-exact predicates as the
+    batch funnel (x10); contamination is membership of any word
+    ``width``-gram in the broadcast benchmark set; dedup keeps the first
+    arrival per text hash with watermark-bounded state."""
+    spark = docs.sparkSession
+    bcast = spark.sparkContext.broadcast(frozenset(bench_grams))
+
+    @pandas_udf("boolean")
+    def _contaminated(texts: pd.Series) -> pd.Series:
+        bs = bcast.value
+        out = []
+        for t in texts:
+            words = [w for w in _TOKEN_RE.split((t or "").lower()) if w]
+            out.append(
+                any(
+                    " ".join(words[i : i + width]) in bs
+                    for i in range(max(len(words) - width + 1, 0))
+                )
+            )
+        return pd.Series(out)
+
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    qual = (F.expr("size(_toks)") >= min_tokens) & (
+        (F.expr("size(_toks)") - F.expr("size(array_distinct(_toks))")) * 2
+        <= F.expr("size(_toks)")
+    )
+    mix = F.expr(
+        f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
+    )
+    return (
+        docs.where(~F.expr(_BENCH_PRED))
+        .withColumn("_toks", F.expr(toks))
+        .where(qual)
+        .where(mix)
+        .where(~_contaminated("text"))
+        .withColumn("_h", F.md5(F.lower("text")))
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_toks", "_h")
+    )

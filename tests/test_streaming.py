@@ -354,3 +354,127 @@ def test_kafka_source_plan_constructs_or_connector_absent(spark):
     parsed = parse_events(stream)
     assert parsed.isStreaming
     assert {"event_id", "source", "ts", "metric"} <= set(parsed.columns)
+
+
+def test_s11_streaming_curation_parity_and_planted_dups(spark, tmpdir):
+    """The streaming curation pipeline (quality → decontaminate → mix →
+    watermark-bounded exact dedup) must keep exactly the docs the batch
+    stage logic keeps, with keeper = first arrival; planted later
+    replays of kept docs are suppressed by the dedup state."""
+    import json
+
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        _BENCH_PRED,
+        _MIX_THRESH_SPARK,
+        _QUAL_MIN_TOKENS,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.curation import (
+        bench_gram_set,
+        curate_doc_stream,
+        read_doc_stream,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    bench = bench_gram_set(docs)
+    assert bench, "benchmark slice produced no grams"
+
+    # fixture: one JSONL file sorted by doc_id (arrival order == id
+    # order), plus replays of the first 20 docs under fresh ids from
+    # odd-numbered (keep-all-mix) sources 60s later — exact-dup plants.
+    rows = sorted(
+        docs.select("doc_id", "source", "text").collect(), key=lambda r: r["doc_id"]
+    )
+    base = 1_700_000_000
+    lines = [
+        {"doc_id": r["doc_id"], "ts": base + i, "source": r["source"], "text": r["text"]}
+        for i, r in enumerate(rows)
+    ]
+    plants = []
+    for j, r in enumerate(rows[:20]):
+        pid = 2_000_003 + j * 2  # odd ids; none are % 97 == 0 for this range
+        assert pid % 97 != 0
+        plants.append(
+            {"doc_id": pid, "ts": base + len(rows) + 60 + j, "source": "src1", "text": r["text"]}
+        )
+    import os
+
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    with open(f"{tmpdir}/in/docs.jsonl", "w") as fh:
+        for ln in lines + plants:
+            fh.write(json.dumps({**ln, "ts": _iso(ln["ts"])}) + "\n")
+
+    stream = read_doc_stream(spark, f"{tmpdir}/in")
+    got = run_available_now(
+        curate_doc_stream(stream, bench), f"{tmpdir}/ck", "append", "s11"
+    ).collect()
+    got_ids = sorted(r["doc_id"] for r in got)
+
+    # batch expectation with the SAME stage order and first-arrival keeper
+    fixture = spark.createDataFrame(
+        [(ln["doc_id"], ln["source"], ln["text"], i) for i, ln in enumerate(lines + plants)],
+        "doc_id long, source string, text string, arrival long",
+    )
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    eligible = (
+        fixture.where(~F.expr(_BENCH_PRED))
+        .withColumn("_toks", F.expr(toks))
+        .where(
+            (F.expr("size(_toks)") >= _QUAL_MIN_TOKENS)
+            & (
+                (F.expr("size(_toks)") - F.expr("size(array_distinct(_toks))")) * 2
+                <= F.expr("size(_toks)")
+            )
+        )
+        .where(
+            F.expr(
+                f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
+            )
+        )
+    )
+    # decontamination in the batch twin: any 4-gram in the bench set
+    bench_df = spark.createDataFrame([(g,) for g in bench], "g string")
+    contaminated = (
+        eligible.selectExpr("doc_id", "text")
+        .withColumn("_words", F.expr(toks))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_words) < 4 THEN array() "
+                    "ELSE sequence(1, size(_words) - 3) END"
+                )
+            ).alias("_i"),
+            "_words",
+        )
+        .select("doc_id", F.expr("concat_ws(' ', slice(_words, _i, 4))").alias("g"))
+        .join(F.broadcast(bench_df), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = eligible.join(contaminated, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    first = Window.partitionBy(F.md5(F.lower("text"))).orderBy("arrival")
+    expect = (
+        clean.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .select("doc_id")
+        .collect()
+    )
+    expect_ids = sorted(r["doc_id"] for r in expect)
+    assert got_ids == expect_ids
+    # every planted replay whose original survived must be suppressed
+    kept = set(got_ids)
+    orig_by_text = {r["text"]: r["doc_id"] for r in rows[:20]}
+    suppressed = [p for p in plants if orig_by_text[p["text"]] in kept]
+    assert suppressed, "fixture produced no suppressible plants"
+    assert all(p["doc_id"] not in kept for p in suppressed)
+
+
+def _iso(epoch: int) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
