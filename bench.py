@@ -265,6 +265,41 @@ def _bench_slo(spark, sf_dir: str) -> dict:
         parsed_n = parse_events(raw).count()
         dt = time.monotonic() - t0
         out["ingest_events_per_sec"] = round(parsed_n / dt)
+
+        # detection-to-alert (<2s target, README.md:17): steady-state
+        # micro-batch processing time of the stateful anomaly job —
+        # median triggerExecution of batches AFTER the first (batch 0
+        # pays one-time query/state-store startup a long-running job
+        # amortizes away).
+        import statistics
+
+        from real_time_event_streaming_analytics_platform_spark.streaming.anomaly import (
+            anomaly_stream,
+        )
+
+        ev = generate_events(8000, seed=17, interval_ms=50, outlier_rate=0.05)
+        write_jsonl(ev, f"{d}/anom", n_files=4)
+        parsed = parse_events(
+            read_event_stream(spark, f"{d}/anom", max_files_per_trigger=1)
+        )
+        q = (
+            anomaly_stream(parsed)
+            .where(F.col("is_anomaly"))
+            .writeStream.format("memory")
+            .queryName("bench_anomaly")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ck_anom")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        steady = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p["batchId"] > 0 and p["numInputRows"] > 0
+        ]
+        if steady:
+            out["detect_to_alert_sec"] = round(statistics.median(steady), 3)
     except Exception as exc:  # SLO extras must never break the bench line
         print(f"bench: slo extras failed: {exc!r}", file=sys.stderr)
     return out

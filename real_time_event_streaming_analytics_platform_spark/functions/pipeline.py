@@ -70,21 +70,25 @@ def connected_components(
             .agg(F.min("nbr_comp").alias("nbr_comp"))
             .select(F.col("a").alias("node"), "nbr_comp")
         )
-        new_labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-        )
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("comp").alias("old_comp")), "node"
+        # Carry the change flag through the update itself (new < old ⇔
+        # the label moved) — the convergence count then rides the same
+        # persisted frame instead of paying a new-vs-old join per round.
+        new_comp = F.least(F.col("comp"), F.coalesce("nbr_comp", "comp"))
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                new_comp.alias("new_comp"),
+                (new_comp < F.col("comp")).alias("_changed"),
             )
-            .where(F.col("comp") != F.col("old_comp"))
-            .count()
+            .withColumnRenamed("new_comp", "comp")
+            .persist()
         )
+        changed = new_labels.where(F.col("_changed")).count()
         if prev is not None:
             prev.unpersist()
-        prev, labels = new_labels, new_labels
+        prev = new_labels
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     out = labels.select("node", "comp")
