@@ -68,6 +68,7 @@ _DEMOTED = [
     "x8_decontaminate",
     "x9_source_mixing",
     "x10_curation_funnel",
+    "t7_chunk_dedup",
 ]
 
 

@@ -279,6 +279,14 @@ def _bench_slo(spark, sf_dir: str) -> dict:
 
         ev = generate_events(8000, seed=17, interval_ms=50, outlier_rate=0.05)
         write_jsonl(ev, f"{d}/anom", n_files=4)
+        # State-store partition count is fixed at checkpoint creation from
+        # this conf; size it to the state (a handful of sources), not the
+        # CPU count — 32 RocksDB instances for ~15 keys pays 32 open/commit
+        # cycles per micro-batch for no parallelism gain (measured ~1.5s →
+        # ~0.9s per batch at local[32]). AQE never applies to stateful
+        # exchanges, so this is the one knob that must be explicit.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         parsed = parse_events(
             read_event_stream(spark, f"{d}/anom", max_files_per_trigger=1)
         )
@@ -293,6 +301,7 @@ def _bench_slo(spark, sf_dir: str) -> dict:
             .start()
         )
         q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         steady = [
             p["durationMs"]["triggerExecution"] / 1000.0
             for p in q.recentProgress

@@ -126,6 +126,20 @@ def cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFram
     )
 
 
+def banded_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys from a signature frame — the
+    rows a production deployment persists as the standing dedup index."""
+    band_cols = []
+    for b in range(BANDS):
+        parts = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bh"))
+        )
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
 def minhash_candidates(docs: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """Candidate near-dup pairs (doc_a, doc_b, est_jaccard) via banded LSH.
 
@@ -141,14 +155,7 @@ def minhash_candidates(docs: DataFrame, max_bucket: int | None = MAX_BUCKET) -> 
     deployment writes it as a bucketed table (operators/scale.py
     write_bucketed) instead; ~0.5 KB/doc either way."""
     sig = signature_df(docs).persist()  # (doc_id, sig: array<bigint>)
-    band_cols = []
-    for b in range(BANDS):
-        parts = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bh")))
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    banded = cap_buckets(banded, ["band", "bh"], max_bucket)
+    banded = cap_buckets(banded_df(sig), ["band", "bh"], max_bucket)
 
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
@@ -245,6 +252,66 @@ def simhash_df(docs: DataFrame) -> DataFrame:
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# X2f — incremental near-dup dedup: flag documents of an INCOMING batch
+# that near-duplicate a STANDING corpus index — the daily-ingest path of a
+# production pipeline (nobody re-deduplicates 100 TB to admit one day of
+# crawl). The index side is the persisted (doc_id, band, bh) frame
+# ``banded_df`` produces — in production a bucketed table maintained
+# incrementally (operators/scale.py write_bucketed), here derived from the
+# same documents table by a deterministic predicate so the query is
+# self-contained.
+#
+# Scale shape: the batch is orders of magnitude smaller than the index, so
+# the batch's band keys BROADCAST — the standing index is probed in place
+# with zero shuffle of index rows, and only (batch_id, index_id) id pairs
+# flow into the dedup distinct + signature re-join for scoring.
+# ---------------------------------------------------------------------------
+
+_BATCH_PRED = "doc_id % 10 = 7"  # the incoming batch; the rest is the index
+
+
+@query("x2f_incremental_dedup")
+def x2f_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch docs with ≥1 standing-index near-dup (est_jaccard ≥ 0.5):
+    (doc_id, n_dups, first_match). Rows-only (xxhash64 has no DuckDB
+    twin); planted cross-side dup recall asserted in
+    tests/test_functions.py."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.where(F.expr(_BATCH_PRED))
+    index = docs.where(~F.expr(_BATCH_PRED))
+    sig_b = signature_df(batch).persist()
+    sig_i = signature_df(index).persist()
+    keys_b = banded_df(sig_b).select(
+        F.col("doc_id").alias("batch_id"), "band", "bh"
+    )
+    keys_i = cap_buckets(banded_df(sig_i), ["band", "bh"], MAX_BUCKET).select(
+        F.col("doc_id").alias("index_id"), "band", "bh"
+    )
+    pair_ids = (
+        keys_i.join(F.broadcast(keys_b), ["band", "bh"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    sb = sig_b.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_b"))
+    si = sig_i.select(F.col("doc_id").alias("index_id"), F.col("sig").alias("sig_i"))
+    est = F.expr(
+        f"size(filter(zip_with(sig_b, sig_i, (x, y) -> x = y), v -> v)) / {NUM_HASHES}D"
+    )
+    return (
+        pair_ids.join(sb, "batch_id")
+        .join(si, "index_id")
+        .select("batch_id", "index_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+        .groupBy(F.col("batch_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("index_id").alias("first_match"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("x2c_simhash_near_dup")

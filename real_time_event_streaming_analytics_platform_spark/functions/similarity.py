@@ -382,3 +382,149 @@ def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the IVF index: read by the probe-set collect AND the search join —
     # materialize once (production: a written table, like the LSH index)
     return ivf_probe(spark, assigned.persist(), centers)
+
+
+# ---------------------------------------------------------------------------
+# X3d — product-quantization ANN with ADC scoring + exact re-rank. The
+# memory story that makes 100 TB of embeddings searchable: each vector is
+# compressed to PQ_M subspace centroid codes (8 bytes/vector here vs 256
+# bytes of float32), the scan scores candidates from the CODES ONLY via
+# per-query lookup tables (asymmetric distance computation — one table of
+# PQ_M×PQ_K true sub-dot-products per query, built driver-side in
+# microseconds), and only the top PQ_RERANK approximate hits per query are
+# re-scored exactly against their full vectors. Composes with x3c's cell
+# routing (classic IVFADC) — kept separate here so each index structure is
+# independently testable.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim → 8 dims each)
+PQ_K = 32  # centroids per subspace → 5-bit codes
+PQ_RERANK = 60  # exact re-rank depth per query
+
+
+def pq_train(X):
+    """Per-subspace codebooks (PQ_M, PQ_K, dim/PQ_M) via the same
+    deterministic Lloyd used by the IVF coarse quantizer."""
+    import numpy as np
+
+    sub = X.shape[1] // PQ_M
+    return np.stack(
+        [
+            _lloyd(X[:, m * sub : (m + 1) * sub].copy(), PQ_K, IVF_ITERS)
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """(vec_id, nrm, codes array<int>[PQ_M]) — one Arrow-batched numpy
+    pass; ties in the per-subspace argmin break to the lowest code."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sub = books.shape[2]
+    c_sq = (books**2).sum(axis=2)  # (M, K)
+
+    @pandas_udf("array<int>")
+    def _codes(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        out = np.empty((len(M), PQ_M), dtype="int32")
+        for m in range(PQ_M):
+            S = M[:, m * sub : (m + 1) * sub]
+            out[:, m] = (c_sq[m][None, :] - 2.0 * (S @ books[m].T)).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return emb.select("vec_id", "nrm", _codes("embedding").alias("codes"))
+
+
+@query("x3d_ann_pq")
+def x3d_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: approx dot from codes + lookup tables, exact cosine
+    re-rank of the top PQ_RERANK. Same output shape as x3; recall vs the
+    brute-force oracle asserted in tests/test_functions.py. Rows-only (the
+    codebooks are driver-trained numpy state no SQL engine reproduces)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    sample = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(IVF_TRAIN_MAX)
+        .collect()
+    )
+    books = pq_train(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    sub = books.shape[2]
+
+    # the PQ index: codes + norms, 100× smaller than the vectors; scanned
+    # by the ADC pass and (by ids only) the re-rank join
+    encoded = pq_encode(emb, books).persist()
+
+    qrows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnrm = np.array([r["nrm"] for r in qrows])
+    # ADC tables: T[q, m, k] = <query_q subspace m, codebook centroid k>
+    T = np.stack(
+        [Q[:, m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)], axis=1
+    )
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.int64)  # (B, M)
+        acc = np.zeros((len(C), len(qids)))
+        for m in range(PQ_M):
+            acc += T[:, m, C[:, m]].T  # (B, Q)
+        return pd.Series(list(acc))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    qnrm_arr = F.array(*[F.lit(float(n)) for n in qnrm])
+    scored = (
+        encoded.select("vec_id", "nrm", F.posexplode(_adc("codes")).alias("qpos", "adot"))
+        .select(
+            F.get(qid_arr, F.col("qpos")).alias("qid"),
+            F.col("vec_id").alias("cid"),
+            (F.col("adot") / (F.get(qnrm_arr, F.col("qpos")) * F.col("nrm"))).alias(
+                "approx_cos"
+            ),
+        )
+        .where(F.col("cid") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), "cid")
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") <= PQ_RERANK)
+        .select("qid", "cid")
+    )
+    # exact re-rank: full vectors come back for the shortlist only
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        shortlist.join(corpus, "cid")
+        .join(F.broadcast(q_emb), "qid")
+        .select(
+            "qid",
+            "cid",
+            (F.expr(_dot("q_emb", "c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
+    )

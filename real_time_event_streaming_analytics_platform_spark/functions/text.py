@@ -353,6 +353,97 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# T7 — chunk-level boilerplate dedup (C4-style): split each document into
+# non-overlapping CHUNK_WORDS-word units, hash them, and remove every
+# occurrence of a chunk that appears in ≥ HOT_DOCS distinct documents
+# (headers/footers/licence blocks in a real corpus). Same shape as line-
+# level dedup — the unit is a fixed word window because the synthetic
+# corpus has no newlines; swap the chunker for split(text, '\n') on real
+# data and nothing else changes.
+#
+# Scale shape: the explode emits (doc_id, 16-byte chunk hash) — text never
+# shuffles. Hot chunks are found with one map-side-combined aggregate;
+# the hot set is tiny by construction (only chunks repeated across ≥3
+# docs) so the flag-back join broadcasts. Per-doc removal counts are then
+# one aggregate on doc_id.
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 8
+HOT_DOCS = 3
+
+
+@query(
+    "t7_chunk_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_TOK_DUCK} AS words FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, CAST(floor(len(words) / {CHUNK_WORDS}.0) AS INT) - 1),
+                   i -> md5(array_to_string(
+                            words[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS} + {CHUNK_WORDS}],
+                            ' ')))) AS ch
+        FROM w WHERE len(words) >= {CHUNK_WORDS}
+    ),
+    hot AS (SELECT ch FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {HOT_DOCS}),
+    removed AS (
+        SELECT doc_id, COUNT(*) AS n_removed FROM c JOIN hot USING (ch) GROUP BY 1
+    )
+    SELECT w.doc_id,
+           CAST(floor(len(w.words) / {CHUNK_WORDS}.0) AS BIGINT) AS n_chunks,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           COALESCE(r.n_removed, 0) = 0 AS clean
+    FROM w LEFT JOIN removed r USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def t7_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.withColumn("_words", F.expr(_TOK_SPARK)).select(
+        "doc_id",
+        "_words",
+        F.expr(f"size(_words) div {CHUNK_WORDS}").alias("n_chunks"),
+    )
+    # Guard the short-doc case: sequence(0, -1) in Spark yields the
+    # DESCENDING [0, -1] (step defaults to -1), not an empty array.
+    pos = F.expr(
+        "CASE WHEN n_chunks < 1 THEN array() ELSE sequence(0L, n_chunks - 1) END"
+    )
+    chunks = words.select(
+        "doc_id", F.explode(pos).alias("_i"), "_words"
+    ).select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                f"concat_ws(' ', slice(_words, CAST(_i * {CHUNK_WORDS} + 1 AS INT), {CHUNK_WORDS}))"
+            )
+        ).alias("ch"),
+    )
+    hot = (
+        chunks.groupBy("ch")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= HOT_DOCS)
+        .select("ch")
+    )
+    removed = (
+        chunks.join(F.broadcast(hot), "ch")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    return (
+        words.select("doc_id", F.col("n_chunks").cast("bigint").alias("n_chunks"))
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.coalesce("n_removed", F.lit(0)) == 0).alias("clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "t5_pii_scrub",
     oracle=f"""

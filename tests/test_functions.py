@@ -449,3 +449,93 @@ def test_x10_curation_funnel_monotone_and_consistent(spark):
     lost_clean = sum(r["n_dedup"] - r["n_clean"] for r in rows)
     x8_hits = engine.QUERIES["x8_decontaminate"](spark, SF_DIR).count()
     assert 0 <= lost_clean <= x8_hits
+
+
+def test_x3d_pq_recall_vs_brute(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    brute = engine.QUERIES["x3_cosine_topk"](spark, SF_DIR).collect()
+    pq = engine.QUERIES["x3d_ann_pq"](spark, SF_DIR).collect()
+    b, v = {}, {}
+    for r in brute:
+        b.setdefault(r["qid"], set()).add(r["cid"])
+    for r in pq:
+        v.setdefault(r["qid"], set()).add(r["cid"])
+    # 8 subspaces × 32 centroids + 60-deep exact re-rank: measured ≈ 0.84
+    # at sf0.01 / 0.6 at sf0.1 on this weakly-clustered corpus.
+    recalls = [len(v.get(q, set()) & cids) / len(cids) for q, cids in b.items()]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # re-ranked scores are EXACT cosines: every (qid, cid) both paths
+    # return must carry the identical round2 score
+    bs = {(r["qid"], r["cid"]): r["cos"] for r in brute}
+    for r in pq:
+        if (r["qid"], r["cid"]) in bs:
+            assert r["cos"] == bs[(r["qid"], r["cid"])]
+
+
+def test_x2f_incremental_flags_cross_side_dups_only(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions import dedup as dd
+
+    docs = load(spark, SF_DIR, "documents")
+    # batch doc 100007 (matches doc_id % 10 = 7 after the +100000 shift? no —
+    # choose ids explicitly): near-copy of INDEX doc 4 gets batch id 999997
+    # (% 10 == 7 → batch side); a unique word-soup doc gets 999987.
+    near = docs.where(F.col("doc_id") == 4).select(
+        F.lit(999997).alias("doc_id"),
+        F.concat("text", F.lit(" zzincrementalmarker")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    unique = docs.limit(1).select(
+        F.lit(999987).alias("doc_id"),
+        F.lit("completely unrelated singleton text about nothing at all").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    planted = docs.unionByName(near).unionByName(unique)
+
+    import real_time_event_streaming_analytics_platform_spark.catalog as catalog
+
+    orig = catalog.load
+    try:
+        catalog.load = lambda _s, _d, _t: planted  # noqa: ARG005
+        dd.load = catalog.load
+        out = {r["doc_id"]: r for r in dd.x2f_incremental_dedup(spark, SF_DIR).collect()}
+    finally:
+        catalog.load = orig
+        dd.load = orig
+    assert 999997 in out and out[999997]["first_match"] == 4
+    assert 999987 not in out  # unique batch doc not flagged
+    assert all(d % 10 == 7 for d in out)  # only batch-side docs in the output
+
+
+def test_t7_chunk_dedup_flags_planted_boilerplate(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions import text as tx
+
+    docs = load(spark, SF_DIR, "documents")
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    planted_rows = [
+        (900000 + i, boiler + f" unique tail {i} " + "filler " * 10, "en", "src1", 100)
+        for i in range(4)
+    ]
+    planted = docs.unionByName(
+        spark.createDataFrame(planted_rows, "doc_id long, text string, lang string, source string, n_chars long")
+    )
+    import real_time_event_streaming_analytics_platform_spark.catalog as catalog
+
+    orig = catalog.load
+    try:
+        catalog.load = lambda _s, _d, _t: planted  # noqa: ARG005
+        tx.load = catalog.load
+        out = {r["doc_id"]: r for r in tx.t7_chunk_dedup(spark, SF_DIR).collect()}
+    finally:
+        catalog.load = orig
+        tx.load = orig
+    # the shared leading 8-word chunk appears in 4 docs ≥ HOT_DOCS=3 →
+    # removed from each; the unique tails survive
+    for i in range(4):
+        r = out[900000 + i]
+        assert r["n_removed"] >= 1 and not r["clean"]
+        assert r["n_chunks"] > r["n_removed"]  # tail chunks kept
