@@ -36,16 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 queries() entries
-# only. 63 queries have oracles, so 13 must yield their slot: variants
-# whose base form (or a sibling in the same operator family) already holds
-# a green CORRECTNESS_r02 row (set-op bag variants, cube/grouping-sets
-# next to rollup, q09b next to q09, q20b next to q20, unpivot next to
-# pivot, and the scalar-expression trio q16/q17/q19 — all green in r02).
-# They remain fully registered and oracle-checked locally
-# (tests/test_oracle_queries.py covers every oracle pair); the driver-row
-# slots are prioritized for the LLM-pipeline operators
-# (dedup/text/similarity/multimodal/split/pack/quantize, q21-q23) the
-# brief names first-class.
+# only; more queries have oracles than slots, so some must yield.
+#
+# Round-4 rotation (per VERDICT r03 next-round #2/#8): the five round-3
+# LLM-pipeline operators (t6 repetition, t7 chunk dedup, x8
+# decontamination, x9 source mixing, x10 curation funnel) had never held
+# a driver CORRECTNESS row, so they are promoted into the window this
+# round; five long-stable trivial R-series operators (r1, r5, r12, r13,
+# r14 — green in r01+r02+r03) rotate out in their place. The r02-era
+# demotions (set-op bag variants, cube/grouping-sets next to rollup,
+# q09b next to q09, q20b next to q20, unpivot next to pivot, the scalar
+# trio q16/q17/q19) all hold green r02 rows and stay demoted. Every
+# demoted query remains fully registered and oracle-checked locally —
+# tests/test_oracle_queries.py covers every oracle pair each session.
 _DEMOTED = [
     "q12_union_all",
     "q12_intersect",
@@ -60,15 +63,13 @@ _DEMOTED = [
     "q16_string_funcs",
     "q17_in_between",
     "q19_null_handling",
-    # round-3 additions past the 50-slot window: oracle-checked locally
-    # (tests/test_oracle_queries.py) — the window stays pinned on the
-    # components the round-2 verdict names so correctness rows stay
-    # comparable across rounds.
-    "t6_repetition",
-    "x8_decontaminate",
-    "x9_source_mixing",
-    "x10_curation_funnel",
-    "t7_chunk_dedup",
+    # rotated out in r04 to make room for t6/t7/x8/x9/x10 (green in
+    # r01+r02+r03; trivial operators whose siblings stay in-window)
+    "r1_project_filter",
+    "r5_percentile_cont",
+    "r12_relative_time",
+    "r13_json_extract",
+    "r14_severity_case",
 ]
 
 

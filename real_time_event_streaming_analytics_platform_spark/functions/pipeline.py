@@ -9,7 +9,11 @@ an actual LLM training corpus.
   are near-cliques so the label frontier converges in O(diameter) ≈ 2-3
   rounds. At 100 TB scale the same loop runs with the edge list salted
   on the hot component ids (or swap in large-star/small-star /
-  GraphFrames); iteration count is logged, never unbounded.
+  GraphFrames); iteration count is logged, never unbounded. The edge
+  list comes from the session-scoped materialized candidate index
+  (functions/dedup.py candidate_index) shared with x2/x2b — the
+  shingle→minhash→band pipeline runs once per corpus, not once per
+  consumer.
 - x5: deterministic train/val/test split by md5(doc_id) hex prefix —
   reproducible across engines and runs, no RNG state, and stable under
   corpus growth (a doc's split never depends on other docs).
@@ -26,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..plans.registry import query
-from .dedup import minhash_candidates
+from .dedup import candidate_index
 
 # ---------------------------------------------------------------------------
 # X2e — near-dup groups via connected components on candidate pairs.
@@ -104,8 +108,7 @@ def x2e_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output one row per multi-doc group: keeper (min doc_id), group size,
     and the sorted member list. Rows-only (xxhash64 has no DuckDB twin);
     planted-chain recall asserted in tests/test_functions.py."""
-    docs = load(spark, sf_dir, "documents")
-    edges = minhash_candidates(docs).where(F.col("est_jaccard") >= 0.5)
+    edges = candidate_index(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
     labels = connected_components(edges, "doc_a", "doc_b")
     return (
         labels.groupBy("comp")
@@ -331,8 +334,8 @@ _MIX_THRESH_DUCK = (
     "x9_source_mixing",
     oracle=f"""
     SELECT source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= ({_MIX_THRESH_DUCK})
-                    THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= ({_MIX_THRESH_DUCK})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= ({_MIX_THRESH_DUCK})
                     THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens
     FROM (SELECT source, doc_id, {_WS_TOK_DUCK} AS tokens FROM documents)
@@ -487,10 +490,12 @@ _QUAL_MIN_TOKENS = 20  # regex tokens; drops ~10% of the synthetic corpus
     )
     SELECT source,
            COUNT(*) AS n_raw,
-           SUM(CASE WHEN qual THEN 1 ELSE 0 END) AS n_quality,
-           SUM(CASE WHEN qual AND keep1 THEN 1 ELSE 0 END) AS n_dedup,
-           SUM(CASE WHEN qual AND keep1 AND clean THEN 1 ELSE 0 END) AS n_clean,
-           SUM(CASE WHEN qual AND keep1 AND clean AND mix THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN qual THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN qual AND keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(SUM(CASE WHEN qual AND keep1 AND clean THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+           CAST(SUM(CASE WHEN qual AND keep1 AND clean AND mix THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
            CAST(SUM(CASE WHEN qual AND keep1 AND clean AND mix
                     THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
     FROM flags GROUP BY 1 ORDER BY 1

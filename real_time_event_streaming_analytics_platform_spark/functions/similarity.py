@@ -528,3 +528,154 @@ def x3d_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", round2("cos").alias("cos"))
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3e — IVFADC: the classic composition of x3c's coarse cell routing and
+# x3d's PQ codes (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — the FAISS IndexIVFPQ shape). The index
+# is one distributed Arrow scan producing (vec_id, nrm, cell, codes)
+# where codes quantize the RESIDUAL x − centroid(cell) — residual
+# encoding is what makes 5-bit subspace codes accurate enough, because
+# the coarse quantizer has already removed most of the variance. At
+# search time each query probes its nprobe nearest cells and scores ONLY
+# those cells' rows, from codes alone: <q, x> ≈ <q, c_cell> + Σ_m
+# T[q, m, code_m] (per-query lookup tables over the residual codebooks,
+# built driver-side). Top PQ_RERANK approximate hits per query are then
+# re-scored exactly. 100 TB shape: 8 B/vector index scanned only in the
+# probed cells (nprobe/nlist of the corpus), candidate shuffle carries
+# codes (8 ints) not embeddings, exact vectors touched for the shortlist
+# only.
+# ---------------------------------------------------------------------------
+
+
+def ivfadc_index(emb: DataFrame):
+    """Train coarse + residual-PQ quantizers (bounded driver sample) and
+    encode the corpus in one Arrow pass. Returns (index_df, C, books)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sample = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(IVF_TRAIN_MAX)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    C = _lloyd(X, IVF_NLIST, IVF_ITERS)
+    c_sq = (C**2).sum(axis=1)
+    cells = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+    books = pq_train(X - C[cells])  # residual codebooks
+    sub = books.shape[2]
+    b_sq = (books**2).sum(axis=2)  # (M, K)
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def _index(col: pd.Series) -> pd.DataFrame:
+        M = np.array(col.tolist(), dtype=np.float64)
+        cell = (c_sq[None, :] - 2.0 * (M @ C.T)).argmin(axis=1)
+        R = M - C[cell]
+        codes = np.empty((len(M), PQ_M), dtype="int32")
+        for m in range(PQ_M):
+            S = R[:, m * sub : (m + 1) * sub]
+            codes[:, m] = (b_sq[m][None, :] - 2.0 * (S @ books[m].T)).argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": list(codes)})
+
+    idx = emb.select("vec_id", "nrm", _index("embedding").alias("ix")).select(
+        "vec_id", "nrm", F.col("ix.cell").alias("cell"), F.col("ix.codes").alias("codes")
+    )
+    return idx, C, books
+
+
+@query("x3e_ann_ivfadc")
+def x3e_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k: cell-routed ADC from residual codes + exact re-rank.
+    Same output shape as x3/x3c/x3d; recall vs brute force (and vs x3c at
+    the same nprobe budget) asserted in tests/test_functions.py.
+    Rows-only: driver-trained numpy codebooks have no SQL twin."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    idx, C, books = ivfadc_index(emb)
+    idx = idx.persist()  # the standing index: ADC scan + shortlist read it
+    sub = books.shape[2]
+
+    qrows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
+    qpos = {q: i for i, q in enumerate(qids)}
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnrm = np.array([r["nrm"] for r in qrows])
+    # per-query ADC tables over the residual codebooks: T[q, m, k]
+    T = np.stack(
+        [Q[:, m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)], axis=1
+    )
+    # nprobe nearest cells per query + the <q, centroid> term of the score
+    d = ((C[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)  # (Q, nlist)
+    qdotc = Q @ C.T
+    probe_rows = [
+        (qids[i], int(cell), float(qdotc[i, cell]), float(qnrm[i]))
+        for i in range(len(qids))
+        for cell in np.argsort(d[i])[:IVF_NPROBE]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, cell int, qdotc double, q_nrm double"
+    )
+
+    @pandas_udf("double")
+    def _adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = qid.map(qpos).to_numpy(dtype=np.int64)
+        Cd = np.array(codes.tolist(), dtype=np.int64)  # (B, M)
+        acc = np.zeros(len(Cd))
+        for m in range(PQ_M):
+            acc += T[qi, m, Cd[:, m]]
+        return pd.Series(acc)
+
+    scored = (
+        idx.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            (
+                (F.col("qdotc") + _adc("qid", "codes"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), "cid")
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") <= PQ_RERANK)
+        .select("qid", "cid")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        shortlist.join(corpus, "cid")
+        .join(F.broadcast(q_emb), "qid")
+        .select(
+            "qid",
+            "cid",
+            (F.expr(_dot("q_emb", "c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
+    )

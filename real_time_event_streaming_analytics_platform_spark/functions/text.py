@@ -290,9 +290,11 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # Bind the token array once; the top-token count re-reads it per
-    # distinct token, which stays O(distinct × tokens) per row — fine for
-    # documents, and strictly per-row (no shuffle, scales linearly).
+    # Top-token count via sort + run-length max: O(n log n) per row
+    # instead of the O(distinct × n) rescans of a
+    # transform(array_distinct, t -> size(filter(...))) form — a 1 M-token
+    # document costs ~20 M comparisons, not ~10^12. Still strictly
+    # per-row (no shuffle), still whole-stage-codegen'd.
     base = (
         docs.withColumn("_toks", F.expr(_TOK_SPARK))
         .select(
@@ -300,8 +302,16 @@ def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("size(_toks)").alias("n_tokens"),
             F.expr("size(array_distinct(_toks))").alias("n_distinct"),
             F.expr(
-                """coalesce(array_max(transform(array_distinct(_toks),
-                       t -> size(filter(_toks, x -> x = t)))), 0)"""
+                """aggregate(
+                       array_sort(_toks),
+                       named_struct('prev', cast(null as string),
+                                    'run', 0, 'best', 0),
+                       (acc, t) -> named_struct(
+                           'prev', t,
+                           'run', if(t <=> acc.prev, acc.run + 1, 1),
+                           'best', greatest(acc.best,
+                                            if(t <=> acc.prev, acc.run + 1, 1))),
+                       acc -> acc.best)"""
             ).alias("top_count"),
         )
     )

@@ -949,9 +949,12 @@ def q22_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_sec
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               -- DuckDB SUM(int) is HUGEINT, which the driver's pandas
+               -- hash path renders as float64; cast to match Spark's int64
+               -- (same convention as the d1/x5/x6/t7 oracles).
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                   AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

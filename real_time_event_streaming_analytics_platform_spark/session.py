@@ -86,4 +86,45 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_shipped(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to the Python workers (addPyFile).
+
+    cloudpickle serializes module-level functions BY REFERENCE, so any
+    UDF/mapInPandas body defined in this package requires the package to
+    be importable inside the worker processes. When the driver process
+    was launched from the repo root that happens implicitly via cwd; an
+    external driver (the correctness harness, a notebook, a real
+    cluster) has no such guarantee — addPyFile is the standard way to
+    ship the code, and is exactly what a 1000-executor deployment does.
+    Zipped once per process, added once per SparkContext.
+    """
+    import zipfile
+
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        "/tmp", f"sgr-pkg-{os.getpid()}-{os.path.getmtime(pkg_dir):.0f}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(sc.applicationId)

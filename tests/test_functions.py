@@ -539,3 +539,31 @@ def test_t7_chunk_dedup_flags_planted_boilerplate(spark):
         r = out[900000 + i]
         assert r["n_removed"] >= 1 and not r["clean"]
         assert r["n_chunks"] > r["n_removed"]  # tail chunks kept
+
+
+def test_x3e_ivfadc_recall_vs_brute_and_ivf(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    brute = engine.QUERIES["x3_cosine_topk"](spark, SF_DIR).collect()
+    ivf = engine.QUERIES["x3c_ann_ivf"](spark, SF_DIR).collect()
+    adc = engine.QUERIES["x3e_ann_ivfadc"](spark, SF_DIR).collect()
+    b, v, a = {}, {}, {}
+    for r in brute:
+        b.setdefault(r["qid"], set()).add(r["cid"])
+    for r in ivf:
+        v.setdefault(r["qid"], set()).add(r["cid"])
+    for r in adc:
+        a.setdefault(r["qid"], set()).add(r["cid"])
+    r_ivf = sum(len(v.get(q, set()) & c) / len(c) for q, c in b.items()) / len(b)
+    r_adc = sum(len(a.get(q, set()) & c) / len(c) for q, c in b.items()) / len(b)
+    assert r_adc >= 0.4, (r_adc, r_ivf)
+    # at the same nprobe budget the 60-deep exact re-rank recovers
+    # anything the 5-bit residual codes misrank: IVFADC should match the
+    # exact-scoring IVF (cell-routing recall is the shared ceiling)
+    assert r_adc >= r_ivf - 1e-9, (r_adc, r_ivf)
+    # re-ranked scores are exact cosines — identical round2 values
+    bs = {(r["qid"], r["cid"]): r["cos"] for r in brute}
+    for r in adc:
+        key = (r["qid"], r["cid"])
+        if key in bs:
+            assert bs[key] == r["cos"], key
