@@ -128,36 +128,84 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_TABLES = 8
 BITS_PER_TABLE = 4
 
+# Near-dup detection (x2d) hashes MUCH tighter than top-k search: a
+# cos ≥ 0.95 pair agrees per hyperplane w.p. 1 − θ/π ≈ 0.90, so 12-bit
+# buckets keep ~0.9^12 ≈ 0.28 per-table collision for true near-dups
+# (≈ 0.93 recall across 8 tables) while random pairs (cos ≈ 0.35,
+# per-plane ≈ 0.62) collide at 0.62^12 ≈ 0.3% per table — with 4-bit
+# buckets the candidate set was ~40% of ALL pairs (measured 809k of 2M
+# at sf0.1), i.e. the bucket join had quietly become all-pairs.
+NEAR_DUP_BITS = 12
 
-def _bucket_expr(table: int) -> str:
-    bits = []
-    for p in range(BITS_PER_TABLE):
-        plane = table * BITS_PER_TABLE + p
-        proj = (
-            f"aggregate(sequence(0, size(embedding) - 1), 0D, "
-            f"(acc, d) -> acc + CAST(element_at(embedding, d + 1) AS DOUBLE) "
-            f"* (CASE WHEN (xxhash64({plane}, d) & 1) = 1 THEN 1.0D ELSE -1.0D END))"
+
+def _plane_signs(spark: SparkSession, n_planes: int, dim: int):
+    """(n_planes, dim) ±1 hyperplane matrix from xxhash64 parity bits.
+
+    The signs come from Spark's own xxhash64 (one tiny driver-side job
+    over n_planes × dim ids) so the hyperplanes are deterministic and
+    engine-derived — nothing random to persist or broadcast, and any
+    executor/rebuild reproduces the identical planes."""
+    import numpy as np
+
+    rows = (
+        spark.range(n_planes * dim)
+        .select(
+            (
+                F.xxhash64(
+                    (F.col("id") / dim).cast("int"), (F.col("id") % dim).cast("int")
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias("s")
         )
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
-    return " + ".join(bits)
-
-
-def lsh_tables(emb: DataFrame) -> DataFrame:
-    """One row per (vector, table): vec_id, embedding, nrm, table, bucket."""
-    keys = F.array(
-        *[
-            F.struct(F.lit(t).alias("table"), F.expr(_bucket_expr(t)).alias("bucket"))
-            for t in range(N_TABLES)
-        ]
+        .collect()
     )
+    return np.array([r["s"] for r in rows], dtype=np.float64).reshape(n_planes, dim)
+
+
+def lsh_tables(
+    emb: DataFrame, bits_per_table: int = BITS_PER_TABLE
+) -> DataFrame:
+    """One row per (vector, table): vec_id, embedding, nrm, table, bucket.
+
+    Bucket assignment is one Arrow-batched matmul per batch — all
+    N_TABLES × bits_per_table projections at once — replacing the
+    earlier per-plane interpreted SQL folds (higher-order functions
+    never enter whole-stage codegen, so 96 separate 64-element folds
+    per row were the dominant cost of the near-dup pipeline). Same
+    shape as the IVF assignment pass: driver holds the tiny plane
+    matrix, the corpus streams once."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = emb.sparkSession
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:  # empty corpus: preserve schema, no rows
+        return emb.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.lit(0).alias("table"),
+            F.lit(0).cast("long").alias("bucket"),
+        ).where(F.lit(False))
+    n_planes = N_TABLES * bits_per_table
+    S = _plane_signs(spark, n_planes, int(first["d"]))
+    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.array(col.tolist(), dtype=np.float64)  # (B, dim)
+        bits = (M @ S.T > 0).astype(np.int64)  # (B, n_planes)
+        bk = bits.reshape(len(M), N_TABLES, bits_per_table) @ weights
+        return pd.Series(list(bk))
+
     return emb.select(
-        "vec_id", "embedding", "nrm", F.explode(keys).alias("tb")
-    ).select(
         "vec_id",
         "embedding",
         "nrm",
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+        F.posexplode(_buckets("embedding")).alias("table", "bucket"),
     )
 
 
@@ -181,7 +229,9 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read it and the 32 hyperplane folds behind it are the expensive
     # part, so materialize it once (production: a written index table).
     keys = cap_buckets(
-        lsh_tables(normed).select("vec_id", "table", "bucket"),
+        lsh_tables(normed, bits_per_table=NEAR_DUP_BITS).select(
+            "vec_id", "table", "bucket"
+        ),
         ["table", "bucket"],
         MAX_BUCKET,
     ).persist()

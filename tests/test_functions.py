@@ -567,3 +567,37 @@ def test_x3e_ivfadc_recall_vs_brute_and_ivf(spark):
         key = (r["qid"], r["cid"])
         if key in bs:
             assert bs[key] == r["cos"], key
+
+
+def test_x2d_candidates_stay_subquadratic(spark):
+    """Scale-doctrine guard: with 4-bit buckets the near-dup candidate
+    join had quietly become ~40% of all pairs (809k of 2M at sf0.1).
+    NEAR_DUP_BITS must keep candidates a small fraction of n² — this is
+    the difference between an LSH index and an all-pairs comparison."""
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import MAX_BUCKET, cap_buckets
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        NEAR_DUP_BITS,
+        lsh_tables,
+        with_norm,
+    )
+
+    emb = with_norm(load(spark, SF_DIR, "embeddings"))
+    n = emb.count()
+    keys = cap_buckets(
+        lsh_tables(emb, bits_per_table=NEAR_DUP_BITS).select(
+            "vec_id", "table", "bucket"
+        ),
+        ["table", "bucket"],
+        MAX_BUCKET,
+    )
+    a = keys.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    b = keys.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) / 2
+    assert cands <= 0.05 * all_pairs, (cands, all_pairs)
