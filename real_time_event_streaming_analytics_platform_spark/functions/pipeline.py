@@ -37,66 +37,95 @@ from .dedup import candidate_index
 # ---------------------------------------------------------------------------
 
 
+def _large_star(E: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    # Symmetrize in ONE pass (explode both directions per row) — a union
+    # of two selects would execute the upstream edge pipeline twice.
+    sym = E.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Direct edges large→small, then connect each of u's not-larger
+    neighbors (and u itself) to the minimum of them."""
+    d = E.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfs = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.unionByName(selfs).distinct()
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 15
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
     """(node, comp) labels: comp = min node id of the connected component.
 
-    Min-label propagation: each round every node takes the smallest
-    label among itself and its neighbors. Converges in diameter rounds;
-    ``max_iter`` bounds the worst case (a path graph). Each round is one
-    shuffle on the edge endpoints plus a small label join — no driver
-    data, only the per-round convergence count comes back.
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — the algorithm
+    GraphFrames/GraphX deployments use at this scale): each round is two
+    groupBy-min + join passes over the edge list, and the edge set
+    converges to stars (every node → its component min) in O(log² n)
+    rounds REGARDLESS of graph diameter. The min-label propagation this
+    replaces needed diameter rounds — correct for near-clique dup
+    groups, silently wrong for a chain longer than its iteration cap.
+    No driver data; the only thing collected per round is the (count,
+    xor-of-edge-hashes) convergence fingerprint.
     """
-    # Symmetrize in ONE pass over the edge list (explode both directions
-    # per row) — a union of two selects would execute the upstream edge
-    # pipeline (here: the full LSH candidate generation) once per branch.
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-            )
-        ).alias("e")
-    ).select("e.a", "e.b")
-    sym = sym.persist()
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    # localCheckpoint (not persist) each round: persist caches the DATA
+    # but leaves the logical plan nested — after k rounds Catalyst
+    # re-analyzes a plan of depth O(k·stars), which goes superlinear
+    # fast (the 40-hop-chain test never finished under persist).
+    # Checkpointing truncates the lineage so every round plans against a
+    # constant-size leaf. Local checkpoints are executor-storage-only —
+    # exactly right for a bounded convergence loop; a cluster job that
+    # must survive executor loss uses reliable checkpoint() instead.
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
-    prev = None
+    if E.isEmpty():
+        return E.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    prev_sig = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("node").alias("b"), F.col("comp").alias("nbr_comp")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_comp"))
-            .select(F.col("a").alias("node"), "nbr_comp")
-        )
-        # Carry the change flag through the update itself (new < old ⇔
-        # the label moved) — the convergence count then rides the same
-        # persisted frame instead of paying a new-vs-old join per round.
-        new_comp = F.least(F.col("comp"), F.coalesce("nbr_comp", "comp"))
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                new_comp.alias("new_comp"),
-                (new_comp < F.col("comp")).alias("_changed"),
-            )
-            .withColumnRenamed("new_comp", "comp")
-            .persist()
-        )
-        changed = new_labels.where(F.col("_changed")).count()
-        if prev is not None:
-            prev.unpersist()
-        prev = new_labels
-        labels = new_labels.select("node", "comp")
-        if changed == 0:
+        E = _small_star(_large_star(E)).localCheckpoint()
+        row = E.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
             break
-    out = labels.select("node", "comp")
-    sym.unpersist()
+        prev_sig = sig
+    # At convergence every edge is (node, component-min); roots appear
+    # only on the right — label them with themselves.
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("comp")).unionByName(
+        E.select(F.col("v").alias("node"), F.col("v").alias("comp"))
+    ).distinct()
+    out = labels
     return out
 
 

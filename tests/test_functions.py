@@ -601,3 +601,19 @@ def test_x2d_candidates_stay_subquadratic(spark):
     )
     all_pairs = n * (n - 1) / 2
     assert cands <= 0.05 * all_pairs, (cands, all_pairs)
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-hop path must collapse to one component — diameter-bound
+    label propagation (the algorithm this replaced) cannot do this
+    inside any practical iteration cap; alternating star converges in
+    O(log^2 n) rounds regardless of diameter."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(41)}
