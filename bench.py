@@ -137,6 +137,7 @@ def main() -> None:
         "x3_cosine_topk",
         "x3c_build_sec",
         "x3c_probe_sec",
+        "x3e_ann_ivfadc",
         "x4b_media_features",
         "t2_quality_score",
     ]

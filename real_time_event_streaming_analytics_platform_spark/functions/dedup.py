@@ -283,14 +283,22 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): sign-aggregated bitwise fingerprint."""
     from .._shingle import _parallelize
 
-    words = _parallelize(docs).select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
-    ).where(F.col("word") != "")
-    h = F.xxhash64("word")
+    # Bind the word hash to a column BEFORE the 64 per-bit aggregates:
+    # each aggregate expression references the hash, and aggregate
+    # codegen does not share subexpressions across aggregate functions —
+    # unbound, every row pays 64 xxhash64 evaluations instead of one.
+    words = (
+        _parallelize(docs)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .select("doc_id", F.xxhash64("word").alias("h"))
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]

@@ -78,8 +78,42 @@ def _small_star(E: DataFrame) -> DataFrame:
     return nbrs.unionByName(selfs).distinct()
 
 
+# Below this many edges the distributed loop's fixed per-round cost
+# (2 shuffles + a checkpoint + a fingerprint job, ~0.5-1 s each on an
+# idle cluster) dwarfs the work; a driver-side union-find on ≤100k
+# collected id pairs (≈1.6 MB) finishes in milliseconds. Same bounded-
+# driver-work pattern as the IVF/PQ quantizer training.
+SMALL_GRAPH_LOCAL = 100_000
+
+
+def _local_components(rows) -> dict:
+    """Union-find with path compression; roots are component minima
+    because union always attaches the larger root under the smaller."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        a, b = find(u), find(v)
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    return {x: find(x) for x in {n for e in rows for n in e}}
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    local_threshold: int = SMALL_GRAPH_LOCAL,
 ) -> DataFrame:
     """(node, comp) labels: comp = min node id of the connected component.
 
@@ -91,8 +125,11 @@ def connected_components(
     rounds REGARDLESS of graph diameter. The min-label propagation this
     replaces needed diameter rounds — correct for near-clique dup
     groups, silently wrong for a chain longer than its iteration cap.
-    No driver data; the only thing collected per round is the (count,
-    xor-of-edge-hashes) convergence fingerprint.
+    No node data reaches the driver in the distributed path; the only
+    thing collected per round is the (count, xor-of-edge-hashes)
+    convergence fingerprint. Edge lists at or under ``local_threshold``
+    take a bounded driver-side union-find instead (both paths tested
+    for identical labels).
     """
     # localCheckpoint (not persist) each round: persist caches the DATA
     # but leaves the logical plan nested — after k rounds Catalyst
@@ -108,8 +145,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if E.isEmpty():
+    n_edges = E.count()
+    if n_edges == 0:
         return E.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    if n_edges <= local_threshold:
+        labels = _local_components([(r["u"], r["v"]) for r in E.collect()])
+        return edges.sparkSession.createDataFrame(
+            sorted(labels.items()), "node long, comp long"
+        )
     prev_sig = None
     for _ in range(max_iter):
         E = _small_star(_large_star(E)).localCheckpoint()

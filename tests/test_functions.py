@@ -303,8 +303,16 @@ def test_connected_components_path_graph(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # local union-find path (default for small edge lists) ...
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    # ... and the distributed alternating-star path must agree exactly
+    got_star = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert got_star == want
 
 def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     """200 identical docs form one hot bucket; with a cap below 200 they
@@ -615,5 +623,8 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "src long, dst long"
     )
-    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
     assert got == {i: 0 for i in range(41)}
