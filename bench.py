@@ -330,22 +330,27 @@ def _bench_slo(spark, sf_dir: str) -> dict:
         # ~0.9s per batch at local[32]). AQE never applies to stateful
         # exchanges, so this is the one knob that must be explicit.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        parsed = parse_events(
-            read_event_stream(spark, f"{d}/anom", max_files_per_trigger=1)
-        )
-        q = (
-            anomaly_stream(parsed)
-            .where(F.col("is_anomaly"))
-            .writeStream.format("memory")
-            .queryName("bench_anomaly")
-            .outputMode("append")
-            .option("checkpointLocation", f"{d}/ck_anom")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # restore in finally: the SLO block now runs BEFORE the query
+        # loop, so leaking 8 shuffle partitions past a swallowed
+        # exception here would distort every timed query after it
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            parsed = parse_events(
+                read_event_stream(spark, f"{d}/anom", max_files_per_trigger=1)
+            )
+            q = (
+                anomaly_stream(parsed)
+                .where(F.col("is_anomaly"))
+                .writeStream.format("memory")
+                .queryName("bench_anomaly")
+                .outputMode("append")
+                .option("checkpointLocation", f"{d}/ck_anom")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         steady = [
             p["durationMs"]["triggerExecution"] / 1000.0
             for p in q.recentProgress

@@ -191,6 +191,19 @@ _SIGNATURE_INDEX: dict[tuple[str, str], str] = {}
 _CANDIDATE_INDEX: dict[tuple[str, str, int | None], str] = {}
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit removal: index scratch is per-process state, so
+    every pytest/bench/driver run must also delete it — ~0.5 KB/doc of
+    signatures per run otherwise accumulates in /tmp indefinitely."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized per-document MinHash signatures (doc_id, sig).
 
@@ -201,9 +214,7 @@ def signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _SIGNATURE_INDEX.get(key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="sgr-minhash-sig-") + "/signatures"
+        path = _scratch_dir("sgr-minhash-sig-") + "/signatures"
         docs = load(spark, sf_dir, "documents")
         signature_df(docs).write.mode("overwrite").parquet(path)
         _SIGNATURE_INDEX[key] = path
@@ -217,9 +228,7 @@ def candidate_index(
     key = (spark.sparkContext.applicationId, sf_dir, max_bucket)
     path = _CANDIDATE_INDEX.get(key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="sgr-lsh-index-") + "/candidates"
+        path = _scratch_dir("sgr-lsh-index-") + "/candidates"
         sig = signature_index(spark, sf_dir)
         _candidates_from_sig(sig, max_bucket).write.mode("overwrite").parquet(path)
         _CANDIDATE_INDEX[key] = path

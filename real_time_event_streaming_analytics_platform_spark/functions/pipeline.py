@@ -4,13 +4,12 @@ steps that sit between the per-document ops (dedup/text/similarity) and
 an actual LLM training corpus.
 
 - x2e: connected components over the MinHash-LSH near-dup candidate
-  graph → dedup GROUPS (keeper + members), not just pairs. Iterative
-  min-label propagation, one join + one aggregate per round; dup groups
-  are near-cliques so the label frontier converges in O(diameter) ≈ 2-3
-  rounds. At 100 TB scale the same loop runs with the edge list salted
-  on the hot component ids (or swap in large-star/small-star /
-  GraphFrames); iteration count is logged, never unbounded. The edge
-  list comes from the session-scoped materialized candidate index
+  graph → dedup GROUPS (keeper + members), not just pairs. Alternating
+  large-star/small-star (Kiveris et al., SoCC 2014) — two groupBy-min
+  passes per round, O(log² n) rounds regardless of graph diameter —
+  with a bounded driver-side union-find fast path for edge lists small
+  enough that per-round scheduling overhead dominates. The edge list
+  comes from the session-scoped materialized candidate index
   (functions/dedup.py candidate_index) shared with x2/x2b — the
   shingle→minhash→band pipeline runs once per corpus, not once per
   consumer.
@@ -139,8 +138,14 @@ def connected_components(
     # constant-size leaf. Local checkpoints are executor-storage-only —
     # exactly right for a bounded convergence loop; a cluster job that
     # must survive executor loss uses reliable checkpoint() instead.
+    # Cast ids to long at entry so BOTH paths (driver union-find below,
+    # distributed stars) emit the same (node long, comp long) schema —
+    # output types must not depend on which side of the size threshold
+    # the data lands on.
     E = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()

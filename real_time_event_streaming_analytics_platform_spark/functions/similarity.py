@@ -226,8 +226,9 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     normed = with_norm(load(spark, sf_dir, "embeddings"))
     # The (vec_id, table, bucket) frame is the LSH index: two join sides
-    # read it and the 32 hyperplane folds behind it are the expensive
-    # part, so materialize it once (production: a written index table).
+    # read it and the 96-plane Arrow matmul assignment behind it is the
+    # expensive part, so materialize it once (production: a written
+    # index table).
     keys = cap_buckets(
         lsh_tables(normed, bits_per_table=NEAR_DUP_BITS).select(
             "vec_id", "table", "bucket"

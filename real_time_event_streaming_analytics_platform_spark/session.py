@@ -105,6 +105,7 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     ship the code, and is exactly what a 1000-executor deployment does.
     Zipped once per process, added once per SparkContext.
     """
+    import hashlib
     import zipfile
 
     sc = spark.sparkContext
@@ -112,19 +113,28 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zip_path = os.path.join(
-        "/tmp", f"sgr-pkg-{os.getpid()}-{os.path.getmtime(pkg_dir):.0f}.zip"
-    )
+    members = []
+    sig = hashlib.md5()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(root, fn)
+            rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+            st = os.stat(full)
+            members.append((full, rel))
+            sig.update(f"{rel}:{st.st_mtime_ns}:{st.st_size};".encode())
+    # Content-keyed zip name: a stale zip must never be reused after an
+    # in-place edit (directory mtime does not change when nested files
+    # are edited, and /tmp outlives pids), so the key is the per-file
+    # (path, mtime, size) signature. os.replace keeps concurrent
+    # builders race-free.
+    zip_path = os.path.join("/tmp", f"sgr-pkg-{sig.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+            for full, rel in sorted(members, key=lambda m: m[1]):
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _SHIPPED.add(sc.applicationId)

@@ -565,10 +565,12 @@ def test_x3e_ivfadc_recall_vs_brute_and_ivf(spark):
     r_ivf = sum(len(v.get(q, set()) & c) / len(c) for q, c in b.items()) / len(b)
     r_adc = sum(len(a.get(q, set()) & c) / len(c) for q, c in b.items()) / len(b)
     assert r_adc >= 0.4, (r_adc, r_ivf)
-    # at the same nprobe budget the 60-deep exact re-rank recovers
-    # anything the 5-bit residual codes misrank: IVFADC should match the
-    # exact-scoring IVF (cell-routing recall is the shared ceiling)
-    assert r_adc >= r_ivf - 1e-9, (r_adc, r_ivf)
+    # Cell routing is the shared recall ceiling; IVFADC can only lose
+    # vs exact-scoring IVF when a true neighbor inside a probed cell
+    # falls below the PQ_RERANK=60 ADC shortlist. Allow a small margin
+    # for that (it grows with probed-cell size), but a larger gap means
+    # the residual codes are broken.
+    assert r_adc >= r_ivf - 0.1, (r_adc, r_ivf)
     # re-ranked scores are exact cosines — identical round2 values
     bs = {(r["qid"], r["cid"]): r["cos"] for r in brute}
     for r in adc:
