@@ -341,17 +341,12 @@ def simhash_df(docs: DataFrame) -> DataFrame:
 _BATCH_PRED = "doc_id % 10 = 7"  # the incoming batch; the rest is the index
 
 
-@query("x2f_incremental_dedup")
-def x2f_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch docs with ≥1 standing-index near-dup (est_jaccard ≥ 0.5):
-    (doc_id, n_dups, first_match). Rows-only (xxhash64 has no DuckDB
-    twin); planted cross-side dup recall asserted in
-    tests/test_functions.py."""
-    # Signatures are per-document, so the batch/index split filters the
-    # standing signature index instead of re-hashing either side.
-    sig_all = signature_index(spark, sf_dir)
-    sig_b = sig_all.where(F.expr(_BATCH_PRED))
-    sig_i = sig_all.where(~F.expr(_BATCH_PRED))
+def probe_signature_index(sig_b: DataFrame, sig_i: DataFrame) -> DataFrame:
+    """Probe batch signatures against standing-index signatures:
+    (doc_id, n_dups, first_match) for batch docs with ≥1 near-dup
+    (est_jaccard ≥ 0.5) in the index. The batch band keys broadcast;
+    index rows are probed in place. Shared by batch x2f and the
+    streaming foreachBatch ingest twin (streaming/curation.py)."""
     keys_b = banded_df(sig_b).select(
         F.col("doc_id").alias("batch_id"), "band", "bh"
     )
@@ -378,8 +373,21 @@ def x2f_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dups"),
             F.min("index_id").alias("first_match"),
         )
-        .orderBy("doc_id")
     )
+
+
+@query("x2f_incremental_dedup")
+def x2f_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch docs with ≥1 standing-index near-dup (est_jaccard ≥ 0.5):
+    (doc_id, n_dups, first_match). Rows-only (xxhash64 has no DuckDB
+    twin); planted cross-side dup recall asserted in
+    tests/test_functions.py."""
+    # Signatures are per-document, so the batch/index split filters the
+    # standing signature index instead of re-hashing either side.
+    sig_all = signature_index(spark, sf_dir)
+    sig_b = sig_all.where(F.expr(_BATCH_PRED))
+    sig_i = sig_all.where(~F.expr(_BATCH_PRED))
+    return probe_signature_index(sig_b, sig_i).orderBy("doc_id")
 
 
 @query("x2c_simhash_near_dup")

@@ -138,3 +138,36 @@ def curate_doc_stream(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_toks", "_h")
     )
+
+
+def incremental_dedup_stream(
+    stream_docs: DataFrame, index_sig: DataFrame, out_dir: str
+):
+    """Streaming twin of x2f: probe each arriving micro-batch of
+    documents against the STANDING MinHash signature index and append
+    the near-dup flags — the continuous form of the daily-ingest path
+    (a crawler ships shards all day; each shard is checked against the
+    full corpus index without ever re-scanning the corpus).
+
+    ``foreachBatch`` is the right operator here, not a stream-static
+    join: the probe needs per-batch signature aggregation (explode
+    shingles → groupBy doc) plus a candidate distinct, both of which
+    are batch-only operations — and foreachBatch gives each micro-batch
+    full batch semantics against the static index. The batch band keys
+    broadcast exactly as in x2f; index rows never move.
+
+    Returns a DataStreamWriter; the caller starts it with its own
+    checkpoint. Output parquet rows: (doc_id, n_dups, first_match).
+    """
+    from .._shingle import signature_df
+    from ..functions.dedup import probe_signature_index
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig_b = signature_df(batch_df)
+        probe_signature_index(sig_b, index_sig).write.mode("append").parquet(
+            out_dir
+        )
+
+    return stream_docs.writeStream.foreachBatch(_probe)

@@ -207,3 +207,31 @@ def test_ivf_assignment_matches_driver_argmin(spark):
         x = np.array(r["embedding"], dtype=np.float64)
         want = int(((C - x) ** 2).sum(axis=1).argmin())
         assert r["cell"] == want, (r["vec_id"], r["cell"], want)
+
+
+def test_dedup_consumers_read_materialized_candidate_index(spark):
+    """x2/x2b/x2e share one materialized LSH candidate index: each
+    consumer's plan must READ parquet (the standing index table), not
+    re-run the shingle→minhash→band pipeline (which would show as an
+    explode over the documents scan above the pair join)."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        candidate_index,
+    )
+
+    candidate_index(spark, SF_DIR)  # ensure built
+    plan = _formatted_plan(engine.QUERIES["x2_minhash_near_dup"](spark, SF_DIR))
+    assert "sgr-lsh-index-" in plan, plan[:1200]
+    # the full signature pipeline must NOT appear above the index read
+    assert "documents.parquet" not in plan
+
+
+def test_x3e_probe_set_broadcasts(spark):
+    """IVFADC scale contract: the (qid, cell) probe routing table and
+    the query vectors broadcast — the corpus-side index is probed in
+    place, never shuffled for the join."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    plan = _formatted_plan(engine.QUERIES["x3e_ann_ivfadc"](spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2, plan[:1500]
+    assert "CartesianProduct" not in plan

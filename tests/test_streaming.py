@@ -478,3 +478,70 @@ def _iso(epoch: int) -> str:
     return datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
         "%Y-%m-%dT%H:%M:%SZ"
     )
+
+
+def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
+    """Streaming ingest dedup (foreachBatch probe against the standing
+    MinHash signature index) must flag exactly the docs the batch probe
+    flags, independent of how arrivals split into micro-batches."""
+    import json
+    import os
+
+    from real_time_event_streaming_analytics_platform_spark._shingle import signature_df
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        probe_signature_index,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.curation import (
+        incremental_dedup_stream,
+        read_doc_stream,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    index_sig = signature_df(docs).persist()
+
+    # arriving shard: near-copies of the first 10 corpus docs (one word
+    # appended) under fresh ids, plus 5 unrelated-id originals — every
+    # planted copy must be flagged against the standing index
+    base_rows = sorted(
+        docs.select("doc_id", "source", "text").collect(), key=lambda r: r["doc_id"]
+    )
+    arriving = [
+        {"doc_id": r["doc_id"] + 500000, "source": r["source"],
+         "text": r["text"] + " zzstreammarker"}
+        for r in base_rows[:10]
+    ]
+    base = 1_700_000_000
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    for part, chunk in enumerate((arriving[:5], arriving[5:])):
+        with open(f"{tmpdir}/in/shard{part}.jsonl", "w") as fh:
+            for i, ln in enumerate(chunk):
+                fh.write(json.dumps({**ln, "ts": _iso(base + part * 60 + i)}) + "\n")
+
+    stream = read_doc_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+    q = (
+        incremental_dedup_stream(stream, index_sig, f"{tmpdir}/flags")
+        .option("checkpointLocation", f"{tmpdir}/ck_inc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_id"], r["n_dups"], r["first_match"])
+        for r in spark.read.parquet(f"{tmpdir}/flags").collect()
+    }
+
+    # batch twin over the SAME arriving frame, in one shot
+    arriving_df = spark.createDataFrame(
+        [(ln["doc_id"], ln["text"]) for ln in arriving], "doc_id long, text string"
+    )
+    want = {
+        (r["doc_id"], r["n_dups"], r["first_match"])
+        for r in probe_signature_index(signature_df(arriving_df), index_sig).collect()
+    }
+    index_sig.unpersist()
+    assert got == want
+    # every planted near-copy is caught, and its nearest match is its origin
+    flagged = {d for d, _, _ in got}
+    assert {r["doc_id"] + 500000 for r in base_rows[:10]} <= flagged
