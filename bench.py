@@ -181,6 +181,21 @@ def _bench_ivf_split(spark, sf_dir: str) -> dict[str, float]:
         ivf_probe(spark, assigned, centers).count()
         out["x3c_probe_sec"] = round(time.monotonic() - t0, 3)
         assigned.unpersist()
+
+        from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+            ivfadc_index,
+            ivfadc_probe,
+        )
+
+        t0 = time.monotonic()
+        idx, C, books = ivfadc_index(emb)
+        idx = idx.persist()
+        idx.count()  # materialize codes + cells
+        out["x3e_build_sec"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        ivfadc_probe(spark, idx, C, books, emb).count()
+        out["x3e_probe_sec"] = round(time.monotonic() - t0, 3)
+        idx.unpersist()
     except Exception as exc:
         print(f"bench: ivf split failed: {exc!r}", file=sys.stderr)
     return out

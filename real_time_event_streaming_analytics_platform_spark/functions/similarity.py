@@ -643,13 +643,20 @@ def x3e_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same output shape as x3/x3c/x3d; recall vs brute force (and vs x3c at
     the same nprobe budget) asserted in tests/test_functions.py.
     Rows-only: driver-trained numpy codebooks have no SQL twin."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    idx, C, books = ivfadc_index(emb)
+    # the standing index: the ADC scan and the shortlist re-join read it
+    return ivfadc_probe(spark, idx.persist(), C, books, emb)
+
+
+def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) -> DataFrame:
+    """IVFADC search given a built index — split from the build so the
+    bench can time one-time index construction separately from the
+    per-query probe cost (mirrors ivf_probe for x3c)."""
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    emb = with_norm(load(spark, sf_dir, "embeddings"))
-    idx, C, books = ivfadc_index(emb)
-    idx = idx.persist()  # the standing index: ADC scan + shortlist read it
     sub = books.shape[2]
 
     qrows = sorted(
