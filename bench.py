@@ -208,6 +208,7 @@ def _bench_slo(spark, sf_dir: str) -> dict:
     (cached) tables — the baseline's hot path reads Redis/indexed rows,
     ours reads an in-memory table; the cold full-scan cost is what the
     r-series timings above capture."""
+    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -322,27 +323,26 @@ def _bench_slo(spark, sf_dir: str) -> dict:
         )
 
         # ingest throughput: parse+flatten+watermark over generated
-        # JSONL; best of 3 passes (single samples swung 57-89k ev/s on
-        # identical code — the steady-state rate is what the >=5000
-        # target describes, and the slower passes are scheduler noise)
+        # JSONL. One warmup pass (JSON-parser codegen) then median of 3
+        # — the same steady-state convention as the latency SLOs above;
+        # a single cold sample under-reported by ~2× (57-89k vs ~130k).
         n = 50_000
         d = tempfile.mkdtemp(prefix="sgr-bench-ingest-")
         write_jsonl(generate_events(n, seed=13, interval_ms=20), f"{d}/in", n_files=4)
         raw = spark.read.text(f"{d}/in").withColumnRenamed("value", "raw")
+        parse_events(raw).count()  # warmup
         rates = []
         for _ in range(3):
             t0 = time.monotonic()
             parsed_n = parse_events(raw).count()
             rates.append(parsed_n / (time.monotonic() - t0))
-        out["ingest_events_per_sec"] = round(max(rates))
+        out["ingest_events_per_sec"] = round(statistics.median(rates))
 
         # detection-to-alert (<2s target, README.md:17): steady-state
         # micro-batch processing time of the stateful anomaly job —
         # median triggerExecution of batches AFTER the first (batch 0
         # pays one-time query/state-store startup a long-running job
         # amortizes away).
-        import statistics
-
         from real_time_event_streaming_analytics_platform_spark.streaming.anomaly import (
             anomaly_stream,
         )

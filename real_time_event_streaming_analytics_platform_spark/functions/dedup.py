@@ -341,25 +341,39 @@ def simhash_df(docs: DataFrame) -> DataFrame:
 _BATCH_PRED = "doc_id % 10 = 7"  # the incoming batch; the rest is the index
 
 
-def probe_signature_index(sig_b: DataFrame, sig_i: DataFrame) -> DataFrame:
+def index_probe_frames(sig_i: DataFrame):
+    """(keys_i, si) — the index-side frames a probe joins against.
+
+    Split out so a long-running consumer (the streaming ingest twin)
+    can compute them ONCE — the band explode and the hot-bucket cap's
+    window shuffle are per-index costs, not per-probe costs."""
+    keys_i = cap_buckets(banded_df(sig_i), ["band", "bh"], MAX_BUCKET).select(
+        F.col("doc_id").alias("index_id"), "band", "bh"
+    )
+    si = sig_i.select(F.col("doc_id").alias("index_id"), F.col("sig").alias("sig_i"))
+    return keys_i, si
+
+
+def probe_signature_index(
+    sig_b: DataFrame, sig_i: DataFrame, index_frames=None
+) -> DataFrame:
     """Probe batch signatures against standing-index signatures:
     (doc_id, n_dups, first_match) for batch docs with ≥1 near-dup
     (est_jaccard ≥ 0.5) in the index. The batch band keys broadcast;
     index rows are probed in place. Shared by batch x2f and the
-    streaming foreachBatch ingest twin (streaming/curation.py)."""
+    streaming foreachBatch ingest twin (streaming/curation.py), which
+    passes precomputed ``index_frames`` so the index side is derived
+    once, not per micro-batch."""
     keys_b = banded_df(sig_b).select(
         F.col("doc_id").alias("batch_id"), "band", "bh"
     )
-    keys_i = cap_buckets(banded_df(sig_i), ["band", "bh"], MAX_BUCKET).select(
-        F.col("doc_id").alias("index_id"), "band", "bh"
-    )
+    keys_i, si = index_frames if index_frames else index_probe_frames(sig_i)
     pair_ids = (
         keys_i.join(F.broadcast(keys_b), ["band", "bh"])
         .select("batch_id", "index_id")
         .distinct()
     )
     sb = sig_b.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_b"))
-    si = sig_i.select(F.col("doc_id").alias("index_id"), F.col("sig").alias("sig_i"))
     est = F.expr(
         f"size(filter(zip_with(sig_b, sig_i, (x, y) -> x = y), v -> v)) / {NUM_HASHES}D"
     )

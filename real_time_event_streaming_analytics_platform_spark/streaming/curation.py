@@ -157,17 +157,30 @@ def incremental_dedup_stream(
     broadcast exactly as in x2f; index rows never move.
 
     Returns a DataStreamWriter; the caller starts it with its own
-    checkpoint. Output parquet rows: (doc_id, n_dups, first_match).
+    checkpoint. Output parquet rows: (doc_id, n_dups, first_match)
+    under ``out_dir/batch=<epoch>``.
     """
     from .._shingle import signature_df
-    from ..functions.dedup import probe_signature_index
+    from ..functions.dedup import index_probe_frames, probe_signature_index
+
+    # Index-side frames derive ONCE: the band explode and hot-bucket
+    # window shuffle are per-index costs a per-trigger probe must not
+    # re-pay. Persisted for the stream's lifetime (the standing index
+    # is static by definition here; a refreshed index means a new
+    # stream).
+    keys_i, si = index_probe_frames(index_sig)
+    frames = (keys_i.persist(), si.persist())
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sig_b = signature_df(batch_df)
-        probe_signature_index(sig_b, index_sig).write.mode("append").parquet(
-            out_dir
-        )
+        # Per-epoch overwrite (not append) makes failure replays
+        # idempotent: a re-run of epoch N rewrites batch=N in place
+        # instead of appending duplicate flag rows — the file-sink
+        # analogue of hot_store_writer's batch_id tagging.
+        probe_signature_index(sig_b, None, index_frames=frames).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={epoch_id}")
 
     return stream_docs.writeStream.foreachBatch(_probe)

@@ -577,6 +577,7 @@ def test_x3e_ivfadc_recall_vs_brute_and_ivf(spark):
         key = (r["qid"], r["cid"])
         if key in bs:
             assert bs[key] == r["cos"], key
+    spark.catalog.clearCache()  # drop the queries' persisted ANN indexes
 
 
 def test_x2d_candidates_stay_subquadratic(spark):

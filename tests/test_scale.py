@@ -235,3 +235,4 @@ def test_x3e_probe_set_broadcasts(spark):
     plan = _formatted_plan(engine.QUERIES["x3e_ann_ivfadc"](spark, SF_DIR))
     assert plan.count("BroadcastExchange") >= 2, plan[:1500]
     assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()  # drop the query's persisted index

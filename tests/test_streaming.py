@@ -501,8 +501,9 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
     index_sig = signature_df(docs).persist()
 
     # arriving shard: near-copies of the first 10 corpus docs (one word
-    # appended) under fresh ids, plus 5 unrelated-id originals — every
-    # planted copy must be flagged against the standing index
+    # appended) under fresh ids — every planted copy must be flagged
+    # against the standing index — plus 5 synthetic docs that match
+    # nothing, exercising the no-flag path in the same stream
     base_rows = sorted(
         docs.select("doc_id", "source", "text").collect(), key=lambda r: r["doc_id"]
     )
@@ -511,6 +512,13 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
          "text": r["text"] + " zzstreammarker"}
         for r in base_rows[:10]
     ]
+    clean_ids = []
+    for j in range(5):
+        clean_ids.append(900000 + j)
+        arriving.append(
+            {"doc_id": 900000 + j, "source": "srcz",
+             "text": " ".join(f"zzclean{j}w{k}" for k in range(30))}
+        )
     base = 1_700_000_000
     os.makedirs(f"{tmpdir}/in", exist_ok=True)
     # two files -> two micro-batches with maxFilesPerTrigger=1
@@ -527,9 +535,13 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
         .start()
     )
     q.awaitTermination()
+    # output is partitioned by epoch (batch=N subdirs; replays rewrite
+    # their own partition) — read the root, project the data columns
     got = {
         (r["doc_id"], r["n_dups"], r["first_match"])
-        for r in spark.read.parquet(f"{tmpdir}/flags").collect()
+        for r in spark.read.parquet(f"{tmpdir}/flags")
+        .select("doc_id", "n_dups", "first_match")
+        .collect()
     }
 
     # batch twin over the SAME arriving frame, in one shot
@@ -542,6 +554,7 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
     }
     index_sig.unpersist()
     assert got == want
-    # every planted near-copy is caught, and its nearest match is its origin
+    # every planted near-copy is caught; no synthetic clean doc is flagged
     flagged = {d for d, _, _ in got}
     assert {r["doc_id"] + 500000 for r in base_rows[:10]} <= flagged
+    assert not (set(clean_ids) & flagged)
