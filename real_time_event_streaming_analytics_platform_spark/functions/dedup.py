@@ -305,16 +305,17 @@ def simhash_df(docs: DataFrame) -> DataFrame:
         .where(F.col("word") != "")
         .select("doc_id", F.xxhash64("word").alias("h"))
     )
+    # ±1 sign sum via pure bit arithmetic: sum_i(±1) = 2·sum(bit_i) − n,
+    # so each aggregate is a branchless (h >> i) & 1 sum plus one shared
+    # count — no per-row when/otherwise in any of the 64 lanes.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = words.groupBy("doc_id").agg(*bit_sums)
+    agg = words.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         term = F.shiftleft(bit, i)
