@@ -264,15 +264,13 @@ def _bench_slo(spark, sf_dir: str) -> dict:
             steady-state latencies of a serving process, so exclude
             one-time plan compilation and one-off GC/scheduler noise (a
             single sample swung 2-4× between rounds on identical code)."""
-            import statistics as _st
-
             fn()  # compile the plan outside the timings
             samples = []
             for _ in range(5):
                 t0 = time.monotonic()
                 fn()
                 samples.append(time.monotonic() - t0)
-            return round(_st.median(samples), 3)
+            return round(statistics.median(samples), 3)
 
         # Steady-state serving: the anchor is computed once per hot-table
         # refresh (hot_anchor), and /series reads the minute rollup the
@@ -377,13 +375,13 @@ def _bench_slo(spark, sf_dir: str) -> dict:
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        steady = [
+        steady_batches = [
             p["durationMs"]["triggerExecution"] / 1000.0
             for p in q.recentProgress
             if p["batchId"] > 0 and p["numInputRows"] > 0
         ]
-        if steady:
-            out["detect_to_alert_sec"] = round(statistics.median(steady), 3)
+        if steady_batches:
+            out["detect_to_alert_sec"] = round(statistics.median(steady_batches), 3)
     except Exception as exc:  # SLO extras must never break the bench line
         print(f"bench: slo extras failed: {exc!r}", file=sys.stderr)
     return out

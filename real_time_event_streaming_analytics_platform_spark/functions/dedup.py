@@ -153,9 +153,11 @@ def minhash_candidates(docs: DataFrame, max_bucket: int | None = MAX_BUCKET) -> 
     Spark does not reuse the exchange across them — without
     materialization the shingle→minhash pipeline runs 3-4×. A production
     deployment writes it as a bucketed table (operators/scale.py
-    write_bucketed) instead; ~0.5 KB/doc either way."""
-    sig = signature_df(docs).persist()  # (doc_id, sig: array<bigint>)
-    return _candidates_from_sig(sig, max_bucket)
+    write_bucketed) instead; ~0.5 KB/doc either way. This convenience
+    form recomputes the signature lineage per subplan — engine callers
+    go through ``candidate_index``, which materializes signatures once;
+    this direct form serves tests and ad-hoc frames."""
+    return _candidates_from_sig(signature_df(docs), max_bucket)
 
 
 def _candidates_from_sig(sig: DataFrame, max_bucket: int | None) -> DataFrame:

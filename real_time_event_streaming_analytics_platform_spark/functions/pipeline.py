@@ -142,39 +142,48 @@ def connected_components(
     # distributed stars) emit the same (node long, comp long) schema —
     # output types must not depend on which side of the size threshold
     # the data lands on.
-    E = (
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    typed = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    # Self-loop-only nodes still deserve a (node, node) label even though
+    # self-loops carry no connectivity; appended after either path.
+    selfloops = typed.where(F.col("u") == F.col("v")).select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    )
+    E = typed.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     n_edges = E.count()
     if n_edges == 0:
-        return E.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    if n_edges <= local_threshold:
-        labels = _local_components([(r["u"], r["v"]) for r in E.collect()])
-        return edges.sparkSession.createDataFrame(
-            sorted(labels.items()), "node long, comp long"
+        labels = E.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    elif n_edges <= local_threshold:
+        local = _local_components([(r["u"], r["v"]) for r in E.collect()])
+        labels = edges.sparkSession.createDataFrame(
+            sorted(local.items()), "node long, comp long"
         )
-    prev_sig = None
-    for _ in range(max_iter):
-        E = _small_star(_large_star(E)).localCheckpoint()
-        row = E.agg(
-            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
-        ).first()
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    # At convergence every edge is (node, component-min); roots appear
-    # only on the right — label them with themselves.
-    labels = E.select(F.col("u").alias("node"), F.col("v").alias("comp")).unionByName(
-        E.select(F.col("v").alias("node"), F.col("v").alias("comp"))
-    ).distinct()
-    out = labels
-    return out
+    else:
+        prev_sig = None
+        for _ in range(max_iter):
+            E = _small_star(_large_star(E)).localCheckpoint()
+            row = E.agg(
+                F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+            ).first()
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # At convergence every edge is (node, component-min); roots appear
+        # only on the right — label them with themselves. The groupBy-min
+        # (not a plain distinct) also guarantees ONE label per node if the
+        # loop exits via max_iter before converging: approximate labels
+        # beat silently duplicated group membership.
+        labels = (
+            E.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+            .unionByName(E.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+    return labels.unionByName(
+        selfloops.join(labels.select("node"), "node", "left_anti").distinct()
+    )
 
 
 @query("x2e_dedup_groups")

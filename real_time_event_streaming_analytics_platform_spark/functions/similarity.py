@@ -467,25 +467,71 @@ def pq_train(X):
     )
 
 
+def _pq_argmin_codes(M, books, b_sq):
+    """(B, PQ_M) int32 codes: per-subspace nearest-centroid argmin, ties
+    to the lowest code — the single encode kernel shared by plain PQ
+    (x3d) and residual IVFADC (x3e)."""
+    import numpy as np
+
+    sub = books.shape[2]
+    out = np.empty((len(M), PQ_M), dtype="int32")
+    for m in range(PQ_M):
+        S = M[:, m * sub : (m + 1) * sub]
+        out[:, m] = (b_sq[m][None, :] - 2.0 * (S @ books[m].T)).argmin(axis=1)
+    return out
+
+
 def pq_encode(emb: DataFrame, books) -> DataFrame:
     """(vec_id, nrm, codes array<int>[PQ_M]) — one Arrow-batched numpy
     pass; ties in the per-subspace argmin break to the lowest code."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    sub = books.shape[2]
-    c_sq = (books**2).sum(axis=2)  # (M, K)
+    b_sq = (books**2).sum(axis=2)  # (M, K)
 
     @pandas_udf("array<int>")
     def _codes(col: pd.Series) -> pd.Series:
         M = np.array(col.tolist(), dtype=np.float64)
-        out = np.empty((len(M), PQ_M), dtype="int32")
-        for m in range(PQ_M):
-            S = M[:, m * sub : (m + 1) * sub]
-            out[:, m] = (c_sq[m][None, :] - 2.0 * (S @ books[m].T)).argmin(axis=1)
-        return pd.Series(list(out))
+        return pd.Series(list(_pq_argmin_codes(M, books, b_sq)))
 
     return emb.select("vec_id", "nrm", _codes("embedding").alias("codes"))
+
+
+def rerank_exact(shortlist: DataFrame, emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact-cosine top-k re-rank of (qid, cid) shortlist pairs: full
+    vectors come back for the shortlist only, the query side broadcasts.
+    Shared tail of every ADC-scored index (x3d, x3e) — identical
+    tie-breaking and rounding to the brute-force oracle."""
+    from pyspark.sql import Window
+
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        shortlist.join(corpus, "cid")
+        .join(F.broadcast(q_emb), "qid")
+        .select(
+            "qid",
+            "cid",
+            (F.expr(_dot("q_emb", "c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
+    )
 
 
 @query("x3d_ann_pq")
@@ -550,35 +596,7 @@ def x3d_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("arank") <= PQ_RERANK)
         .select("qid", "cid")
     )
-    # exact re-rank: full vectors come back for the shortlist only
-    corpus = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    exact = (
-        shortlist.join(corpus, "cid")
-        .join(F.broadcast(q_emb), "qid")
-        .select(
-            "qid",
-            "cid",
-            (F.expr(_dot("q_emb", "c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-                "cos"
-            ),
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= TOP_K)
-        .select("qid", "cid", "rank", round2("cos").alias("cos"))
-        .orderBy("qid", "rank")
-    )
+    return rerank_exact(shortlist, emb)
 
 
 # ---------------------------------------------------------------------------
@@ -624,11 +642,7 @@ def ivfadc_index(emb: DataFrame):
     def _index(col: pd.Series) -> pd.DataFrame:
         M = np.array(col.tolist(), dtype=np.float64)
         cell = (c_sq[None, :] - 2.0 * (M @ C.T)).argmin(axis=1)
-        R = M - C[cell]
-        codes = np.empty((len(M), PQ_M), dtype="int32")
-        for m in range(PQ_M):
-            S = R[:, m * sub : (m + 1) * sub]
-            codes[:, m] = (b_sq[m][None, :] - 2.0 * (S @ books[m].T)).argmin(axis=1)
+        codes = _pq_argmin_codes(M - C[cell], books, b_sq)
         return pd.DataFrame({"cell": cell.astype("int32"), "codes": list(codes)})
 
     idx = emb.select("vec_id", "nrm", _index("embedding").alias("ix")).select(
@@ -709,31 +723,4 @@ def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) 
         .where(F.col("arank") <= PQ_RERANK)
         .select("qid", "cid")
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    exact = (
-        shortlist.join(corpus, "cid")
-        .join(F.broadcast(q_emb), "qid")
-        .select(
-            "qid",
-            "cid",
-            (F.expr(_dot("q_emb", "c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-                "cos"
-            ),
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= TOP_K)
-        .select("qid", "cid", "rank", round2("cos").alias("cos"))
-        .orderBy("qid", "rank")
-    )
+    return rerank_exact(shortlist, emb)

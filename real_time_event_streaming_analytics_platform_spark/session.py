@@ -131,10 +131,17 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     # builders race-free.
     zip_path = os.path.join("/tmp", f"sgr-pkg-{sig.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
+        import atexit
+
         tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for full, rel in sorted(members, key=lambda m: m[1]):
                 zf.write(full, rel)
         os.replace(tmp, zip_path)
+        # every source edit mints a new content hash — the creator
+        # removes its zip on exit so stale ones don't pile up in /tmp
+        atexit.register(
+            lambda p=zip_path: os.path.exists(p) and os.remove(p)
+        )
     sc.addPyFile(zip_path)
     _SHIPPED.add(sc.applicationId)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pandas as pd
 
 from real_time_event_streaming_analytics_platform_spark.catalog import TABLES, table_path
 
@@ -56,9 +57,13 @@ def _from_pandas(x):
         return None
     if isinstance(x, float) and math.isnan(x):
         return float("nan")
-    if hasattr(x, "to_pydatetime"):  # pandas.Timestamp / NaT
+    if x is pd.NaT:  # NaT != NaT would otherwise report a false mismatch
+        return None
+    if hasattr(x, "to_pydatetime"):  # pandas.Timestamp
         try:
-            return x.to_pydatetime()
+            v = x.to_pydatetime()
+            # NaT.to_pydatetime() returns NaT rather than raising
+            return None if v != v else v
         except (ValueError, AttributeError):
             return None
     if hasattr(x, "tolist"):  # numpy scalar or array

@@ -304,6 +304,11 @@ def test_connected_components_path_graph(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
     want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # a self-loop adds no connectivity but its node still gets a label
+    edges = edges.union(
+        spark.createDataFrame([(77, 77), (1, 1)], "src long, dst long")
+    )
+    want[77] = 77
     # local union-find path (default for small edge lists) ...
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == want
