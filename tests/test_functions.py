@@ -636,3 +636,48 @@ def test_connected_components_long_chain(spark):
         for r in connected_components(edges, local_threshold=0).collect()
     }
     assert got == {i: 0 for i in range(41)}
+
+
+def test_local_components_property_vs_bfs():
+    """Property check (no Spark): _local_components labels every node
+    with its component's minimum id, for arbitrary small graphs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        _local_components,
+    )
+
+    edges_st = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(edges_st)
+    def check(edges):
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            return
+        got = _local_components(edges)
+        # BFS reference
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {}
+        for start in adj:
+            if start in want:
+                continue
+            seen, frontier = {start}, [start]
+            while frontier:
+                n = frontier.pop()
+                for m in adj[n]:
+                    if m not in seen:
+                        seen.add(m)
+                        frontier.append(m)
+            lo = min(seen)
+            for n in seen:
+                want[n] = lo
+        assert got == want, (edges, got, want)
+
+    check()
