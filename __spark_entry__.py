@@ -50,26 +50,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # demoted query remains fully registered and oracle-checked locally —
 # tests/test_oracle_queries.py covers every oracle pair each session.
 _DEMOTED = [
-    "q12_union_all",
-    "q12_intersect",
-    "q12_except",
-    "q12_intersect_all",
-    "q12_except_all",
-    "q14b_cube",
-    "q14c_grouping_sets",
-    "q09b_analytic_funcs",
-    "q20b_date_diff_buckets",
-    "q28_unpivot",
-    "q16_string_funcs",
-    "q17_in_between",
-    "q19_null_handling",
-    # rotated out in r04 to make room for t6/t7/x8/x9/x10 (green in
-    # r01+r02+r03; trivial operators whose siblings stay in-window)
-    "r1_project_filter",
-    "r5_percentile_cont",
-    "r12_relative_time",
-    "r13_json_extract",
-    "r14_severity_case",
+    # Round-5 rotation (per VERDICT r04 next-round #1): the 18 queries
+    # demoted since r02/r03 (set-op bag variants, cube/grouping-sets,
+    # q09b, q20b, unpivot, the scalar trio, and the five trivial
+    # R-series ops) had driver rows 2-3 rounds stale while the codebase
+    # changed around them, so ALL of them rotate back into the window
+    # this round. In their place, 18 operators that just earned fresh
+    # green r04 rows rotate out: the text-analysis series (t1-t7,
+    # q25/q25b), the corpus-assembly series (x4-x10), and the exact-
+    # dedup/cosine trio (q24, d1, x3). After r05, every oracle-backed
+    # query holds a green driver row from r04 or r05.
+    "t1_lang_id",
+    "t2_quality_score",
+    "t3_token_counts",
+    "t5_pii_scrub",
+    "t6_repetition",
+    "t7_chunk_dedup",
+    "q25_text_stats",
+    "q25b_top_tokens",
+    "x4_multimodal_roundtrip",
+    "x5_train_split",
+    "x6_sequence_pack",
+    "x7_embedding_quantize",
+    "x8_decontaminate",
+    "x9_source_mixing",
+    "x10_curation_funnel",
+    "q24_dedup_exact",
+    "d1_dedup_docs_exact",
+    "x3_cosine_topk",
 ]
 
 
