@@ -79,16 +79,23 @@ def salted_agg(
     return phase1.groupBy(key).agg(*phase2_aggs)
 
 
-def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8) -> None:
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8, path: str | None = None
+) -> None:
     """Materialize a table bucketed (and sorted) on the join key; joins
-    between two tables bucketed the same way need no Exchange."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    between two tables bucketed the same way need no Exchange, and a
+    join whose keys are a superset of the bucket key reads the table
+    pre-partitioned (HashPartitioning(key) satisfies any clustering
+    that contains the key).
+
+    ``path`` makes it an external table at that location — callers that
+    may run inside a session they don't own (the driver contract) use
+    this so no spark-warehouse directory appears under an arbitrary
+    working directory."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def materialize_json_attr(

@@ -141,7 +141,10 @@ def curate_doc_stream(
 
 
 def incremental_dedup_stream(
-    stream_docs: DataFrame, index_sig: DataFrame, out_dir: str
+    stream_docs: DataFrame,
+    index_sig: DataFrame | None,
+    out_dir: str,
+    index_frames=None,
 ):
     """Streaming twin of x2f: probe each arriving micro-batch of
     documents against the STANDING MinHash signature index and append
@@ -156,20 +159,34 @@ def incremental_dedup_stream(
     full batch semantics against the static index. The batch band keys
     broadcast exactly as in x2f; index rows never move.
 
-    Returns a DataStreamWriter; the caller starts it with its own
-    checkpoint. Output parquet rows: (doc_id, n_dups, first_match)
-    under ``out_dir/batch=<epoch>``.
+    Index frames: pass ``index_frames`` (e.g. from
+    ``functions.dedup.bucketed_index_frames`` — the materialized
+    bucketed standing index, nothing cached, nothing to release) OR
+    ``index_sig``, from which the frames are derived once and persisted
+    for the stream's lifetime (the band explode and hot-bucket window
+    shuffle are per-index costs a per-trigger probe must not re-pay).
+
+    Returns ``(writer, release)``: a DataStreamWriter the caller starts
+    with its own checkpoint, and a zero-arg callable that unpersists
+    any internally cached index frames — call it after the stream
+    stops, so a long-lived session that constructs many streams never
+    accumulates orphaned cached frames. Output parquet rows:
+    (doc_id, n_dups, first_match) under ``out_dir/batch=<epoch>``.
     """
     from .._shingle import signature_df
     from ..functions.dedup import index_probe_frames, probe_signature_index
 
-    # Index-side frames derive ONCE: the band explode and hot-bucket
-    # window shuffle are per-index costs a per-trigger probe must not
-    # re-pay. Persisted for the stream's lifetime (the standing index
-    # is static by definition here; a refreshed index means a new
-    # stream).
-    keys_i, si = index_probe_frames(index_sig)
-    frames = (keys_i.persist(), si.persist())
+    if index_frames is not None:
+        frames = index_frames
+        cached = ()
+    else:
+        keys_i, si = index_probe_frames(index_sig)
+        frames = (keys_i.persist(), si.persist())
+        cached = frames
+
+    def release() -> None:
+        for df in cached:
+            df.unpersist()
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -183,4 +200,4 @@ def incremental_dedup_stream(
             "overwrite"
         ).parquet(f"{out_dir}/batch={epoch_id}")
 
-    return stream_docs.writeStream.foreachBatch(_probe)
+    return stream_docs.writeStream.foreachBatch(_probe), release

@@ -226,6 +226,52 @@ def test_dedup_consumers_read_materialized_candidate_index(spark):
     assert "documents.parquet" not in plan
 
 
+def test_x2f_probe_has_no_exchange_on_index_side(spark):
+    """The standing dedup index is a BUCKETED table: a probe against it
+    must show (a) no Exchange over the band keys — the only hash
+    shuffles left are over the small (batch_id, index_id) pair ids —
+    and (b) no Window: the hot-bucket cap is paid at index build, not
+    per probe."""
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        _BATCH_PRED,
+        bucketed_index_frames,
+        probe_signature_index,
+        signature_index,
+        standing_band_index,
+    )
+
+    # the index is a real bucketed catalog table
+    tbl = standing_band_index(spark, SF_DIR)
+    name = [t.name for t in spark.catalog.listTables() if t.name.startswith("sgr_band_index_")]
+    assert name and tbl.columns == ["index_id", "band", "bh"]
+
+    sig_b = signature_index(spark, SF_DIR).where(F.expr(_BATCH_PRED))
+    probe = probe_signature_index(
+        sig_b, None, index_frames=bucketed_index_frames(spark, SF_DIR)
+    )
+    plan = _formatted_plan(probe)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "band" not in line and "bh#" not in line, line
+    assert "Window" not in plan, "bucket cap must be precomputed at index build"
+    # the batch side broadcasts; the bucketed index is probed in place
+    assert "BroadcastExchange" in plan
+    # result parity with the pure-lineage probe (same split, same cap)
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        index_probe_frames,
+    )
+
+    sig_i = signature_index(spark, SF_DIR).where(~F.expr(_BATCH_PRED))
+    want = {
+        (r["doc_id"], r["n_dups"], r["first_match"])
+        for r in probe_signature_index(sig_b, sig_i).collect()
+    }
+    got = {(r["doc_id"], r["n_dups"], r["first_match"]) for r in probe.collect()}
+    assert got == want
+
+
 def test_x3e_probe_set_broadcasts(spark):
     """IVFADC scale contract: the (qid, cell) probe routing table and
     the query vectors broadcast — the corpus-side index is probed in

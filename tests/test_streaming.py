@@ -497,6 +497,7 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
         read_doc_stream,
     )
 
+    cached_before = len(list(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
     docs = load(spark, "/root/testdata/sf0.001", "documents")
     index_sig = signature_df(docs).persist()
 
@@ -528,13 +529,14 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
                 fh.write(json.dumps({**ln, "ts": _iso(base + part * 60 + i)}) + "\n")
 
     stream = read_doc_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+    writer, release = incremental_dedup_stream(stream, index_sig, f"{tmpdir}/flags")
     q = (
-        incremental_dedup_stream(stream, index_sig, f"{tmpdir}/flags")
-        .option("checkpointLocation", f"{tmpdir}/ck_inc")
+        writer.option("checkpointLocation", f"{tmpdir}/ck_inc")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    release()  # drop the stream's cached index frames
     # output is partitioned by epoch (batch=N subdirs; replays rewrite
     # their own partition) — read the root, project the data columns
     got = {
@@ -558,3 +560,6 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
     flagged = {d for d, _, _ in got}
     assert {r["doc_id"] + 500000 for r in base_rows[:10]} <= flagged
     assert not (set(clean_ids) & flagged)
+    # leak check: release() + unpersist leave no NEW cached RDDs behind
+    cached_after = len(list(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
+    assert cached_after <= cached_before
