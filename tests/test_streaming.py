@@ -334,6 +334,215 @@ def test_s10_full_alert_pipeline_end_to_end(spark, tmpdir):
         for a, b in zip(times, times[1:]):
             assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
 
+def test_s11_notifier_fanout_exactly_once_across_restart(spark, tmpdir):
+    """O28 last mile (reference ASVC:232-330): every post-cooldown alert
+    — and ONLY those — reaches the recorded notifier on every enabled
+    channel exactly once, across a stop + new-data + restart of the
+    sink (same checkpoint + delivery log)."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.notify import (
+        NotifierConfig,
+        RecordedTransport,
+        notifier_sink,
+    )
+
+    config = NotifierConfig(
+        email_enabled=True,
+        email_recipients=["ops@example.com"],
+        slack_enabled=True,
+        slack_webhook_url="http://example.com/slack",
+        webhook_enabled=True,
+        custom_webhooks=["http://example.com/hook"],
+    )
+
+    # 30 s apart → several cooldown passes per key; tranche b strictly
+    # after a so micro-batch splits align with event time
+    tranche_a = generate_events(120, seed=201, interval_ms=30000)
+    write_jsonl(tranche_a, f"{tmpdir}/in", prefix="a", n_files=2)
+
+    def alert_cols(df):
+        return df.select("source", F.col("status").alias("severity"), "event_id", "ts")
+
+    def run_once(transport):
+        stream = parse_events(
+            read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+        )
+        q = (
+            notifier_sink(
+                cooldown_stream(alert_cols(stream)),
+                config,
+                transport,
+                delivery_log=f"{tmpdir}/dlog",
+            )
+            .option("checkpointLocation", f"{tmpdir}/ckn")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t1 = RecordedTransport()
+    run_once(t1)
+    assert t1.sent, "first run delivered nothing"
+
+    tranche_b = generate_events(
+        60, seed=202, base_ts=BASE_TS + timedelta(seconds=3600), interval_ms=30000
+    )
+    write_jsonl(tranche_b, f"{tmpdir}/in", prefix="b")
+    t2 = RecordedTransport()
+    run_once(t2)
+    assert t2.sent, "restart delivered nothing for the new tranche"
+
+    # independent single-shot cooldown run over ALL input = expected set
+    expect = run_available_now(
+        cooldown_stream(alert_cols(_read_batch_stream(spark, f"{tmpdir}/in"))),
+        f"{tmpdir}/ck_expect",
+        output_mode="append",
+        name="s11_expect",
+    ).collect()
+    want = {
+        (ch, r["event_id"])
+        for r in expect
+        for ch in ("email", "slack", "webhook")
+    }
+    got = [(m["channel"], m["alert_id"]) for m in t1.sent + t2.sent]
+    assert len(got) == len(set(got)), "duplicate notification delivered"
+    assert set(got) == want
+    # channel payload shapes (ASVC:250-325)
+    by_ch = {m["channel"]: m for m in t1.sent}
+    assert by_ch["email"]["to"] == ["ops@example.com"]
+    assert "subject" in by_ch["email"] and "Alert:" in by_ch["email"]["subject"]
+    assert by_ch["slack"]["payload"]["attachments"][0]["fields"]
+    assert by_ch["webhook"]["url"] == "http://example.com/hook"
+
+
+def _read_batch_stream(spark, path):
+    """The same event stream re-read from scratch (fresh source, no
+    shared checkpoint) for an independent expected-output run."""
+    return parse_events(read_event_stream(spark, path, max_files_per_trigger=1))
+
+
+def test_notifier_replayed_epoch_is_skipped(spark, tmpdir):
+    """Micro-batch replay safety: re-delivering an epoch whose done
+    marker exists is a no-op — the transactional-sink contract that
+    makes notification delivery idempotent under failure replays."""
+    from datetime import datetime
+
+    from real_time_event_streaming_analytics_platform_spark.streaming.notify import (
+        NotifierConfig,
+        RecordedTransport,
+        deliver_batch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("web", "critical", "e1", datetime(2024, 1, 1, 0, 0, 0)),
+            ("db", "warning", "e2", datetime(2024, 1, 1, 0, 1, 0)),
+        ],
+        "source string, severity string, event_id string, ts timestamp",
+    )
+    cfg = NotifierConfig(
+        email_recipients=["ops@example.com"], custom_webhooks=["http://h"]
+    )
+    t = RecordedTransport()
+    n1 = deliver_batch(df, 0, cfg, t, f"{tmpdir}/dlog")
+    n2 = deliver_batch(df, 0, cfg, t, f"{tmpdir}/dlog")  # replay
+    assert n1 == 4  # 2 alerts x (email + webhook)
+    assert n2 == 0 and len(t.sent) == 4
+    # a NEW epoch still delivers
+    assert deliver_batch(df, 1, cfg, t, f"{tmpdir}/dlog") == 4
+
+
+def test_s13_metrics_listener_matches_query_progress(spark, tmpdir):
+    """Observability twin (ASVC:27-31 + prometheus.yml): after a
+    streaming run with the listener attached, the registry's numbers
+    must equal the query's own recentProgress — rows counted, batches
+    counted, state rows, watermark lag — and render in Prometheus text
+    format."""
+    import time
+
+    from real_time_event_streaming_analytics_platform_spark.streaming.metrics import (
+        EngineMetricsListener,
+        MetricsRegistry,
+    )
+
+    events = generate_events(300, seed=211, interval_ms=1000)
+    write_jsonl(events, f"{tmpdir}/in", n_files=3)
+
+    registry = MetricsRegistry()
+    listener = EngineMetricsListener(registry)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            sliding_aggregates(
+                parse_events(
+                    read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+                )
+            )
+            .writeStream.format("noop")
+            .queryName("s13_metrics")
+            .option("checkpointLocation", f"{tmpdir}/ck")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p is not None]
+        want_rows = sum(p["numInputRows"] for p in progress)
+        want_batches = len(progress)
+        label = {"query": "s13_metrics"}
+        # listener delivery is async — poll until the totals land
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if registry.get("streaming_batches_total", label) == want_batches:
+                break
+            time.sleep(0.2)
+        assert registry.get("streaming_batches_total", label) == want_batches
+        assert registry.get("streaming_input_rows_total", label) == want_rows
+        assert want_rows == 300
+        assert registry.get("streaming_batch_duration_ms", label) >= 0
+        # the windowed agg holds state; the final watermark trails max ts
+        assert registry.get("streaming_state_rows", label) > 0
+        lag = registry.get("streaming_watermark_lag_seconds", label)
+        assert lag is not None and lag >= 0
+        text = registry.render()
+        assert 'streaming_input_rows_total{query="s13_metrics"} 300' in text
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_active_alert_gauges_match_counts(spark):
+    """ACTIVE_ALERTS twin (ASVC:331-355): gauges equal the
+    active_alert_counts query, absent severities read 0."""
+    from datetime import datetime
+
+    from real_time_event_streaming_analytics_platform_spark.serving.api import (
+        active_alert_counts,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.metrics import (
+        MetricsRegistry,
+        update_active_alert_gauges,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("web", "critical", t0, False),
+        ("web", "critical", t0, False),
+        ("db", "warning", t0, False),
+        ("db", "warning", t0, True),  # resolved → excluded
+        ("db", "info", datetime(2024, 1, 1, 9, 0, 0), False),  # stale → excluded
+    ]
+    anomalies = spark.createDataFrame(
+        rows, "source string, severity string, ts timestamp, resolved boolean"
+    )
+    registry = MetricsRegistry()
+    update_active_alert_gauges(registry, anomalies)
+    want = {r["severity"]: r["n"] for r in active_alert_counts(anomalies).collect()}
+    assert want == {"critical": 2, "warning": 1}
+    assert registry.get("active_alerts", {"severity": "critical"}) == 2
+    assert registry.get("active_alerts", {"severity": "warning"}) == 1
+    assert registry.get("active_alerts", {"severity": "info"}) == 0
+    assert 'active_alerts{severity="critical"} 2' in registry.render()
+
+
 def test_kafka_source_plan_constructs_or_connector_absent(spark):
     """O1 transport: read_kafka_stream must build an analyzable plan when
     the spark-sql-kafka connector is on the classpath. This container
