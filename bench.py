@@ -106,6 +106,7 @@ def main() -> None:
             spark.catalog.clearCache()
 
     timings.update(_bench_ivf_split(spark, sf_dir))
+    timings.update(_bench_skew(spark, sf))
 
     total = round(sum(v for k, v in timings.items() if k in engine.QUERIES), 3)
     detail = {
@@ -140,6 +141,8 @@ def main() -> None:
         "x3e_ann_ivfadc",
         "x4b_media_features",
         "t2_quality_score",
+        "skew_window_plain_sec",
+        "skew_salted_rewrite_sec",
     ]
     print(
         json.dumps(
@@ -198,6 +201,66 @@ def _bench_ivf_split(spark, sf_dir: str) -> dict[str, float]:
         idx.unpersist()
     except Exception as exc:
         print(f"bench: ivf split failed: {exc!r}", file=sys.stderr)
+    return out
+
+
+def _bench_skew(spark, sf: float | None) -> dict[str, float]:
+    """Aggregation-skew demonstration on a fixture where ONE key holds
+    50% of the rows (~1e8·sf rows total, generated — no testdata table
+    is this large).
+
+    The skew-bound shape is the per-key WINDOW aggregate: partitionBy
+    on the hot key puts half the dataset on one task (plain groupBy is
+    de-skewed by map-side partial aggregation, count-distinct by the
+    two-level rewrite, joins by AQE — a window has no such rescue).
+    ``attach_group_totals`` (operators/scale.py) is the salted_agg +
+    broadcast-join rewrite with identical output; both are timed
+    (median of 3, same forcing aggregate) and the results are checked
+    equal (integer values, so both sums are exact)."""
+    import statistics
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        attach_group_totals,
+    )
+
+    out: dict[str, float] = {}
+    try:
+        n = int(1e8 * (sf or 0.01))
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(400)).cast("string")))
+            .alias("k"),
+            (F.col("id") % 1000).alias("v"),  # long: exact sums both paths
+        )
+        skewed = skewed.persist()
+        skewed.count()
+
+        def force(frame) -> int:
+            return frame.agg(F.sum(F.col("total") + F.col("n"))).collect()[0][0]
+
+        def timed(frame) -> float:
+            force(frame)  # warm: codegen + broadcast build
+            samples = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                force(frame)
+                samples.append(time.monotonic() - t0)
+            return round(statistics.median(samples), 3)
+
+        w = Window.partitionBy("k")
+        plain = skewed.withColumn("total", F.sum("v").over(w)).withColumn(
+            "n", F.count("*").over(w)
+        )
+        rewrite = attach_group_totals(skewed, "k", {"total": "sum(v)", "n": "count(*)"})
+        assert force(plain) == force(rewrite), "skew rewrite changed results"
+        out["skew_window_plain_sec"] = timed(plain)
+        out["skew_salted_rewrite_sec"] = timed(rewrite)
+        skewed.unpersist()
+    except Exception as exc:
+        print(f"bench: skew demo failed: {exc!r}", file=sys.stderr)
     return out
 
 

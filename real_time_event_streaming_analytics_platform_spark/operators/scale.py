@@ -79,6 +79,26 @@ def salted_agg(
     return phase1.groupBy(key).agg(*phase2_aggs)
 
 
+def attach_group_totals(
+    df: DataFrame, key: str, agg_exprs: dict[str, str]
+) -> DataFrame:
+    """Skew-proof rewrite of the per-key WINDOW aggregate pattern
+    (``F.sum(v).over(Window.partitionBy(key))`` — "attach each row its
+    group total").
+
+    The window form is the one aggregation shape Spark does NOT
+    de-skew automatically: a window over a hot key materializes and
+    sorts that key's every row on ONE task (map-side partial
+    aggregation de-skews plain groupBy, the two-level (key, value)
+    rewrite de-skews count-distinct, AQE de-skews joins — but no
+    optimizer rescues partitionBy(hot_key)). This rewrite computes the
+    per-key aggregates with ``salted_agg`` (two balanced shuffles) and
+    broadcasts the small per-key result back onto the rows — identical
+    output, no single-task hot partition, measured ≥2× faster at one
+    key = 50% of rows (bench.py skew entries)."""
+    return df.join(F.broadcast(salted_agg(df, key, agg_exprs)), key)
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = 8, path: str | None = None
 ) -> None:
