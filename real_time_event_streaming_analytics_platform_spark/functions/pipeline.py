@@ -142,9 +142,22 @@ def connected_components(
     # distributed stars) emit the same (node long, comp long) schema —
     # output types must not depend on which side of the size threshold
     # the data lands on.
+    # try_cast, then fail loudly on any NULL: a non-numeric id (e.g. a
+    # string doc hash) must not silently corrupt labels — under ANSI a
+    # plain cast would instead throw an opaque NumberFormatException
+    # mid-job, and with ANSI off it would silently produce NULLs.
+    # Callers with non-numeric ids should map them to longs
+    # (zipWithIndex / xxhash64) before calling.
     typed = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        F.expr(f"try_cast({src} AS long)").alias("u"),
+        F.expr(f"try_cast({dst} AS long)").alias("v"),
     )
+    bad = typed.where(F.col("u").isNull() | F.col("v").isNull()).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"connected_components: {src}/{dst} ids must cast losslessly "
+            "to long (got NULL after cast — non-numeric or null ids)"
+        )
     # Self-loop-only nodes still deserve a (node, node) label even though
     # self-loops carry no connectivity; appended after either path.
     selfloops = typed.where(F.col("u") == F.col("v")).select(

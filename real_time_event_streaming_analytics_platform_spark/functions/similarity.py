@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..plans.registry import query
+from ..plans.registry import query, track_persist
 from ..operators.helpers import round2, sql_round2
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -235,7 +235,8 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["table", "bucket"],
         MAX_BUCKET,
-    ).persist()
+    )
+    keys = track_persist(keys)
     a = keys.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = keys.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     pair_ids = (
@@ -432,7 +433,7 @@ def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centers = ivf_assignments(emb)
     # the IVF index: read by the probe-set collect AND the search join —
     # materialize once (production: a written table, like the LSH index)
-    return ivf_probe(spark, assigned.persist(), centers)
+    return ivf_probe(spark, track_persist(assigned), centers)
 
 
 # ---------------------------------------------------------------------------
@@ -556,7 +557,7 @@ def x3d_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the PQ index: codes + norms, 100× smaller than the vectors; scanned
     # by the ADC pass and (by ids only) the re-rank join
-    encoded = pq_encode(emb, books).persist()
+    encoded = track_persist(pq_encode(emb, books))
 
     qrows = sorted(
         emb.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
@@ -660,7 +661,7 @@ def x3e_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     idx, C, books = ivfadc_index(emb)
     # the standing index: the ADC scan and the shortlist re-join read it
-    return ivfadc_probe(spark, idx.persist(), C, books, emb)
+    return ivfadc_probe(spark, track_persist(idx), C, books, emb)
 
 
 def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) -> DataFrame:

@@ -29,6 +29,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Executor-storage discipline: index-building queries (x2d LSH keys,
+# x3c/x3d/x3e ANN indexes) persist frames that several subplans of the
+# SAME query read. Those frames must not outlive the query in a
+# long-lived serving session, but they can't be unpersisted inside the
+# builder either — the returned DataFrame is executed lazily by the
+# caller, and persist() only pays off during that execution. So
+# builders register their frames here, and the NEXT query invocation
+# (by which point any caller has consumed the previous result —
+# driver, bench, and tests all build→execute→build) releases them;
+# ``release_tracked`` is also public for callers that want storage
+# freed immediately after consuming a result.
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for release at the next query invocation."""
+    _TRACKED.append(df)
+    return df.persist()
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = len(_TRACKED)
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+    return n
+
 
 def query(name: str, oracle: Optional[str] = None):
     """Decorator: register a query builder and (optionally) its oracle SQL.
@@ -39,9 +66,16 @@ def query(name: str, oracle: Optional[str] = None):
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()  # previous query's index frames
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return wrapped
 
     return deco

@@ -127,21 +127,17 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     # Content-keyed zip name: a stale zip must never be reused after an
     # in-place edit (directory mtime does not change when nested files
     # are edited, and /tmp outlives pids), so the key is the per-file
-    # (path, mtime, size) signature. os.replace keeps concurrent
-    # builders race-free.
+    # (path, mtime, size) signature. Each process writes its own tmp
+    # file and os.replace()s UNCONDITIONALLY — an exists-check would
+    # race another process deleting the zip between the check and
+    # addPyFile (cross-process TOCTOU). No deletion on exit either:
+    # content-keyed zips are tiny (~100 KB) and another live process
+    # may still be about to addPyFile the same path.
     zip_path = os.path.join("/tmp", f"sgr-pkg-{sig.hexdigest()[:16]}.zip")
-    if not os.path.exists(zip_path):
-        import atexit
-
-        tmp = f"{zip_path}.{os.getpid()}.tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for full, rel in sorted(members, key=lambda m: m[1]):
-                zf.write(full, rel)
-        os.replace(tmp, zip_path)
-        # every source edit mints a new content hash — the creator
-        # removes its zip on exit so stale ones don't pile up in /tmp
-        atexit.register(
-            lambda p=zip_path: os.path.exists(p) and os.remove(p)
-        )
+    tmp = f"{zip_path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for full, rel in sorted(members, key=lambda m: m[1]):
+            zf.write(full, rel)
+    os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _SHIPPED.add(sc.applicationId)

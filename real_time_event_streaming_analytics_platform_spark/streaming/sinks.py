@@ -109,18 +109,30 @@ def jdbc_writer(url: str, table: str, properties: dict | None = None):
 
 def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "event_date") -> list[str]:
     """Partition values (yyyy-MM-dd) older than max(partition) - keep_days.
-    Listing-only: the caller decides to delete (storage-side operation)."""
-    parts = [
-        row[0]
-        for row in spark.read.parquet(path)
-        .select(partition_col)
-        .distinct()
-        .collect()
-    ]
-    if not parts:
+    Listing-only: the caller decides to delete (storage-side operation).
+
+    Enumerates ``{partition_col}=value`` directory names through the
+    Hadoop FileSystem API — one metadata RPC, no Spark job, no data
+    read. The previous implementation ran ``.distinct()`` over the
+    partition column, which parquet serves cheaply only when a file
+    index is already cached; on a raw 100 TB table it is a full listing
+    PLUS a scan-shaped job. Works on any Hadoop-supported filesystem
+    (local, HDFS, S3A), exactly where the table itself lives."""
+    from datetime import date, timedelta
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return []
-    dates = sorted(str(p) for p in parts)
-    cutoff = spark.sql(
-        f"SELECT date_sub(DATE '{dates[-1]}', {keep_days})"
-    ).first()[0]
-    return [d for d in dates if d < str(cutoff)]
+    prefix = f"{partition_col}="
+    dates = sorted(
+        st.getPath().getName()[len(prefix):]
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+    if not dates:
+        return []
+    newest = date.fromisoformat(dates[-1])
+    cutoff = str(newest - timedelta(days=keep_days))
+    return [d for d in dates if d < cutoff]

@@ -66,6 +66,13 @@ def _from_pandas(x):
             return None if v != v else v
         except (ValueError, AttributeError):
             return None
+    import datetime
+
+    if isinstance(x, datetime.date) and not isinstance(x, datetime.datetime):
+        # DuckDB fetchdf renders DATE as datetime64 (midnight), Spark
+        # toPandas as datetime.date — normalize to the datetime form so
+        # a raw DATE column compares equal across engines.
+        return datetime.datetime.combine(x, datetime.time())
     if hasattr(x, "tolist"):  # numpy scalar or array
         return _freeze(x.tolist())
     if isinstance(x, (list, tuple)):

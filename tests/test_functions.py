@@ -319,6 +319,26 @@ def test_connected_components_path_graph(spark):
     }
     assert got_star == want
 
+def test_connected_components_rejects_nonnumeric_ids(spark):
+    """A string id that casts to NULL must raise, not silently corrupt
+    labels (the long cast is only legal when lossless)."""
+    import pytest
+
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a1", "b2"), ("b2", "c3")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="cast losslessly"):
+        connected_components(edges)
+    # numeric strings cast losslessly and are accepted
+    ok = spark.createDataFrame([("1", "2")], "src string, dst string")
+    got = {r["node"]: r["comp"] for r in connected_components(ok).collect()}
+    assert got == {1: 1, 2: 1}
+
+
 def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     """200 identical docs form one hot bucket; with a cap below 200 they
     produce ZERO candidate pairs (handled by exact dedup instead of a

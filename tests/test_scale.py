@@ -226,6 +226,34 @@ def test_dedup_consumers_read_materialized_candidate_index(spark):
     assert "documents.parquet" not in plan
 
 
+def test_attach_group_totals_equals_window_and_avoids_hot_partition(spark):
+    """The skew rewrite must return exactly the window form's rows, and
+    its plan must contain NO Window node (the skew-bound single-task
+    shape) — the per-key result arrives via a broadcast join of the
+    two-phase salted aggregate."""
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        attach_group_totals,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(7)).cast("string")))
+        .alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    w = Window.partitionBy("k")
+    plain = df.withColumn("total", F.sum("v").over(w)).withColumn(
+        "n", F.count("*").over(w)
+    )
+    rewrite = attach_group_totals(df, "k", {"total": "sum(v)", "n": "count(*)"})
+    key = lambda rows: sorted((r["k"], r["v"], r["total"], r["n"]) for r in rows)
+    assert key(rewrite.collect()) == key(plain.collect())
+    plan = _formatted_plan(rewrite)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_x2f_probe_has_no_exchange_on_index_side(spark):
     """The standing dedup index is a BUCKETED table: a probe against it
     must show (a) no Exchange over the band keys — the only hash
@@ -270,6 +298,36 @@ def test_x2f_probe_has_no_exchange_on_index_side(spark):
     }
     got = {(r["doc_id"], r["n_dups"], r["first_match"]) for r in probe.collect()}
     assert got == want
+
+
+def test_index_persists_released_between_queries(spark):
+    """Storage discipline: the index frames x2d/x3c/x3d/x3e persist for
+    their own execution must not survive past the query — the registry
+    releases them on the next query invocation, and release_tracked()
+    frees them immediately. A long-lived serving session must end each
+    cycle with zero new cached RDDs."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.plans.registry import (
+        release_tracked,
+    )
+
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return len(list(sc._jsc.sc().getRDDStorageInfo()))
+
+    release_tracked()
+    spark.catalog.clearCache()
+    base = n_cached()
+    for name in [
+        "x2d_embedding_near_dup",
+        "x3c_ann_ivf",
+        "x3d_ann_pq",
+        "x3e_ann_ivfadc",
+    ]:
+        engine.QUERIES[name](spark, SF_DIR).count()
+        release_tracked()
+        assert n_cached() <= base, name
 
 
 def test_x3e_probe_set_broadcasts(spark):

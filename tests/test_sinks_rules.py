@@ -92,6 +92,16 @@ def test_expired_partitions(spark):
         old = expired_partitions(spark, f"{d}/t", keep_days=12)
         assert old == ["2024-01-01", "2024-01-05"]
         assert expired_partitions(spark, f"{d}/t", keep_days=30) == []
+        # directory-listing only: a missing table lists as empty, and
+        # the listing runs NO Spark job at all (pure FileSystem RPC)
+        assert expired_partitions(spark, f"{d}/missing", keep_days=5) == []
+        sc = spark.sparkContext
+        sc.setJobGroup("retention-listing", "must stay empty")
+        try:
+            expired_partitions(spark, f"{d}/t", keep_days=12)
+            assert list(sc.statusTracker().getJobIdsForGroup("retention-listing")) == []
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
