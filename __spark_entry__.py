@@ -78,6 +78,10 @@ _DEMOTED = [
     "q24_dedup_exact",
     "d1_dedup_docs_exact",
     "x3_cosine_topk",
+    # Round-5 addition: r16_alertmanager_ingest (new this round, closing
+    # VERDICT r04 "What's missing" #5) takes a window slot; q23 (fixed
+    # and green in r04) yields it, keeping priority at exactly 50.
+    "q23_sessionization",
 ]
 
 

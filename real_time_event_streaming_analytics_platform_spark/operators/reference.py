@@ -653,3 +653,85 @@ def r15_cooldown_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# R16 — Alertmanager webhook ingestion (alert-service main.py:408-435):
+# webhook JSON payloads are parsed, each alert normalized into the
+# AlertPayload shape and fed to the alert path. The query proves the
+# round trip exactly: it FORMATS webhook payloads from error events
+# (to_json, batched 20 alerts per payload like Alertmanager grouping),
+# PARSES them back through streaming/alertmanager.parse_webhook, and the
+# oracle computes the normalized output straight from events — so any
+# drift in schema, label/annotation defaulting, or timestamp handling
+# breaks the hash. Scale: pure from_json/explode projection, no
+# shuffle except the payload-batching groupBy (which exists only to
+# fabricate test payloads; real ingestion is already payload-shaped).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r16_alertmanager_ingest",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS alert_id,
+           'host-' || CAST(user_id % 8 AS VARCHAR) AS source,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           'infrastructure' AS anomaly_type,
+           CASE WHEN value > 150 THEN 'critical' ELSE 'warning' END AS severity,
+           CASE WHEN user_id % 5 = 0 THEN 'Infrastructure alert'
+                ELSE 'error on host-' || CAST(user_id % 8 AS VARCHAR) END
+               AS description,
+           TRUE AS is_anomaly
+    FROM events WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+)
+def r16_alertmanager_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.alertmanager import parse_webhook
+
+    events = load(spark, sf_dir, "events")
+    errs = events.filter(F.col("event_type") == "error")
+    host = F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string"))
+    labels_min = F.create_map(F.lit("instance"), host)
+    labels_sev = F.create_map(
+        F.lit("instance"), host, F.lit("severity"), F.lit("critical")
+    )
+    annotations = F.when(
+        F.col("user_id") % 5 == 0, F.create_map().cast("map<string,string>")
+    ).otherwise(F.create_map(F.lit("summary"), F.concat(F.lit("error on "), host)))
+    alert = F.struct(
+        F.lit("firing").alias("status"),
+        F.when(F.col("value") > 150, labels_sev).otherwise(labels_min).alias("labels"),
+        annotations.alias("annotations"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("startsAt"),
+        F.lit(None).cast("string").alias("endsAt"),
+        F.lit(None).cast("string").alias("generatorURL"),
+        F.col("event_id").cast("string").alias("fingerprint"),
+    )
+    payloads = (
+        errs.groupBy((F.col("event_id") % 20).alias("_g"))
+        .agg(F.collect_list(alert).alias("alerts"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("4").alias("version"),
+                    F.concat(F.lit("{}/{}:"), F.col("_g").cast("string")).alias(
+                        "groupKey"
+                    ),
+                    F.lit("firing").alias("status"),
+                    F.lit("spark-engine").alias("receiver"),
+                    F.col("alerts"),
+                )
+            ).alias("value")
+        )
+    )
+    parsed = parse_webhook(payloads, firing_only=True)
+    return parsed.select(
+        "alert_id",
+        "source",
+        fmt_ts("ts").alias("ts_s"),
+        "anomaly_type",
+        "severity",
+        "description",
+        "is_anomaly",
+    ).orderBy(F.col("alert_id").cast("int"))
