@@ -348,6 +348,21 @@ def _bench_slo(spark, sf_dir: str) -> dict:
         anchor = hot_anchor(hot)
         kpi_df = kpi(hot, window="1m", limit=100, anchor=anchor)
         out["kpi_p50_sec"] = steady(kpi_df.collect)
+        # The production /kpi path (what the reference actually does:
+        # Redis key scan, no query engine): the foreachBatch-maintained
+        # in-process HotStore. Populate it once from the rollup — the
+        # streaming job's upsert — then measure the per-request read.
+        from real_time_event_streaming_analytics_platform_spark.serving.hotstore import HotStore
+
+        store = HotStore()
+        live = hot.where(
+            F.col("window_start") >= F.lit(anchor) - F.expr("INTERVAL 3600 SECONDS")
+        )  # Redis only ever holds TTL-live keys (EventAggregationJob TTL=1h)
+        store.upsert_writer(window="1m")(live, 0)
+        t0 = time.monotonic()
+        for _ in range(1000):
+            store.kpi(window="1m", limit=100)
+        out["kpi_hot_store_p50_sec"] = round((time.monotonic() - t0) / 1000, 6)
         # /series requires a bounded from/to range in the reference API
         # (read-api main.py:296-297) — measure the trailing hour, the
         # dashboard's request shape, served from the minute rollup.
@@ -379,8 +394,10 @@ def _bench_slo(spark, sf_dir: str) -> dict:
         out["slo_note"] = (
             "serving latencies are median-of-5 steady-state reads on a "
             "quiet warm session; spark_job_floor_sec is the scheduler's "
-            "per-job minimum - targets below it need the hot-store "
-            "serving path, not an in-engine scan"
+            "per-job minimum - kpi_hot_store_p50_sec is the production "
+            "/kpi path (foreachBatch-maintained in-process store, the "
+            "reference's own Redis architecture), which sits below that "
+            "floor because it runs no Spark job at all"
         )
 
         # ingest throughput: parse+flatten+watermark over generated

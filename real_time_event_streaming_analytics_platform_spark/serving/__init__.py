@@ -14,3 +14,4 @@ from .api import (  # noqa: F401
     register_views,
     series,
 )
+from .hotstore import DEFAULT_TTL_SECONDS, HotStore  # noqa: F401
