@@ -115,3 +115,71 @@ def test_parse_is_streaming_safe(spark, tmp_path):
         q.stop()
     got = spark.sql("SELECT alert_id, source FROM am_stream").collect()
     assert [(r.alert_id, r.source) for r in got] == [("abc123", "host-3")]
+
+
+def test_s15_infrastructure_alert_full_path(spark, tmp_path):
+    """End-to-end: webhook bodies stream in → parse → cooldown →
+    notifier. Three firing alerts for the same (host, severity): the
+    second lands inside the 300 s cooldown (suppressed), the third
+    outside it (delivered) — so the recorded transport must see exactly
+    two alerts, on every enabled channel."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.anomaly import (
+        cooldown_stream,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.notify import (
+        NotifierConfig,
+        RecordedTransport,
+        notifier_sink,
+    )
+
+    def alert(fp, starts):
+        return {
+            "status": "firing",
+            "labels": {"instance": "host-1", "severity": "critical"},
+            "annotations": {"summary": "disk full"},
+            "startsAt": starts,
+            "fingerprint": fp,
+        }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "w.json").write_text(
+        "\n".join(
+            json.dumps({"value": _payload([a])})
+            for a in (
+                alert("f1", "2024-01-01T00:00:00.000000"),
+                alert("f2", "2024-01-01T00:00:10.000000"),  # in cooldown
+                alert("f3", "2024-01-01T00:06:00.000000"),  # past cooldown
+            )
+        )
+        + "\n"
+    )
+
+    stream = spark.readStream.schema("value string").json(str(src))
+    passed = cooldown_stream(
+        to_cooldown_input(parse_webhook(stream, firing_only=True))
+    )
+    transport = RecordedTransport()
+    config = NotifierConfig(
+        email_enabled=True,
+        email_recipients=["ops@example.com"],
+        webhook_enabled=True,
+        custom_webhooks=["http://hooks.internal/alerts"],
+    )
+    q = (
+        notifier_sink(passed, config, transport, str(tmp_path / "dlog"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_channel = {}
+    for m in transport.sent:
+        by_channel.setdefault(m["channel"], []).append(m)
+    assert set(by_channel) == {"email", "webhook"}
+    for channel, msgs in by_channel.items():
+        ids = {m["alert_id"] for m in msgs}
+        assert ids == {"f1", "f3"}, (channel, ids)
