@@ -345,6 +345,28 @@ def _lloyd(X, k: int, iters: int):
     return C
 
 
+def assign_cells(emb: DataFrame, centers) -> DataFrame:
+    """Assign each vector to its nearest coarse cell under FIXED
+    centroids: one Arrow matmul per batch (the centroid matrix rides to
+    executors in the UDF closure — nlist×dim floats), touching ONLY the
+    rows of ``emb``. This is both the build-time corpus scan and the
+    incremental-ingest admit step (x3f): FAISS ``IndexIVF.add`` is the
+    same operation."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)  # argmin ||x-c||^2 == argmin ||c||^2 - 2 x.c
+
+    @pandas_udf("int")
+    def _cell(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        scores = c_sq[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    return emb.select("vec_id", "embedding", "nrm", _cell("embedding").alias("cell"))
+
+
 def ivf_assignments(emb: DataFrame):
     """Fit the coarse quantizer and return (assigned_df, centers).
 
@@ -353,11 +375,11 @@ def ivf_assignments(emb: DataFrame):
     pass, deterministic, size-capped regardless of corpus size) and runs
     Lloyd there in microseconds; the corpus-wide work is a single
     Arrow-batched pandas-UDF scan assigning each vector to its nearest
-    center via one matmul per batch. No multi-pass distributed fit, no
-    MLlib JIT, nothing grows with the corpus except the one scan.
+    center via one matmul per batch (``assign_cells``). No multi-pass
+    distributed fit, no MLlib JIT, nothing grows with the corpus except
+    the one scan.
     """
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     sample = (
         emb.select("vec_id", "embedding")
@@ -367,18 +389,7 @@ def ivf_assignments(emb: DataFrame):
     )
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     C = _lloyd(X, IVF_NLIST, IVF_ITERS)
-    c_sq = (C**2).sum(axis=1)  # argmin ||x-c||^2 == argmin ||c||^2 - 2 x.c
-
-    @pandas_udf("int")
-    def _cell(col: pd.Series) -> pd.Series:
-        M = np.array(col.tolist(), dtype=np.float64)
-        scores = c_sq[None, :] - 2.0 * (M @ C.T)
-        return pd.Series(scores.argmin(axis=1).astype("int32"))
-
-    assigned = emb.select(
-        "vec_id", "embedding", "nrm", _cell("embedding").alias("cell")
-    )
-    return assigned, list(C)
+    return assign_cells(emb, C), list(C)
 
 
 def ivf_probe(spark: SparkSession, assigned: DataFrame, centers) -> DataFrame:
@@ -434,6 +445,37 @@ def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the IVF index: read by the probe-set collect AND the search join —
     # materialize once (production: a written table, like the LSH index)
     return ivf_probe(spark, track_persist(assigned), centers)
+
+
+# ---------------------------------------------------------------------------
+# X3f — incremental ANN ingest: admit a new batch of embeddings into a
+# STANDING IVF index without retraining the quantizer or rescanning the
+# corpus — the vector twin of x2f's incremental dedup (nobody rebuilds a
+# 100 TB ANN index to admit one day of embeddings). FAISS IndexIVF.add
+# is this exact operation: new vectors are assigned to their nearest
+# EXISTING coarse cell (one Arrow matmul over the batch only — the
+# broadcast centroid matrix is nlist×dim floats) and appended to the
+# cell lists; probes then search the merged posting lists. Accuracy
+# caveat, same as FAISS's: cells drift as the distribution shifts, so a
+# production pipeline retrains/re-splits when batch volume since the
+# last build passes a threshold; within one admit cycle recall matches
+# the full rebuild (pinned by tests/test_functions.py).
+# ---------------------------------------------------------------------------
+
+
+@query("x3f_incremental_ann")
+def x3f_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    # Deterministic ~5% "new today" batch; probe vectors stay standing
+    # so the query set is identical to x3c's and results are comparable.
+    is_new = (F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0) & (
+        F.col("vec_id") >= N_QUERIES
+    )
+    standing, batch = emb.where(~is_new), emb.where(is_new)
+    assigned, centers = ivf_assignments(standing)  # the standing index
+    admitted = assign_cells(batch, centers)  # the incremental add
+    merged = assigned.unionByName(admitted)
+    return ivf_probe(spark, track_persist(merged), centers)
 
 
 # ---------------------------------------------------------------------------

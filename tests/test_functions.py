@@ -701,3 +701,50 @@ def test_local_components_property_vs_bfs():
         assert got == want, (edges, got, want)
 
     check()
+
+
+def test_x3f_incremental_recall_vs_brute(spark):
+    """Admitting a batch into the standing IVF index (no retrain, no
+    corpus rescan) must search the WHOLE corpus at x3c-grade recall."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    brute = engine.QUERIES["x3_cosine_topk"](spark, SF_DIR).collect()
+    inc = engine.QUERIES["x3f_incremental_ann"](spark, SF_DIR).collect()
+    b, v = {}, {}
+    for r in brute:
+        b.setdefault(r["qid"], set()).add(r["cid"])
+    for r in inc:
+        v.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [len(v.get(q, set()) & cids) / len(cids) for q, cids in b.items()]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_x3f_planted_batch_vector_found(spark):
+    """A batch vector identical to a probe vector MUST surface at rank 1
+    with cosine 1.0 after incremental admit — proving admitted vectors
+    land in searchable cells, not a side table."""
+    import numpy as np
+
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        assign_cells,
+        ivf_assignments,
+        ivf_probe,
+        with_norm,
+    )
+
+    rng = np.random.RandomState(0)
+    standing_rows = [
+        (int(i), [float(x) for x in rng.randn(8)]) for i in range(300)
+    ]
+    batch_rows = [(1000, list(standing_rows[0][1]))]  # copy of query 0
+    schema = "vec_id long, embedding array<double>"
+    standing = with_norm(spark.createDataFrame(standing_rows, schema))
+    batch = with_norm(spark.createDataFrame(batch_rows, schema))
+
+    assigned, centers = ivf_assignments(standing)
+    merged = assigned.unionByName(assign_cells(batch, centers))
+    assert merged.count() == 301
+    got = ivf_probe(spark, merged, centers).collect()
+    top0 = [r for r in got if r["qid"] == 0 and r["rank"] == 1]
+    assert top0 and top0[0]["cid"] == 1000, top0
+    assert abs(top0[0]["cos"] - 1.0) < 1e-6
