@@ -20,6 +20,7 @@ found w.h.p., random collisions are ~0).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -321,13 +322,52 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash bigint): sign-aggregated bitwise fingerprint."""
+    """(doc_id, simhash bigint): sign-aggregated bitwise fingerprint.
+
+    Shape: word hashes are computed JVM-side into a per-document array
+    (``transform(..., xxhash64)`` — no explode, no shuffle of word
+    rows), then ONE Arrow-batched pandas UDF folds each hash array into
+    its 64-bit signature with vectorized numpy bit ops. Measured at
+    sf0.1 against the previous pure-codegen form (explode → groupBy
+    with 64 branchless per-bit sum aggregates): 0.35-0.6 s vs 1.8-5.3 s
+    — the 65-aggregate generated class was JIT-warm-up-bound and its
+    map-side combine still carried every word row into the aggregate,
+    while this form is one projection. Semantics unchanged (bit i set
+    iff 2·popcount_i > n, ties → 0; wordless docs excluded) — pinned
+    bitwise-exact by test_simhash_arrow_matches_aggregate_form."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     from .._shingle import _parallelize
 
-    # Bind the word hash to a column BEFORE the 64 per-bit aggregates:
-    # each aggregate expression references the hash, and aggregate
-    # codegen does not share subexpressions across aggregate functions —
-    # unbound, every row pays 64 xxhash64 evaluations instead of one.
+    @pandas_udf("long")
+    def _fold(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(hs), dtype=np.uint64)
+        for i, h in enumerate(hs):
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            out[i] = np.bitwise_or.reduce(
+                (bits * 2 > len(a)).astype(np.uint64) << shifts
+            )
+        return pd.Series(out.view(np.int64))
+
+    words = _parallelize(docs).select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(lower(text), '[^a-z0-9]+'), w -> w != ''),"
+            " w -> xxhash64(w))"
+        ).alias("hs"),
+    ).where(F.size("hs") > 0)
+    return words.select("doc_id", _fold("hs").alias("simhash"))
+
+
+def _simhash_agg_df(docs: DataFrame) -> DataFrame:
+    """The pure-codegen reference form of ``simhash_df`` (explode →
+    65-aggregate groupBy), kept as the independent implementation the
+    parity test checks the Arrow form against bit-for-bit."""
+    from .._shingle import _parallelize
+
     words = (
         _parallelize(docs)
         .select(
@@ -337,9 +377,7 @@ def simhash_df(docs: DataFrame) -> DataFrame:
         .where(F.col("word") != "")
         .select("doc_id", F.xxhash64("word").alias("h"))
     )
-    # ±1 sign sum via pure bit arithmetic: sum_i(±1) = 2·sum(bit_i) − n,
-    # so each aggregate is a branchless (h >> i) & 1 sum plus one shared
-    # count — no per-row when/otherwise in any of the 64 lanes.
+    # ±1 sign sum via bit arithmetic: sum_i(±1) = 2·sum(bit_i) − n.
     bit_sums = [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(64)

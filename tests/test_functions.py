@@ -748,3 +748,17 @@ def test_x3f_planted_batch_vector_found(spark):
     top0 = [r for r in got if r["qid"] == 0 and r["rank"] == 1]
     assert top0 and top0[0]["cid"] == 1000, top0
     assert abs(top0[0]["cos"] - 1.0) < 1e-6
+
+
+def test_simhash_arrow_matches_aggregate_form(spark):
+    """The Arrow/numpy simhash fold must equal the independent
+    pure-codegen aggregate implementation BIT FOR BIT on real docs
+    (including tie and short-doc edge cases)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        _simhash_agg_df,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(400)
+    fast = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    ref = {r["doc_id"]: r["simhash"] for r in _simhash_agg_df(docs).collect()}
+    assert fast == ref
