@@ -78,10 +78,13 @@ _DEMOTED = [
     "q24_dedup_exact",
     "d1_dedup_docs_exact",
     "x3_cosine_topk",
-    # Round-5 addition: r16_alertmanager_ingest (new this round, closing
-    # VERDICT r04 "What's missing" #5) takes a window slot; q23 (fixed
-    # and green in r04) yields it, keeping priority at exactly 50.
+    # Round-5 additions: r16_alertmanager_ingest (closing VERDICT r04
+    # "What's missing" #5) and q26b_hash_sample (upgrading the sampling
+    # category from rows-only to oracle-backed) each take a window slot;
+    # q23 and q27 (both green in r04) yield theirs, keeping priority at
+    # exactly 50.
     "q23_sessionization",
+    "q27_pivot",
 ]
 
 

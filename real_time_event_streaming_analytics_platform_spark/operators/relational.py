@@ -579,6 +579,39 @@ def q26_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q26b — deterministic HASH sample: the production sampling shape for
+# pipelines that must be reproducible across engines, re-runs and
+# backfills (Bernoulli `sample()` depends on Spark's per-partition RNG —
+# rows-only above). Keying the predicate on a cryptographic-hash prefix
+# of a stable id gives every engine the same ~5.1% subset (13/256 two-hex
+# prefixes), the scan stays a single pushed-filter pass, and the rate
+# tunes by prefix range. Oracle-backed because md5 is identical
+# everywhere — this upgrades the sampling category from rows-only to
+# hash-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26b_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+    ORDER BY o_orderkey
+    """,
+)
+def q26b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "0d"
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q27 — PIVOT: order counts per status spread across priority columns.
 # The oracle uses the portable conditional-aggregation form (what PIVOT
 # desugars to), so both engines compute identical CASE/COUNT aggregates.
