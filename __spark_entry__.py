@@ -85,6 +85,17 @@ _DEMOTED = [
     # exactly 50.
     "q23_sessionization",
     "q27_pivot",
+    # Round-5 additions (batch 2): q29_gapfill_series, q30_recursive
+    # _hierarchy, q31_lateral_topk, and q32_ewma_trend (gap-fill,
+    # WITH RECURSIVE, LATERAL, and sequential-per-key smoothing — four
+    # SQL/analytic categories the engine did not previously cover) each
+    # take a window slot; four join variants green in r04 (q04/q05/q06/
+    # q08 — the join category stays driver-covered by q02/q03/q07) yield
+    # theirs, keeping priority at exactly 50.
+    "q04_orders_histogram",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q08_broadcast_join",
 ]
 
 

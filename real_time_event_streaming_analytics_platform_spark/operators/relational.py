@@ -1022,3 +1022,226 @@ def q23_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — gap-filled time series: the cold store's signature capability
+# (TimescaleDB `time_bucket_gapfill`, which the reference's /series SQL
+# surface delegates to — infra/docker-compose/init-scripts/
+# 01-init-timescaledb.sql provisions hypertables exactly for this class
+# of query). Spark-first shape: the dense spine is generated with
+# `sequence()` + `explode` from a single-row bounds aggregate broadcast
+# against the distinct key set — NO driver loop, NO recursive iteration —
+# then left-joined to the sparse aggregate. At 100 TB the spine is
+# |keys| x |buckets| rows (tiny relative to the fact table: the events
+# scan is one pushed-projection pass and the join shuffles only the
+# already-aggregated hourly rows, never raw events).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_gapfill_series",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS event_count, {sql_davg('value')} AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS mn,
+             date_trunc('hour', MAX(ts)) AS mx
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    )
+    SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COALESCE(hourly.event_count, 0) AS BIGINT) AS event_count,
+           hourly.avg_v
+    FROM spine s
+    LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+    ORDER BY 1, 2
+    """,
+)
+def q29_gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("event_count"), davg("value").alias("avg_v"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            fmt_ts("h").alias("bucket"),
+            F.coalesce("event_count", F.lit(0)).alias("event_count"),
+            "avg_v",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — recursive CTE hierarchy traversal (WITH RECURSIVE, new in Spark
+# 4.0, SPARK-24497): each customer's implicit manager chain is
+# node -> node DIV 2 (a deterministic binary org tree over c_custkey),
+# walked to the root and rolled up into a depth histogram. This is the
+# org-chart / BOM-traversal query class the reference delegates to
+# PostgreSQL (which has had WITH RECURSIVE all along). Execution shape:
+# Spark runs each recursive step as a distributed self-union — iteration
+# count is the hierarchy DEPTH (log2 n for this tree: ~18 at sf1, ~40 at
+# a trillion keys), never the row count, so the plan scales as
+# depth x (one narrow shuffle per step).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, node // 2, depth + 1 FROM walk WHERE node > 1
+    ),
+    per_cust AS (SELECT c_custkey, MAX(depth) AS depth FROM walk GROUP BY 1)
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM per_cust GROUP BY depth ORDER BY depth
+    """,
+)
+def q30_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        ),
+        per_cust AS (SELECT c_custkey, MAX(depth) AS depth FROM walk GROUP BY 1)
+        SELECT depth, COUNT(*) AS n_customers,
+               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM per_cust GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31 — correlated LATERAL subquery with ORDER BY ... LIMIT (top-3 orders
+# per market segment). The lateral-join SQL surface (PostgreSQL LATERAL,
+# present in the cold store the reference delegates to) is distinct from
+# the window-function top-k in q09/q11: the per-row subquery is written
+# as a dependent subquery and Catalyst de-correlates it into a plain
+# join + per-key limit — the executed plan has NO CartesianProduct and
+# NO BroadcastNestedLoopJoin (pinned by the plan-audit test), so the
+# shape survives arbitrary key cardinality.
+# ---------------------------------------------------------------------------
+
+_Q31_SQL = """
+SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = s.c_mktsegment
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 3
+) t
+ORDER BY 1, 3 DESC, 2
+"""
+
+
+@query("q31_lateral_topk", oracle=_Q31_SQL)
+def q31_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q31_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q32 — EWMA trend smoothing over the hourly /series aggregate
+# (s_t = 0.5*x_t + 0.5*s_{t-1}), the dashboard trend-line the reference's
+# Grafana layer computes client-side. EWMA is inherently sequential per
+# key — NOT expressible with SQL window frames — so this is the canonical
+# applyInPandas shape: parallel across keys, a vectorized-in, scalar-loop
+# pass within each key's (bounded: 120 buckets) series. The oracle is a
+# DuckDB recursive CTE computing the identical float64 recursion; both
+# engines perform the same IEEE ops in the same order, so the doubles
+# agree bitwise (then floor-rounded via the shared round2 scheme).
+# Window bounded to the 5 days before the corpus max ts (the registry's
+# relative-time anchor convention) so oracle recursion depth is ~120.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_ewma_trend",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, {sql_davg('value')} AS avg_v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('hour', ts)) AS rn
+      FROM events
+      WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 5 DAY
+      GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT event_type, h, rn, avg_v, avg_v AS ewma_raw FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_type, b.h, b.rn, b.avg_v, 0.5 * b.avg_v + 0.5 * r.ewma_raw
+      FROM base b JOIN rec r ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, avg_v,
+           floor(ewma_raw * 100 + 0.5) / 100 AS ewma
+    FROM rec ORDER BY 1, 2
+    """,
+)
+def q32_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("mx"))
+    base = (
+        events.crossJoin(F.broadcast(anchor))
+        .where(F.col("ts") >= F.col("mx") - F.expr("interval 5 days"))
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(davg("value").alias("avg_v"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        x = pdf["avg_v"].to_numpy(dtype=np.float64)
+        if len(x) == 0:
+            pdf["ewma"] = x
+            return pdf
+        s = np.empty_like(x)
+        acc = x[0]
+        s[0] = acc
+        for i in range(1, len(x)):
+            acc = 0.5 * x[i] + 0.5 * acc
+            s[i] = acc
+        pdf["ewma"] = np.floor(s * 100 + 0.5) / 100
+        return pdf
+
+    out = base.groupBy("event_type").applyInPandas(
+        ewma, schema="event_type string, h timestamp, avg_v double, ewma double"
+    )
+    return out.select(
+        "event_type", fmt_ts("h").alias("bucket"), "avg_v", "ewma"
+    ).orderBy("event_type", "bucket")
