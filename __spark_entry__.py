@@ -96,6 +96,11 @@ _DEMOTED = [
     "q05_semi_join",
     "q06_anti_join",
     "q08_broadcast_join",
+    # Round-5 additions (batch 3): r13b_variant_json (Spark 4 VARIANT
+    # twin of r13, oracle-identical by construction) takes the slot of
+    # q11_topk (green r04; top-k stays driver-covered by q09 ranking and
+    # q31's lateral per-key top-k).
+    "q11_topk",
 ]
 
 

@@ -596,6 +596,36 @@ def r13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R13b — the same JSONB access through Spark 4's VARIANT type
+# (parse_json → variant_get): the 100 TB semi-structured path. r13's
+# get_json_object re-parses the JSON string at every access; VARIANT
+# parses once into a binary-encoded value that downstream extractions
+# (and, when persisted, the parquet variant shredding) read without
+# re-tokenizing — the PostgreSQL JSONB analogue (the reference stores
+# attributes as JSONB, 01-init-timescaledb.sql). Oracle-identical to
+# r13 by construction: both engines must agree that the variant path
+# changes the execution strategy, never the answer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r13b_variant_json",
+    oracle="""
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS c
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def r13b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(F.parse_json("props").alias("v"))
+        .groupBy(F.try_variant_get("v", "$.k", "int").alias("k"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
 # R14 — severity classification thresholds (AnomalyDetectionJob.java:
 # 327-337), value-domain variant per SURVEY §2c.
 # ---------------------------------------------------------------------------
