@@ -133,3 +133,102 @@ def materialize_json_attr(
     if cast is not None:
         col = col.cast(cast)
     return df.withColumn(out_col, col)
+
+
+def _interleave_bits(a: Column, b: Column, bits: int) -> Column:
+    """Bit-interleave two ``bits``-wide non-negative ints (Morton/Z
+    curve): z = ... b1 a1 b0 a0. Pure column arithmetic — constant-
+    folded shifts, no UDF, stays inside whole-stage codegen."""
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    bits: int = 8,
+) -> None:
+    """Z-order (Morton-curve) data layout on two columns: the multi-
+    dimensional clustering that makes parquet min/max row-group pruning
+    effective for predicates on EITHER or BOTH columns — the open-source
+    Spark twin of Delta/Databricks OPTIMIZE ZORDER BY.
+
+    Why it matters at 100 TB: sorting by one column makes its min/max
+    ranges tight but leaves every other column's ranges full-width in
+    every file; a filter on a second dimension then prunes nothing. The
+    Z-curve interleaves the bit-patterns of both dimensions, so a
+    range-partitioned sort on the curve gives every file a small
+    RECTANGLE of (a, b) space — footer stats become selective in both
+    dimensions and pushed filters skip whole row groups
+    (tests/test_scale.py measures the scan's numOutputRows collapsing
+    vs an unclustered layout on identical data + predicate).
+
+    Normalization is equal-width bucketing over the observed [min, max]
+    (one tiny aggregate; two driver scalars). Equal-DEPTH bucketing
+    (quantile cutpoints via approxQuantile) drops in for heavily skewed
+    columns; equal-width keeps the write path one-pass and is the right
+    default for the roughly uniform keys here.
+
+    The z-value is a WRITE-TIME layout device only — dropped after the
+    sort, invisible to readers, no query rewrite needed (unlike
+    bucketing, which changes the read-side plan).
+    """
+    n_buckets = 1 << bits
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    def norm(c: str, lo, hi) -> Column:
+        if hi == lo:
+            return F.lit(0).cast("long")
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        return F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.floor(scaled * n_buckets)),
+        )
+    z = _interleave_bits(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(bytes / target_mb) right-sized files. The operational hygiene
+    op every long-running ingest needs — thousands of per-trigger
+    micro-batch files turn listing and task scheduling into the
+    bottleneck long before data volume does. Sizing reads the file
+    index (one metadata RPC), not the data; the rewrite is one
+    shuffle-free coalesce when shrinking file count. Returns the
+    output file count."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    size = fs.getContentSummary(p).getLength()
+    n = max(1, -(-size // (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).coalesce(int(n)).write.mode("overwrite").parquet(dst)
+    q = jvm.org.apache.hadoop.fs.Path(dst)
+    return sum(
+        1
+        for st in fs.listStatus(q)
+        if st.getPath().getName().endswith(".parquet")
+    )

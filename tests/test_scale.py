@@ -340,3 +340,94 @@ def test_x3e_probe_set_broadcasts(spark):
     assert plan.count("BroadcastExchange") >= 2, plan[:1500]
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()  # drop the query's persisted index
+
+
+def _scan_stats(df):
+    """Execute df and return (result_rows, scan numOutputRows) — the
+    scan metric counts rows surviving parquet row-group pruning, i.e.
+    what the layout actually made the engine READ."""
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    read = 0
+    for i in range(leaves.size()):
+        mets = leaves.apply(i).metrics()
+        keys = mets.keys().toList()
+        for j in range(keys.size()):
+            if keys.apply(j) == "numOutputRows":
+                read += mets.apply(keys.apply(j)).value()
+    return rows, read
+
+
+def test_zorder_prunes_row_groups_in_both_dims(spark, tmpdir):
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    rand_path = str(tmpdir.join("layout_rand"))
+    z_path = str(tmpdir.join("layout_z"))
+    # unclustered baseline: round-robin shuffle destroys any natural order
+    ev.repartition(32).write.mode("overwrite").parquet(rand_path)
+    write_zordered(ev, z_path, "user_id", "value", n_files=32)
+
+    total = ev.count()
+    pred = (F.col("user_id").between(20, 40)) & (F.col("value").between(40, 60))
+    rows_r, read_r = _scan_stats(spark.read.parquet(rand_path).where(pred))
+    rows_z, read_z = _scan_stats(spark.read.parquet(z_path).where(pred))
+
+    # identical answers, layout-independent
+    key = lambda r: (r.event_id,)
+    assert sorted(rows_r, key=key) == sorted(rows_z, key=key)
+    # the unclustered layout reads everything; the z-ordered layout's
+    # footer stats prune most row groups on a BOTH-dimension predicate
+    assert read_r == total
+    assert read_z < total * 0.5, (read_z, total)
+
+
+def test_zorder_prunes_on_single_dim_too(spark, tmpdir):
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    z_path = str(tmpdir.join("layout_z1"))
+    write_zordered(ev, z_path, "user_id", "value", n_files=32)
+    total = ev.count()
+    # a narrow filter on EITHER single dimension still prunes: that is
+    # the property a plain single-column sort does not give the other
+    _, read_a = _scan_stats(
+        spark.read.parquet(z_path).where(F.col("user_id").between(20, 40))
+    )
+    _, read_b = _scan_stats(
+        spark.read.parquet(z_path).where(F.col("value").between(45, 55))
+    )
+    assert read_a < total * 0.7, (read_a, total)
+    assert read_b < total * 0.7, (read_b, total)
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, tmpdir):
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        compact_parquet,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    src = str(tmpdir.join("many_small"))
+    dst = str(tmpdir.join("compacted"))
+    ev.repartition(64).write.mode("overwrite").parquet(src)  # micro-batch litter
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n_out = compact_parquet(spark, src, dst, target_mb=128)
+    assert n_out == 1  # sf0.01 events ≪ 128 MB
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert sorted(r.event_id for r in a.select("event_id").collect()) == sorted(
+        r.event_id for r in b.select("event_id").collect()
+    )
