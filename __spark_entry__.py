@@ -101,6 +101,12 @@ _DEMOTED = [
     # q11_topk (green r04; top-k stays driver-covered by q09 ranking and
     # q31's lateral per-key top-k).
     "q11_topk",
+    # Round-5 additions (batch 4): q33_time_range_window (RANGE BETWEEN
+    # INTERVAL frame — time-defined rolling windows, a distinct category
+    # from the ROWS frames of r7/r8) takes the slot of q20_date_shift
+    # (green r04; date arithmetic stays driver-covered by q20b, which is
+    # re-verified in this round's window).
+    "q20_date_shift",
 ]
 
 

@@ -1245,3 +1245,50 @@ def q32_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", fmt_ts("h").alias("bucket"), "avg_v", "ewma"
     ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Q33 — time-RANGE window frame: every event scored against the TRAILING
+# 10 MINUTES of its key's history (RANGE BETWEEN 600 PRECEDING AND
+# CURRENT ROW over epoch seconds) — the SQL form of the reference's
+# rolling per-key statistics when the window is defined by TIME, not by
+# row count (R7/r8 use ROWS frames; a time frame is a distinct windowing
+# category: frame size varies per row with event density, and same-second
+# peers share a frame). Decimal-accumulated average per the registry's
+# cross-engine determinism scheme. Scale shape: one shuffle on the
+# partition key; the range frame is evaluated with a sliding two-pointer
+# pass over each sorted partition — no per-row rescans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_time_range_window",
+    oracle="""
+    SELECT event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w / COUNT(*) OVER w
+                AS DOUBLE) AS avg_10m
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    ORDER BY 1, 3, 2
+    """,
+)
+def q33_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").withColumn(
+        "_sec", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("event_type").orderBy("_sec").rangeBetween(-600, 0)
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            fmt_ts("ts").alias("t"),
+            F.count("*").over(w).alias("n_10m"),
+            (F.sum(F.col("value").cast(DEC)).over(w) / F.count("*").over(w))
+            .cast("double")
+            .alias("avg_10m"),
+        )
+        .orderBy("event_type", "t", "event_id")
+    )
