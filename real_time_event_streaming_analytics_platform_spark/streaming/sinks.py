@@ -136,3 +136,33 @@ def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "e
     newest = date.fromisoformat(dates[-1])
     cutoff = str(newest - timedelta(days=keep_days))
     return [d for d in dates if d < cutoff]
+
+
+def rollup_writer(path: str):
+    """foreachBatch cold-store aggregate writer — the consumer of the
+    reference's ``aggregates.db`` topic that its repo specifies but never
+    ships (message format EventAggregationJob.java:304-319; SURVEY.md §0
+    notes the writer's absence). Each micro-batch of updated sliding
+    aggregates is UPSERTED into a parquet table partitioned by
+    (ws, source) via dynamic partition overwrite: the partition key IS
+    the aggregate's logical key, so overwriting exactly the partitions
+    present in the batch is an idempotent keyed upsert — a replayed
+    batch rewrites the same partitions with the same deterministic
+    content, and partitions not in the batch are untouched. No
+    table-format MERGE machinery needed; at 100 TB the layout doubles
+    as the cold store's natural time+source partitioning (TimescaleDB
+    hypertable chunking twin), so time-range reads prune on ws.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "ws", F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ws", "source")
+            .parquet(path)
+        )
+
+    return write
