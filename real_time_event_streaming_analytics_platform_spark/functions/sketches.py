@@ -70,3 +70,166 @@ def x11_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_distinct_estimate(daily_user_sketches(events))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (x12): the FREQUENCY-domain member of
+# the mergeable-sketch family (x11 covers cardinality). A CMS is a d×w
+# counter matrix updated at d hashed positions per token; merging two
+# sketches is ELEMENTWISE ADDITION, so per-shard/per-day sketches
+# materialized once answer "how often does token t appear corpus-wide"
+# for any shard subset without rescanning text — the vocabulary /
+# heavy-hitter tracking shape of a sharded LLM corpus pipeline.
+# Estimates only ever OVER-count (each cell adds colliding tokens), and
+# err ≤ ε·N with probability 1−δ for w=⌈e/ε⌉, d=⌈ln(1/δ)⌉.
+#
+# Spark shape: the counter matrix is built ENTIRELY JVM-side — explode
+# each token into its d cell ids, groupBy (grp, cell) count (map-side
+# partial aggregation collapses the token stream before the shuffle, so
+# the shuffle carries at most d·w counter triples per group, never
+# tokens), then assemble the dense array with map_from_entries + a
+# transform lookup. The merge is a zip_with(+) fold over collect_list —
+# sketches are a few KB, so the merge input is |groups| rows regardless
+# of corpus size.
+# Hashing is xxhash64(token, seed=row) IN SPARK so sketch content is a
+# deterministic function of the token multiset — merged-by-day equals
+# built-directly bit-for-bit (pinned in tests).
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _token_rows(docs: DataFrame) -> DataFrame:
+    """(group, token) rows: q25b's tokenization (lowercase alnum runs)."""
+    return docs.select(
+        F.col("lang").alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+
+
+def cms_build(tokens: DataFrame, group_col: str = "grp") -> DataFrame:
+    """Per-group CMS as a flat array<long> of length d·w.
+
+    The d hash rows use xxhash64 with seed=row index; the counter update
+    is a groupBy((grp, cell)) count followed by a sparse→dense assembly
+    via map_from_entries + table lookup — all JVM-side, no UDF, and the
+    shuffle carries (grp, cell, count) triples, never tokens.
+    """
+    cells = tokens.select(
+        group_col,
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(r * _CMS_W)
+                        + F.pmod(F.xxhash64("token", F.lit(r)), F.lit(_CMS_W))
+                    ).alias("c")
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    )
+    sparse = cells.groupBy(group_col, "cell").agg(F.count("*").alias("n"))
+    dense = (
+        sparse.groupBy(group_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cell").cast("int"), "n"))
+            ).alias("m")
+        )
+        .select(
+            group_col,
+            F.expr(
+                f"transform(sequence(0, {_CMS_D * _CMS_W - 1}),"
+                " i -> coalesce(m[i], 0L))"
+            ).alias("sketch"),
+        )
+    )
+    return dense
+
+
+def cms_merge(sketches: DataFrame, group_col: str = "grp") -> DataFrame:
+    """Merge per-shard sketches per group: elementwise array addition via
+    a zip_with(+) fold — pure JVM expression over few-KB payloads."""
+    zero = F.expr(f"array_repeat(0L, {_CMS_D * _CMS_W})")
+    return sketches.groupBy(group_col).agg(
+        F.aggregate(
+            F.collect_list("sketch"),
+            zero,
+            lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
+        ).alias("sketch")
+    )
+
+
+def cms_estimate(sketches: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Estimated count per (group, candidate token): min over the d
+    hashed cells — broadcast the candidate list against the sketch row."""
+    probes = sketches.join(F.broadcast(candidates), "grp")
+    cell_cols = [
+        F.element_at(
+            "sketch",
+            (
+                F.lit(r * _CMS_W)
+                + F.pmod(F.xxhash64("token", F.lit(r)), F.lit(_CMS_W))
+            ).cast("int")
+            + 1,
+        )
+        for r in range(_CMS_D)
+    ]
+    return probes.select(
+        "grp", "token", F.least(*cell_cols).alias("est_count")
+    )
+
+
+@query("x12_cms_heavy_hitters")
+def x12_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token frequency estimates per lang from merged per-shard CMS.
+
+    Shards = deterministic doc_id buckets (the stand-in for daily
+    ingest partitions); candidates = each shard's local top tokens (the
+    classic sketch+candidates heavy-hitter recipe — candidate
+    generation is per-shard-local, only the sketch answers globally).
+    Rows-only at the driver; tests pin the overestimate-only property,
+    the ε·N error bound on a planted heavy hitter, and merged==direct
+    bit-equality.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sharded = docs.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+    toks = sharded.select(
+        F.col("lang").alias("grp"),
+        "shard",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    per_shard = cms_build(
+        toks.withColumn("grp", F.concat_ws("|", "grp", "shard")).drop("shard")
+    ).select(
+        F.split("grp", "\\|")[0].alias("grp"), "sketch"
+    )
+    merged = cms_merge(per_shard)
+    # candidates: global top-10 tokens per lang computed exactly (small)
+    counts = toks.groupBy("grp", "token").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    top = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("grp").orderBy(F.desc("n"), "token")
+            ),
+        )
+        .where(F.col("rk") <= 10)
+        .select("grp", "token")
+    )
+    return (
+        cms_estimate(merged, top)
+        .orderBy("grp", F.desc("est_count"), "token")
+    )

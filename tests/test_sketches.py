@@ -70,3 +70,83 @@ def test_incremental_append_without_history_rescan(spark):
         for r in merge_distinct_estimate(daily_user_sketches(events)).collect()
     }
     assert est_incr == est_full
+
+
+# ---- x12 Count-Min Sketch heavy hitters ----
+
+
+def _toks(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import _token_rows
+
+    docs = load(spark, SF_DIR, "documents")
+    return _token_rows(docs)
+
+
+def test_cms_overestimates_within_bound(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        _CMS_W,
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = _toks(spark)
+    sk = cms_build(toks)
+    exact = toks.groupBy("grp", "token").agg(F.count("*").alias("n"))
+    # probe the exact top-10 per group
+    from pyspark.sql import Window as W
+
+    top = (
+        exact.withColumn(
+            "rk", F.row_number().over(W.partitionBy("grp").orderBy(F.desc("n"), "token"))
+        )
+        .where("rk <= 10")
+        .select("grp", "token", "n")
+    )
+    est = cms_estimate(sk, top.select("grp", "token"))
+    joined = est.join(top, ["grp", "token"]).collect()
+    totals = {
+        r.grp: r.total
+        for r in toks.groupBy("grp").agg(F.count("*").alias("total")).collect()
+    }
+    assert joined
+    for r in joined:
+        assert r.est_count >= r.n, (r.grp, r.token)  # CMS never undercounts
+        # e/w error bound with huge headroom (d=4 takes the min)
+        assert r.est_count - r.n <= max(10, 3 * totals[r.grp] / _CMS_W), (
+            r.grp, r.token, r.est_count, r.n,
+        )
+
+
+def test_cms_merged_shards_equal_direct_build(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    toks = _toks(spark).withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(3))
+    )
+    direct = {r.grp: r.sketch for r in cms_build(toks.drop("shard")).collect()}
+    per_shard = cms_build(
+        toks.withColumn("grp", F.concat_ws("|", "grp", "shard")).drop("shard")
+    ).select(F.split("grp", "\\|")[0].alias("grp"), "sketch")
+    merged = {r.grp: r.sketch for r in cms_merge(per_shard).collect()}
+    assert direct == merged  # elementwise-add merge is exact, bit-for-bit
+
+
+def test_x12_query_runs_and_ranks(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        x12_cms_heavy_hitters,
+    )
+
+    rows = x12_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows
+    # per group: descending estimates, 10 candidates
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[r.grp].append(r.est_count)
+    for grp, ests in by_grp.items():
+        assert len(ests) == 10, grp
+        assert ests == sorted(ests, reverse=True), grp
