@@ -367,8 +367,8 @@ def test_zorder_prunes_row_groups_in_both_dims(spark, tmpdir):
     from pyspark.sql import functions as F
 
     ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
-    rand_path = str(tmpdir.join("layout_rand"))
-    z_path = str(tmpdir.join("layout_z"))
+    rand_path = f"{tmpdir}/layout_rand"
+    z_path = f"{tmpdir}/layout_z"
     # unclustered baseline: round-robin shuffle destroys any natural order
     ev.repartition(32).write.mode("overwrite").parquet(rand_path)
     write_zordered(ev, z_path, "user_id", "value", n_files=32)
@@ -395,7 +395,7 @@ def test_zorder_prunes_on_single_dim_too(spark, tmpdir):
     from pyspark.sql import functions as F
 
     ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
-    z_path = str(tmpdir.join("layout_z1"))
+    z_path = f"{tmpdir}/layout_z1"
     write_zordered(ev, z_path, "user_id", "value", n_files=32)
     total = ev.count()
     # a narrow filter on EITHER single dimension still prunes: that is
@@ -417,8 +417,8 @@ def test_compaction_reduces_file_count_preserving_rows(spark, tmpdir):
     )
 
     ev = load(spark, SF_DIR, "events")
-    src = str(tmpdir.join("many_small"))
-    dst = str(tmpdir.join("compacted"))
+    src = f"{tmpdir}/many_small"
+    dst = f"{tmpdir}/compacted"
     ev.repartition(64).write.mode("overwrite").parquet(src)  # micro-batch litter
     import glob
 
