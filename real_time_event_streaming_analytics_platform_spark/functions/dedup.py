@@ -195,15 +195,17 @@ _CANDIDATE_INDEX: dict[tuple[str, str, str, int | None], str] = {}
 _BAND_INDEX: dict[tuple[str, str, str], str] = {}
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents table: file names,
-    sizes, and mtimes (the same signal session.py uses for the shipped
-    package zip). Listing a parquet directory is metadata-only — no
-    data is read."""
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap content fingerprint of a source table: file names, sizes,
+    and mtimes (the same signal session.py uses for the shipped package
+    zip). Listing a parquet directory is metadata-only — no data is
+    read. Shared by every session-scoped materialized index (dedup
+    signatures/candidates here, the anomalies table in
+    operators/reference.py)."""
     import hashlib
     import os
 
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, f"{table}.parquet")
     paths = [root]
     if os.path.isdir(root):
         paths = sorted(

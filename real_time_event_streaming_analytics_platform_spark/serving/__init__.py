@@ -5,6 +5,7 @@ from .api import (  # noqa: F401
     WINDOW_SECONDS,
     active_alert_counts,
     alerts,
+    gapfill_series,
     hot_anchor,
     hot_store_writer,
     kpi,

@@ -265,3 +265,31 @@ def read_hot_store(spark, path: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn", "_batch")
     )
+
+
+def gapfill_series(series_df: DataFrame, bucket: str = "minute") -> DataFrame:
+    """TimescaleDB `time_bucket_gapfill` parity for /series responses:
+    densify a (source, bucket, value) series so every source carries
+    every bucket between the series' global min and max — count-like
+    consumers coalesce the NULL to 0; avg-like consumers keep NULL (the
+    reference's gapfill renders missing points as nulls too). Same
+    spine construction as q29 (operators/relational.py): a single-row
+    bounds aggregate broadcast against the distinct key set, exploded
+    with `sequence()` — no driver loop; only already-aggregated rows
+    join."""
+    step = {"minute": "interval 1 minute", "hour": "interval 1 hour"}[bucket]
+    bounds = series_df.agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = (
+        series_df.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "source",
+            F.explode(F.sequence("mn", "mx", F.expr(step))).alias("bucket"),
+        )
+    )
+    return spine.join(series_df, ["source", "bucket"], "left").orderBy(
+        "source", "bucket"
+    )

@@ -93,6 +93,16 @@ def parse_events(raw: DataFrame, require_positive_metric: bool = False) -> DataF
     """JSON parse + flatten + validity filter + event-time watermark
     (O9/O10/O2/O12). Bad rows → null json → dropped, like the Flink
     parse (EventAggregationJob.java:188-193, :74-76)."""
+    parsed = _parse_project(raw)
+    if require_positive_metric:  # anomaly job's extra filter (ANO:83)
+        parsed = parsed.where(F.col("metric") > 0)
+    return parsed.withWatermark("ts", WATERMARK)
+
+
+def _parse_project(raw: DataFrame) -> DataFrame:
+    """The watermark-free parse projection — shared by the streaming
+    entry (which adds the watermark) and the batch-context consumers
+    (dlq_writer's foreachBatch frames, the batch parity twins)."""
     j = raw.select(F.from_json("raw", EVENT_SCHEMA).alias("j")).where(
         F.col("j").isNotNull() & F.col("j.event_id").isNotNull()
     )
@@ -109,9 +119,7 @@ def parse_events(raw: DataFrame, require_positive_metric: bool = False) -> DataF
         F.col("j.attributes.user_id").alias("user_id"),
         F.col("j.attributes.session_id").alias("session_id"),
     ).where(F.col("metric").isNotNull())
-    if require_positive_metric:  # anomaly job's extra filter (ANO:83)
-        parsed = parsed.where(F.col("metric") > 0)
-    return parsed.withWatermark("ts", WATERMARK)
+    return parsed
 
 
 def sliding_aggregates(parsed: DataFrame) -> DataFrame:
@@ -230,3 +238,55 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def classify_events(raw: DataFrame) -> DataFrame:
+    """Every raw line tagged with its parse outcome — the dead-letter
+    split the reference's Flink jobs silently skip (EventAggregationJob.
+    java:188-193 catches the JSON exception and drops the record; an
+    operator debugging a producer regression gets nothing). One
+    from_json pass computes a deterministic reject reason:
+    'invalid_json' | 'missing_event_id' | 'missing_metric' | NULL
+    (= valid). Downstream, `parse_events` ≡ the _reason IS NULL branch,
+    and `dlq_writer` routes the rest to a quarantine table WITH the
+    original line, so bad payloads are replayable after a fix."""
+    j = F.from_json("raw", EVENT_SCHEMA)
+    # from_json is PERMISSIVE (a malformed line yields a null-FIELDED
+    # struct, not a null struct), so malformedness is detected with
+    # try_parse_json: NULL ⇔ the line is not valid JSON at all. A
+    # literal `null` line IS valid JSON and classifies as
+    # missing_event_id, matching what the parse path drops it for.
+    reason = (
+        F.when(F.try_parse_json("raw").isNull(), "invalid_json")
+        .when(j["event_id"].isNull(), "missing_event_id")
+        .when(j["attributes"]["metric"].isNull(), "missing_metric")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return raw.select("raw", reason.alias("_reason"))
+
+
+def dlq_writer(main_path: str, dlq_path: str):
+    """foreachBatch dual-route writer: valid rows (fully parsed) to the
+    main table, rejects (raw line + reason) to the dead-letter table.
+    Each epoch writes to its own epoch=<id> partition with overwrite, so
+    a replayed micro-batch rewrites the same partition with identical
+    content — idempotent under restart, the same per-epoch discipline
+    as the notifier's done-markers (notify.py)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = classify_events(batch_df).persist()
+        try:
+            valid = _parse_project(
+                tagged.where(F.col("_reason").isNull()).select("raw")
+            )
+            valid.write.mode("overwrite").parquet(f"{main_path}/epoch={batch_id}")
+            (
+                tagged.where(F.col("_reason").isNotNull())
+                .select("raw", F.col("_reason").alias("reason"))
+                .write.mode("overwrite")
+                .parquet(f"{dlq_path}/epoch={batch_id}")
+            )
+        finally:
+            tagged.unpersist()
+
+    return write

@@ -186,3 +186,24 @@ def test_kpi_precomputed_anchor_equivalent(spark, events):
     anchored = kpi(hot, window="1m", limit=50).collect()
     cached = kpi(hot, window="1m", limit=50, anchor=hot_anchor(hot)).collect()
     assert sorted(map(tuple, anchored)) == sorted(map(tuple, cached))
+
+
+def test_series_gapfill_densifies_all_sources(spark, events):
+    from real_time_event_streaming_analytics_platform_spark.serving.api import (
+        gapfill_series,
+    )
+
+    sparse = series(events, bucket="hour", agg="count")
+    dense = gapfill_series(sparse, bucket="hour").collect()
+    n_sources = events.select("source").distinct().count()
+    lo, hi = sparse.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    n_buckets = int((hi - lo).total_seconds() // 3600) + 1
+    # every source carries the full spine
+    assert len(dense) == n_sources * n_buckets
+    # observed buckets keep their values; gaps are NULL
+    observed = {(r.source, r.bucket): r.value for r in sparse.collect()}
+    for r in dense:
+        if (r.source, r.bucket) in observed:
+            assert r.value == observed[(r.source, r.bucket)]
+        else:
+            assert r.value is None
