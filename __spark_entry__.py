@@ -107,6 +107,15 @@ _DEMOTED = [
     # (green r04; date arithmetic stays driver-covered by q20b, which is
     # re-verified in this round's window).
     "q20_date_shift",
+    # Round-5 additions (batch 5): t8_fuzzy_dedup (edit-distance dedup
+    # with prefix blocking — the entity-resolution comparator the
+    # hash/MinHash family can't express) and t9_bm25_search (BM25 keyword
+    # retrieval — the engine-native twin of the reference stack's unused
+    # Elasticsearch) take the slots of r8_rolling_median and
+    # q10_analytic_window (both green r04; the rolling-window category
+    # stays driver-covered by r7/r8b, analytic windows by q09/q09b/q33).
+    "r8_rolling_median",
+    "q10_analytic_window",
 ]
 
 

@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..plans.registry import query
-from ..operators.helpers import davg, round2, sql_davg, sql_round2
+from ..operators.helpers import (
+    davg,
+    quant6,
+    round2,
+    sql_davg,
+    sql_quant6,
+    sql_round2,
+)
 
 # tokens = non-empty runs of [a-z0-9] in the lowercased text
 _TOK_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
@@ -467,3 +474,184 @@ def t7_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T8 — fuzzy (edit-distance) dedup with prefix blocking: the classic
+# entity-resolution shape the hash/MinHash family cannot express — x2's
+# shingle Jaccard sees token-set overlap, but only an edit-distance
+# comparator certifies "doc B is doc A with a 4-character typo". Blocking
+# key = the first 60 characters: candidate pairs exist ONLY inside a
+# block, so the full O(n²) comparison space collapses to the within-block
+# pairs (the same discipline as x2's LSH bands). A row_number cap (50 per
+# block) bounds the worst case: a pathological corpus where one prefix
+# (boilerplate header, empty docs) covers millions of rows would
+# otherwise make a single block quadratic — identical to the LSH
+# hot-bucket cap at dedup.py:106. Scale: one shuffle on the 60-byte
+# prefix; levenshtein runs JVM-side inside codegen; at 100 TB the text
+# payload shuffles once and only blocked pairs are compared.
+# ---------------------------------------------------------------------------
+
+_FUZZY_PFX = 60  # blocking-key length
+_FUZZY_CAP = 50  # max docs compared per block
+
+
+@query(
+    "t8_fuzzy_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, n_chars, substr(text, 1, {_FUZZY_PFX}) AS pfx
+        FROM documents
+    ),
+    capped AS (
+        SELECT doc_id, text, n_chars, pfx FROM (
+            SELECT d.*, row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn
+            FROM d
+        ) WHERE rn <= {_FUZZY_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM capped a JOIN capped b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) * 10 <= greatest(a.n_chars, b.n_chars)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t8_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "text", "n_chars", F.substring("text", 1, _FUZZY_PFX).alias("pfx")
+    )
+    w = Window.partitionBy("pfx").orderBy("doc_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _FUZZY_CAP)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    ed = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ed * 10 <= F.greatest(F.col("a.n_chars"), F.col("b.n_chars")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ed.cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T9 — BM25 keyword retrieval (Robertson/Spärck Jones; the scoring
+# function behind Lucene/Elasticsearch relevance — SURVEY.md §2a O8 notes
+# the reference stack provisions Elasticsearch but never queries it; this
+# is the engine-native twin of that capability). Spark-first shape: with
+# a FIXED query-term set the inverted index degenerates to one corpus
+# aggregate — per-doc term frequencies come from `size(filter(toks, ...))`
+# projections (no explode, no per-token shuffle), the single-row corpus
+# stats (N, Σdl, per-term df) broadcast back over the scan, and the
+# top-20 selection is orderBy+limit (TakeOrderedAndProject — per-partition
+# heaps, no global sort). Cross-engine float discipline: scores are
+# quantized (quant6) BEFORE ranking and rounded (round2) for output, so
+# the ln() ULP gap between java.lang.Math.log and libm cannot flip the
+# rank boundary; doc_id breaks exact ties deterministically.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "hash")
+_BM25_K = 20  # result size
+
+
+def _bm25_sql_component(t: str) -> str:
+    return (
+        f"(CASE WHEN tf_{t} > 0 THEN "
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1) * (tf_{t} * 2.2) "
+        f"/ (tf_{t} + 1.2 * (0.25 + 0.75 * (dl / avgdl))) "
+        f"ELSE 0.0 END)"
+    )
+
+
+@query(
+    "t9_bm25_search",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    t AS (
+        SELECT doc_id, len(toks) AS dl,
+               {", ".join(f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+        FROM tok
+    ),
+    c AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               {" + ".join(_bm25_sql_component(t) for t in _BM25_TERMS)} AS score
+        FROM t, c
+    ),
+    q AS (SELECT doc_id, {sql_quant6('score')} AS qs FROM s),
+    r AS (
+        SELECT doc_id, qs,
+               row_number() OVER (ORDER BY qs DESC, doc_id) AS rank
+        FROM q
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, {sql_round2('qs')} AS bm25
+    FROM r WHERE rank <= {_BM25_K} ORDER BY rank
+    """,
+)
+def t9_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
+    t = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, w -> w = '{term}'))").alias(f"tf_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    c = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("bigint")).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+
+    def component(term: str):
+        tf = F.col(f"tf_{term}")
+        df = F.col(f"df_{term}")
+        idf = F.log(
+            (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1)
+        )
+        denom = tf + F.lit(1.2) * (
+            F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, idf * (tf * F.lit(2.2)) / denom).otherwise(F.lit(0.0))
+
+    score = component(_BM25_TERMS[0])
+    for term in _BM25_TERMS[1:]:
+        score = score + component(term)
+
+    topk = (
+        t.crossJoin(F.broadcast(c))
+        .select("doc_id", quant6(score).alias("qs"))
+        .orderBy(F.desc("qs"), "doc_id")
+        .limit(_BM25_K)
+    )
+    w = Window.orderBy(F.desc("qs"), "doc_id")
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("rank", "doc_id", round2("qs").alias("bm25"))
+        .orderBy("rank")
+    )
