@@ -116,6 +116,17 @@ _DEMOTED = [
     # stays driver-covered by r7/r8b, analytic windows by q09/q09b/q33).
     "r8_rolling_median",
     "q10_analytic_window",
+    # Round-5 additions (batch 6): q34_funnel (strict-ordered conversion
+    # funnel), q35_scd2 (type-2 slowly-changing-dimension build), and
+    # q36_cohort_retention (weekly cohort retention matrix) — three
+    # classic event-analytics categories the registry did not previously
+    # cover — take the slots of q02_join_segment, q12_union, and
+    # r11_kpi_latest_per_key (all green r04; joins stay driver-covered by
+    # q03/q07, set ops by the four q12 bag/set variants in this window,
+    # latest-per-key by the /kpi serving tests + r3).
+    "q02_join_segment",
+    "q12_union",
+    "r11_kpi_latest_per_key",
 ]
 
 

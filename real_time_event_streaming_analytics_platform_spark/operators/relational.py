@@ -1292,3 +1292,233 @@ def q33_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "t", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q34 — strict-ordered funnel (view → click → purchase). The canonical
+# product-analytics query over an event stream: step N counts users whose
+# FIRST qualifying step-N event happened strictly after their step-(N-1)
+# anchor. Each stage is one groupBy(user_id) + one co-partitioned join on
+# user_id — at 100 TB the three stages reuse the same hash partitioning
+# (AQE coalesces the exchanges); no window over the full event history is
+# needed. The reference exposes no funnel endpoint, but its per-source
+# KPI consumers (services/read-api/main.py:317-334) run exactly this
+# class of stepwise conditional aggregate in PostgreSQL.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = (("view", 1), ("click", 2), ("purchase", 3))
+
+
+@query(
+    "q34_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS anchor FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS anchor FROM events e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.anchor GROUP BY 1
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS anchor FROM events e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.anchor GROUP BY 1
+    ),
+    counts AS (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+               (SELECT COUNT(*) FROM t1) AS users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM t2)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM t3)
+    )
+    SELECT step, step_name, users,
+           floor(CAST(users AS DOUBLE)
+                 / (SELECT users FROM counts WHERE step = 1) * 100
+                 * 100 + 0.5) / 100
+               AS conv_from_first
+    FROM counts ORDER BY step
+    """,
+)
+def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    stages = []
+    anchor = None
+    for step_name, _ in _FUNNEL_STEPS:
+        stage = events.where(F.col("event_type") == step_name)
+        if anchor is not None:
+            stage = stage.join(anchor, "user_id").where(
+                F.col("ts") > F.col("anchor")
+            )
+        anchor = stage.groupBy("user_id").agg(F.min("ts").alias("anchor"))
+        stages.append(anchor)
+    counts = None
+    for (step_name, step), stage in zip(_FUNNEL_STEPS, stages):
+        row = stage.agg(F.count("*").alias("users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(step_name).alias("step_name"),
+            "users",
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    first = counts.where(F.col("step") == 1).select(
+        F.col("users").alias("_first")
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))
+        .select(
+            "step",
+            "step_name",
+            "users",
+            round2(F.col("users").cast("double") / F.col("_first") * 100).alias(
+                "conv_from_first"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — SCD2 dimension build (slowly-changing dimension, type 2): collapse
+# each user's event history into versioned attribute rows with
+# [effective_from, effective_to) validity ranges — the warehouse pattern
+# for tracking attribute changes over time. Attribute = the value band
+# (high ≥ 100 / low); consecutive same-band events collapse into one
+# version via the lag ≠ current run-start trick + running sum of starts.
+# Scale: the lag, the running sum, and the final lead all share ONE
+# partitioning (user_id) — a single exchange feeds the whole window
+# chain; the run collapse is a partial-aggregable groupBy on the same key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_scd2",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS band
+        FROM events
+    ),
+    m AS (
+        SELECT *, lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev
+        FROM b
+    ),
+    r AS (
+        SELECT user_id, band, ts,
+               SUM(CASE WHEN prev IS NULL OR prev <> band THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS version
+        FROM m
+    ),
+    dim AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               min(band) AS band, min(ts) AS eff_from,
+               COUNT(*) AS n_events
+        FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, version, band,
+           strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(lead(eff_from) OVER (PARTITION BY user_id ORDER BY version),
+                    '%Y-%m-%d %H:%M:%S') AS effective_to,
+           n_events
+    FROM dim ORDER BY user_id, version
+    """,
+)
+def q35_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    band = F.when(F.col("value") >= 100, "high").otherwise("low")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = events.select("user_id", "ts", "event_id", band.alias("band"))
+    m = b.withColumn("prev", F.lag("band").over(w))
+    r = m.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("band")), 1
+            ).otherwise(0)
+        )
+        .over(w)
+        .cast("bigint"),
+    )
+    dim = r.groupBy("user_id", "version").agg(
+        F.min("band").alias("band"),
+        F.min("ts").alias("eff_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        dim.select(
+            "user_id",
+            "version",
+            "band",
+            fmt_ts("eff_from").alias("effective_from"),
+            fmt_ts(F.lead("eff_from").over(wv)).alias("effective_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — weekly cohort retention: users grouped by the unix-week of their
+# first event; each later week's distinct-active count is reported as a
+# fraction of the cohort's week-0 size. Week = floor(epoch_seconds /
+# 604800) — integer arithmetic, identical across engines (no engine-
+# specific week-start conventions). Scale: first-seen is one
+# groupBy(user_id); the activity join is co-partitioned on user_id; the
+# final (cohort, offset) distinct-count shuffles once; the week-0 base
+# joins back broadcast (one row per cohort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_cohort_retention",
+    oracle="""
+    WITH w AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+        FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+    g AS (
+        SELECT cohort, wk - cohort AS week_offset,
+               COUNT(DISTINCT w.user_id) AS active_users
+        FROM w JOIN f ON w.user_id = f.user_id GROUP BY 1, 2
+    ),
+    b AS (SELECT cohort, active_users AS base FROM g WHERE week_offset = 0)
+    SELECT g.cohort, g.week_offset, g.active_users,
+           floor(CAST(g.active_users AS DOUBLE) / b.base * 100 * 100 + 0.5) / 100
+               AS retention_pct
+    FROM g JOIN b ON g.cohort = b.cohort
+    ORDER BY 1, 2
+    """,
+)
+def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
+    )
+    f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    g = (
+        w.join(f, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    b = g.where(F.col("week_offset") == 0).select(
+        "cohort", F.col("active_users").alias("base")
+    )
+    return (
+        g.join(F.broadcast(b), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "active_users",
+            round2(F.col("active_users").cast("double") / F.col("base") * 100).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort", "week_offset")
+    )
