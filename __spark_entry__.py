@@ -127,6 +127,16 @@ _DEMOTED = [
     "q02_join_segment",
     "q12_union",
     "r11_kpi_latest_per_key",
+    # Round-5 additions (batch 7): q37_profile (single-pass column
+    # profiling unpivoted with stack) and q38_quality_checks (named
+    # assertion battery — FK anti-joins, ranges, uniqueness) — the
+    # data-quality layer a curation pipeline gates ingest on — take the
+    # slots of q13_count_distinct (exact distinct counting is now
+    # driver-exercised by q37's per-column distinct profile) and
+    # q14_rollup (the rollup family stays covered by q14b cube and
+    # q14c grouping sets, both re-verified in this round's window).
+    "q13_count_distinct",
+    "q14_rollup",
 ]
 
 

@@ -22,6 +22,7 @@ from .functions import text as _text  # noqa: F401  text analysis
 from .functions import multimodal as _multimodal  # noqa: F401
 from .functions import pipeline as _pipeline  # noqa: F401  corpus assembly
 from .functions import sketches as _sketches  # noqa: F401  mergeable HLL
+from .functions import quality as _quality  # noqa: F401  data-quality checks
 from .streaming import entries as _streaming_entries  # noqa: F401
 
 __all__ = ["SessionFactory", "get_spark", "QUERIES", "ORACLE"]

@@ -1,0 +1,184 @@
+"""Data-quality operators: column profiling and assertion batteries.
+
+A 100 TB curation pipeline gates every ingest on exactly these two
+shapes (the Great-Expectations/deequ pattern): a per-column profile
+(null rate, cardinality) to detect schema drift, and a named-check
+battery (referential integrity, ranges, uniqueness) whose violation
+counts must be zero before data promotes to the training corpus. The
+reference has no explicit quality layer — its Flink jobs silently drop
+invalid rows (EventAggregationJob.java:188-193) — so this is the
+auditable twin of that implicit filter, aligned with the DLQ routing in
+streaming/entries.py (classify_events gives the same reasons per-row;
+this module gives the corpus-level counts).
+
+Scale notes
+-----------
+- q37 profiling is ONE scan: a single aggregate row (count + per-column
+  non-null + exact distinct counts) unpivoted to rows with ``stack``.
+  Exact multi-distinct expands the aggregate (Spark's Expand operator
+  multiplies rows by the distinct-column count before the shuffle) — at
+  100 TB you would swap `count_distinct` for `approx_count_distinct`
+  per column (x1/x11 show the HLL path); the exact form is kept here
+  because the driver oracle hash-checks exact values.
+- q38 checks are independent aggregates unioned into one result: the FK
+  checks are anti-joins that broadcast the smaller key set; the range /
+  uniqueness checks are single-scan conditional aggregates. Each check
+  reports (n_checked, n_violations, passed) so an all-green corpus still
+  hashes non-trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "q37_profile",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'event_id' AS col, COUNT(*) AS n,
+               COUNT(*) - COUNT(event_id) AS n_null,
+               COUNT(DISTINCT event_id) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+               COUNT(DISTINCT ts) FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type) FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+               COUNT(DISTINCT value) FROM events
+        UNION ALL
+        SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+               COUNT(DISTINCT props) FROM events
+    ) ORDER BY col
+    """,
+)
+def q37_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    row = events.agg(*aggs)
+    stack = "stack({n}, {args}) as (col, n_nonnull, n_distinct)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS),
+    )
+    return (
+        row.select("_n", F.expr(stack))
+        .select(
+            "col",
+            F.col("_n").alias("n"),
+            (F.col("_n") - F.col("n_nonnull")).alias("n_null"),
+            "n_distinct",
+        )
+        .orderBy("col")
+    )
+
+
+def _check(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+    """One (check_name, n_checked, n_violations, passed) row from a
+    population frame and a violating-rows frame."""
+    n = checked.agg(F.count(F.lit(1)).alias("n_checked"))
+    v = violations.agg(F.count(F.lit(1)).alias("n_violations"))
+    return (
+        n.crossJoin(F.broadcast(v))
+        .select(
+            F.lit(name).alias("check_name"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+@query(
+    "q38_quality_checks",
+    oracle="""
+    SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+    FROM (
+        SELECT 'events_id_unique' AS check_name,
+               (SELECT COUNT(*) FROM events) AS n_checked,
+               (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+                   AS n_violations
+        UNION ALL
+        SELECT 'events_value_positive',
+               (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM events WHERE value <= 0)
+        UNION ALL
+        SELECT 'lineitem_orders_fk',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_quantity < 1 OR l_quantity > 50)
+        UNION ALL
+        SELECT 'orders_customer_fk',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    ) ORDER BY check_name
+    """,
+)
+def q38_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    uniq = events.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("n_violations"),
+    ).select(
+        F.lit("events_id_unique").alias("check_name"),
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    checks = [
+        uniq,
+        _check(
+            "events_value_positive", events, events.where(F.col("value") <= 0)
+        ),
+        _check(
+            "lineitem_orders_fk",
+            lineitem,
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ),
+        ),
+        _check(
+            "lineitem_qty_range",
+            lineitem,
+            lineitem.where(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ),
+        ),
+        _check(
+            "orders_customer_fk",
+            orders,
+            orders.join(
+                customer.select("c_custkey"),
+                orders["o_custkey"] == customer["c_custkey"],
+                "left_anti",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
