@@ -234,6 +234,19 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
+def clear_index_caches() -> None:
+    """Drop every session-scoped materialized-index memo (signatures,
+    candidates, bucketed band indexes). The memo key is (application,
+    sf_dir, file fingerprint), which tracks the REAL corpus files — a
+    caller that swaps the corpus loader itself (tests monkeypatching
+    ``catalog.load`` to plant documents) changes the data without
+    changing the key, and must clear the memos on BOTH sides of the
+    swap or one side serves the other's index."""
+    _SIGNATURE_INDEX.clear()
+    _CANDIDATE_INDEX.clear()
+    _BAND_INDEX.clear()
+
+
 def signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized per-document MinHash signatures (doc_id, sig).
 

@@ -152,8 +152,16 @@ def connected_components(
         F.expr(f"try_cast({src} AS long)").alias("u"),
         F.expr(f"try_cast({dst} AS long)").alias("v"),
     )
-    bad = typed.where(F.col("u").isNull() | F.col("v").isNull()).limit(1)
-    if bad.count() > 0:
+    # One aggregate pass validates the cast (count(col) skips NULLs, so
+    # nu < n ⇔ some id failed try_cast) — folding the guard into a
+    # single scan instead of a separate filter-and-count job over the
+    # same (possibly expensive) edges lineage.
+    stats = typed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("u").alias("nu"),
+        F.count("v").alias("nv"),
+    ).collect()[0]
+    if stats["nu"] < stats["n"] or stats["nv"] < stats["n"]:
         raise ValueError(
             f"connected_components: {src}/{dst} ids must cast losslessly "
             "to long (got NULL after cast — non-numeric or null ids)"

@@ -95,8 +95,18 @@ def attach_group_totals(
     per-key aggregates with ``salted_agg`` (two balanced shuffles) and
     broadcasts the small per-key result back onto the rows — identical
     output, no single-task hot partition, measured ≥2× faster at one
-    key = 50% of rows (bench.py skew entries)."""
-    return df.join(F.broadcast(salted_agg(df, key, agg_exprs)), key)
+    key = 50% of rows (bench.py skew entries).
+
+    The join is NULL-SAFE on the key: window partitionBy places NULL
+    keys in one partition and gives them totals like any other group
+    (and groupBy aggregates them likewise), so a plain equi-join here
+    would silently drop every NULL-key row — the one divergence from
+    the window form this rewrite must not have."""
+    totals = salted_agg(df, key, agg_exprs).withColumnRenamed(key, "_gk")
+    return (
+        df.join(F.broadcast(totals), F.col(key).eqNullSafe(F.col("_gk")))
+        .drop("_gk")
+    )
 
 
 def write_bucketed(

@@ -40,21 +40,35 @@ ORACLE: dict[str, str] = {}
 # driver, bench, and tests all build→execute→build) releases them;
 # ``release_tracked`` is also public for callers that want storage
 # freed immediately after consuming a result.
+#
+# Contract: results are consumed (collected/written) before the next
+# builder runs. Interleaving build→build→consume stays CORRECT —
+# unpersist only drops the cache, so the consumed plan recomputes its
+# subplans — but forfeits the persist()'s dedup of multi-subplan work.
+# The list is lock-guarded so concurrent serving threads can't corrupt
+# it; such callers should prefer release_tracked() right after each
+# consume rather than relying on the next-invocation sweep.
+import threading
+
 _TRACKED: list[DataFrame] = []
+_TRACKED_LOCK = threading.Lock()
 
 
 def track_persist(df: DataFrame) -> DataFrame:
     """persist() + register for release at the next query invocation."""
-    _TRACKED.append(df)
+    with _TRACKED_LOCK:
+        _TRACKED.append(df)
     return df.persist()
 
 
 def release_tracked() -> int:
     """Unpersist every tracked frame; returns how many were released."""
-    n = len(_TRACKED)
-    while _TRACKED:
-        _TRACKED.pop().unpersist()
-    return n
+    with _TRACKED_LOCK:
+        frames = list(_TRACKED)
+        _TRACKED.clear()
+    for f in frames:
+        f.unpersist()
+    return len(frames)
 
 
 def query(name: str, oracle: Optional[str] = None):

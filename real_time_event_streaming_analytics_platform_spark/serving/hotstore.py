@@ -112,6 +112,11 @@ class HotStore:
                 and k[1] == window
                 and (source is None or k[0] == source)
             ]
+        # window_start desc, source asc — the same total order as the
+        # engine-path kpi(); without the source tie-break, same-timestamp
+        # entries (one per source per window) would surface and cut at
+        # the limit in dict-insertion order.
+        items.sort(key=lambda kv: kv[0][0])
         items.sort(key=lambda kv: kv[0][2], reverse=True)
         return [
             {"source": k[0], "window": k[1], "window_start": k[2], **v}

@@ -180,6 +180,12 @@ def incremental_dedup_stream(
         frames = index_frames
         cached = ()
     else:
+        if index_sig is None:
+            raise ValueError(
+                "incremental_dedup_stream: pass either index_sig (a "
+                "signature frame) or index_frames (pre-built probe "
+                "frames, e.g. from bucketed_index_frames)"
+            )
         keys_i, si = index_probe_frames(index_sig)
         frames = (keys_i.persist(), si.persist())
         cached = frames

@@ -54,6 +54,13 @@ class MetricsRegistry:
         with self._lock:
             self._gauges[self._key(name, labels)] = value
 
+    def zero_all(self, name: str) -> None:
+        """Reset every existing label-set of gauge ``name`` to 0."""
+        with self._lock:
+            for k in self._gauges:
+                if k[0] == name:
+                    self._gauges[k] = 0.0
+
     def get(self, name: str, labels: dict | None = None) -> float | None:
         k = self._key(name, labels)
         with self._lock:
@@ -145,6 +152,11 @@ def update_active_alert_gauges(registry: MetricsRegistry, anomalies: DataFrame) 
     runs against PostgreSQL)."""
     from ..serving.api import active_alert_counts
 
+    # Zero EVERY severity the gauge has ever carried, not just the fixed
+    # trio: Alertmanager webhook labels pass through verbatim (e.g.
+    # 'page'), and a reset limited to the trio would leave such a gauge
+    # stuck at its last nonzero value after the alert resolves.
+    registry.zero_all("active_alerts")
     for sev in _SEVERITIES:
         registry.set("active_alerts", {"severity": sev}, 0.0)
     for r in active_alert_counts(anomalies).collect():

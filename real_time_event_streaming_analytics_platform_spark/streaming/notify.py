@@ -170,7 +170,16 @@ def deliver_batch(
 ) -> int:
     """One micro-batch's fan-out; returns messages sent (0 for a
     replayed epoch). Split from ``notifier_sink`` so the replay
-    idempotence contract is directly testable."""
+    idempotence contract is directly testable.
+
+    Delivery semantics, precisely: exactly-once per COMPLETED epoch —
+    the done-marker is written (atomically, tmp+rename) only after every
+    transport call returned, so a replay of a completed epoch sends
+    nothing. A crash MID-epoch leaves no marker and the replay re-sends
+    the whole epoch: messages already delivered before the crash go out
+    twice. That residue is inherent to side-effecting sinks without a
+    transactional transport; receivers needing strict exactly-once must
+    dedup on the (alert_id, rule) key each message carries."""
     marker = None
     if delivery_log is not None:
         os.makedirs(delivery_log, exist_ok=True)

@@ -126,11 +126,36 @@ def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "e
     if not fs.exists(hpath):
         return []
     prefix = f"{partition_col}="
-    dates = sorted(
-        st.getPath().getName()[len(prefix):]
-        for st in fs.listStatus(hpath)
+    statuses = list(fs.listStatus(hpath))
+    part_dirs = [
+        st.getPath().getName()
+        for st in statuses
         if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    # __HIVE_DEFAULT_PARTITION__ holds NULL partition values — not a
+    # date, never expired by age (it would also sort AFTER every real
+    # date and poison the max-partition anchor).
+    dates = sorted(
+        e[len(prefix):]
+        for e in part_dirs
+        if e[len(prefix):] != "__HIVE_DEFAULT_PARTITION__"
     )
+    if not part_dirs:
+        data = [
+            st.getPath().getName()
+            for st in statuses
+            if not st.getPath().getName().startswith(("_", "."))
+        ]
+        if data:
+            # Data present but no {col}= layout: this table is not
+            # hive-partitioned on partition_col. Returning [] would
+            # silently disable retention forever; fail loudly instead.
+            raise ValueError(
+                f"{path} has no {prefix}* partition directories — "
+                "directory-listing retention requires a table written "
+                f"with partitionBy({partition_col!r})"
+            )
+        return []
     if not dates:
         return []
     newest = date.fromisoformat(dates[-1])

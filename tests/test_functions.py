@@ -535,10 +535,16 @@ def test_x2f_incremental_flags_cross_side_dups_only(spark):
     try:
         catalog.load = lambda _s, _d, _t: planted  # noqa: ARG005
         dd.load = catalog.load
+        # the standing-index memos are keyed by the REAL corpus files;
+        # clear on both sides of the loader swap so this test neither
+        # reads a pre-built real-corpus index nor leaves a planted one
+        # behind for later tests
+        dd.clear_index_caches()
         out = {r["doc_id"]: r for r in dd.x2f_incremental_dedup(spark, SF_DIR).collect()}
     finally:
         catalog.load = orig
         dd.load = orig
+        dd.clear_index_caches()
     assert 999997 in out and out[999997]["first_match"] == 4
     assert 999987 not in out  # unique batch doc not flagged
     assert all(d % 10 == 7 for d in out)  # only batch-side docs in the output

@@ -431,3 +431,23 @@ def test_compaction_reduces_file_count_preserving_rows(spark, tmpdir):
     assert sorted(r.event_id for r in a.select("event_id").collect()) == sorted(
         r.event_id for r in b.select("event_id").collect()
     )
+
+
+def test_attach_group_totals_keeps_null_keys(spark):
+    """NULL keys form a window partition like any other group; the
+    broadcast-join rewrite must be null-safe or those rows vanish."""
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        attach_group_totals,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.lit("k")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    w = Window.partitionBy("k")
+    plain = df.withColumn("total", F.sum("v").over(w))
+    rewrite = attach_group_totals(df, "k", {"total": "sum(v)"})
+    key = lambda rows: sorted((r["k"] or "", r["v"], r["total"]) for r in rows)
+    assert key(rewrite.collect()) == key(plain.collect())
+    assert rewrite.where(F.col("k").isNull()).count() == 34

@@ -2,6 +2,8 @@
 (O36)."""
 
 import json
+
+import pytest
 import shutil
 import tempfile
 
@@ -132,3 +134,32 @@ def test_jdbc_writer_callback_shape():
 
     jdbc_writer("jdbc:postgresql://db/metrics", "anomalies", {"user": "svc"})(FakeDF(), 7)
     assert calls == [("jdbc:postgresql://db/metrics", "anomalies", "append", {"user": "svc"})]
+
+
+def test_expired_partitions_rejects_unpartitioned_table(spark):
+    """Silently returning [] on a non-hive-partitioned table would
+    disable retention forever; it must fail loudly instead."""
+    d = tempfile.mkdtemp(prefix="sgr-ret-flat-")
+    try:
+        spark.createDataFrame(
+            [(1, "2024-01-01")], "id long, event_date string"
+        ).write.parquet(f"{d}/flat")
+        with pytest.raises(ValueError, match="partition directories"):
+            expired_partitions(spark, f"{d}/flat", keep_days=5)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_expired_partitions_skips_hive_default_partition(spark):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__, which
+    sorts after every date — it must neither anchor the max nor crash
+    the iso parse."""
+    d = tempfile.mkdtemp(prefix="sgr-ret-null-")
+    try:
+        spark.createDataFrame(
+            [(i, day) for day in ("2024-01-01", "2024-01-20", None) for i in range(2)],
+            "id long, event_date string",
+        ).write.partitionBy("event_date").parquet(f"{d}/t")
+        assert expired_partitions(spark, f"{d}/t", keep_days=12) == ["2024-01-01"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
