@@ -245,6 +245,9 @@ def clear_index_caches() -> None:
     _SIGNATURE_INDEX.clear()
     _CANDIDATE_INDEX.clear()
     _BAND_INDEX.clear()
+    from ..operators import reference
+
+    reference._ANOM_INDEX.clear()
 
 
 def signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:

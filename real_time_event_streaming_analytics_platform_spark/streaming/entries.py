@@ -172,12 +172,21 @@ def interval_join(
     right: DataFrame,
     key: str = "user_id",
     within: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by event time: each left row
-    matches right rows with the same key whose ts lies in
-    [left.ts - within, left.ts]. Both sides carry watermarks, so the
-    join state is evicted once the bound passes — the Structured
-    Streaming interval-join pattern (SURVEY.md §2b joins row)."""
+    """Stream-stream join bounded by event time: each left row matches
+    right rows with the same key whose ts lies in [left.ts - within,
+    left.ts]. Both sides carry watermarks, so the join state is evicted
+    once the bound passes — the Structured Streaming interval-join
+    pattern (SURVEY.md §2b joins row).
+
+    ``how='left_outer'`` additionally emits each unmatched left row
+    (null right columns) once the watermark has passed the point where
+    a matching right row could still arrive — the streaming form of
+    "events that triggered no alert". Outer emission is watermark-
+    driven: rows whose join window is still open when the stream ends
+    stay in state and are NOT emitted as unmatched (correct — a match
+    could still come)."""
     l = left.select(
         F.col(key).alias("l_key"),
         F.col("event_id").alias("l_event_id"),
@@ -193,7 +202,7 @@ def interval_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("r_ts") <= F.col("l_ts"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def dedup_within_watermark(parsed: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -772,3 +772,59 @@ def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
     # leak check: release() + unpersist leave no NEW cached RDDs behind
     cached_after = len(list(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
     assert cached_after <= cached_before
+
+
+def test_s19_stream_stream_left_outer_join_emits_unmatched(spark, tmpdir):
+    """Left-outer interval join: matched pairs are EXACTLY the batch
+    inner join; unmatched left rows (null right columns) appear only
+    when the batch anti-join agrees, and state eviction actually emits
+    some — the 'events that triggered no alert' streaming shape. Rows
+    whose join window is still open at end-of-stream stay in state and
+    must NOT be emitted as unmatched."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        interval_join,
+    )
+
+    events = generate_events(400, seed=67, interval_ms=1000)
+    write_jsonl(events, f"{tmpdir}/in", n_files=2)
+    left = parse_events(read_event_stream(spark, f"{tmpdir}/in"))
+    right = parse_events(read_event_stream(spark, f"{tmpdir}/in")).where(
+        F.col("status") == "error"
+    )
+    joined = interval_join(left, right, key="user_id", within="1 minute", how="left_outer")
+    got = run_available_now(
+        joined, f"{tmpdir}/ck", output_mode="append", name="s19"
+    ).collect()
+
+    batch = _read_batch(spark, f"{tmpdir}/in")
+    l = batch.select(
+        F.col("user_id").alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = batch.where(F.col("status") == "error").select(
+        F.col("user_id").alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 MINUTE"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    inner = {
+        (x["l_event_id"], x["r_event_id"]) for x in l.join(r, cond).collect()
+    }
+    unmatched_all = {
+        x["l_event_id"] for x in l.join(r, cond, "left_anti").collect()
+    }
+
+    got_matched = {
+        (x["l_event_id"], x["r_event_id"]) for x in got if x["r_event_id"] is not None
+    }
+    got_nulls = {x["l_event_id"] for x in got if x["r_event_id"] is None}
+    assert got_matched == inner
+    assert got_nulls <= unmatched_all  # no false unmatched, ever
+    assert got_nulls, "watermark never evicted any unmatched left row"
+    # and no left row appears both matched and null-padded
+    assert not got_nulls & {a for a, _ in got_matched}
