@@ -1,0 +1,127 @@
+"""Seeded differential fuzzing: randomly composed aggregation queries
+run through BOTH engines from the same SQL text.
+
+The handwritten oracle pairs pin the queries we thought of; this sweep
+pins the ones we didn't — random (table, filter, group keys, aggregate)
+combinations from a dialect-portable subset, executed by Spark SQL over
+temp views and by DuckDB over the same parquet, compared through the
+driver-mirroring harness (type-strict, order-insensitive). Seeds are
+fixed, so a failure is reproducible by case number.
+
+The generated subset deliberately stays inside the repo's determinism
+conventions (operators/helpers.py): double sums go through
+DECIMAL(18,6) accumulation (exact in both engines), averages are
+exact-sum/count rounded via floor(x*100+0.5)/100, every output is
+ordered by the full group key, and no engine-specific functions appear.
+"""
+
+import random
+
+import pytest
+
+from real_time_event_streaming_analytics_platform_spark.catalog import load
+
+from .conftest import SF_DIR
+from .oracle import compare, duck_connection
+
+# (table, categorical group-key candidates, numeric cols, string cols)
+_TABLES = {
+    "events": (["event_type", "user_id"], ["value", "user_id"], ["event_type", "props"]),
+    "orders": (
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_totalprice", "o_custkey"],
+        ["o_orderpriority"],
+    ),
+    "lineitem": (
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        ["l_returnflag"],
+    ),
+}
+
+_N_CASES = 30
+
+
+def _dsum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _gen_case(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(sorted(_TABLES))
+    cats, nums, strs = _TABLES[table]
+    keys = rng.sample(cats, rng.randint(1, len(cats)))
+    aggs = ["COUNT(*) AS n"]
+    for i in range(rng.randint(1, 3)):
+        kind = rng.choice(["sum", "min", "max", "cnt", "dist", "avg"])
+        col = rng.choice(nums if kind in ("sum", "avg") else nums + strs)
+        if kind == "sum":
+            aggs.append(f"{_dsum(col)} AS a{i}")
+        elif kind == "avg":
+            aggs.append(
+                f"floor({_dsum(col)} / COUNT(*) * 100 + 0.5) / 100 AS a{i}"
+            )
+        elif kind == "cnt":
+            aggs.append(f"COUNT({col}) AS a{i}")
+        elif kind == "dist":
+            aggs.append(f"COUNT(DISTINCT {col}) AS a{i}")
+        else:
+            aggs.append(f"{kind.upper()}({col}) AS a{i}")
+    where = ""
+    if rng.random() < 0.6:
+        col = rng.choice(nums)
+        op = rng.choice([">", "<", ">=", "<="])
+        # constants inside each table's typical numeric range
+        c = round(rng.uniform(1, 100), 2)
+        where = f" WHERE {col} {op} {c}"
+    key_list = ", ".join(keys)
+    sql = (
+        f"SELECT {key_list}, {', '.join(aggs)} FROM {table}{where} "
+        f"GROUP BY {key_list} ORDER BY {key_list}"
+    )
+    return table, sql
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    for t in _TABLES:
+        load(spark, SF_DIR, t).createOrReplaceTempView(t)
+    con = duck_connection(SF_DIR)
+    return con
+
+
+def test_fuzzed_aggregations_match_duckdb(spark, views):
+    rng = random.Random(20260814)
+    failures = []
+    for case in range(_N_CASES):
+        _, sql = _gen_case(rng)
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
+
+
+def test_fuzzed_joins_match_duckdb(spark, views):
+    """Join-shaped cases: orders x customer on the FK, random group key
+    from either side, random safe aggregates, optional HAVING."""
+    load(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    rng = random.Random(77)
+    failures = []
+    for case in range(15):
+        keys = rng.sample(
+            ["c_mktsegment", "o_orderstatus", "c_nationkey", "o_orderpriority"],
+            rng.randint(1, 2),
+        )
+        aggs = ["COUNT(*) AS n", f"{_dsum('o_totalprice')} AS s"]
+        if rng.random() < 0.5:
+            aggs.append("COUNT(DISTINCT o_custkey) AS d")
+        having = " HAVING COUNT(*) > 3" if rng.random() < 0.4 else ""
+        key_list = ", ".join(keys)
+        sql = (
+            f"SELECT {key_list}, {', '.join(aggs)} "
+            f"FROM orders JOIN customer ON o_custkey = c_custkey "
+            f"GROUP BY {key_list}{having} ORDER BY {key_list}"
+        )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
