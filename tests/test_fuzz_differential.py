@@ -125,3 +125,42 @@ def test_fuzzed_joins_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_window_functions_match_duckdb(spark, views):
+    """Window-function cases: ranking and frame aggregates over random
+    partition keys, always with a total-order tiebreak (the unique key)
+    so both engines produce identical rankings."""
+    rng = random.Random(4242)
+    failures = []
+    specs = {
+        "orders": ("o_orderkey", ["o_orderstatus", "o_orderpriority"], "o_totalprice"),
+        "lineitem": ("l_orderkey, l_linenumber", ["l_returnflag", "l_linestatus"], "l_quantity"),
+        "events": ("event_id", ["event_type"], "value"),
+    }
+    for case in range(15):
+        table = rng.choice(sorted(specs))
+        uniq, parts, num = specs[table]
+        part = rng.choice(parts)
+        fn = rng.choice(
+            [
+                "ROW_NUMBER()",
+                "RANK()",
+                "DENSE_RANK()",
+                f"COUNT(*) ",
+                f"MIN({num})",
+                f"MAX({num})",
+            ]
+        )
+        frame = ""
+        if fn not in ("ROW_NUMBER()", "RANK()", "DENSE_RANK()") and rng.random() < 0.5:
+            frame = " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+        sql = (
+            f"SELECT {uniq}, {part}, {fn} OVER "
+            f"(PARTITION BY {part} ORDER BY {num}, {uniq}{frame}) AS w "
+            f"FROM {table} ORDER BY {part}, {num}, {uniq}"
+        )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
