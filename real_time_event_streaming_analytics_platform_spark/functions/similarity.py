@@ -75,12 +75,7 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame
         "cos"
     )
     scored = joined.select("qid", F.col("vec_id").alias("cid"), cos)
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "cid", "rank", round2("cos").alias("cos"))
-    )
+    return _topk_ranked(scored, k)
 
 
 @query(
@@ -266,10 +261,31 @@ def x2d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     cos = F.expr(_dot("emb_a", "emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # Threshold on the RAW cosine; round only for display. Filtering the
+    # rounded value would admit a [0.945, 0.95) band of non-near-dups.
     return (
-        pairs.select("vec_a", "vec_b", round2(cos).alias("cos"))
-        .where(F.col("cos") >= 0.95)
+        pairs.where(cos >= 0.95)
+        .select("vec_a", "vec_b", round2(cos).alias("cos"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def _topk_ranked(scored, k: int = None):
+    """(qid, cid, cos) → per-query top-k: the ONE definition of the
+    tie-breaking (cos desc, cid) and display rounding that every ANN
+    variant (x3b LSH, x3c IVF probe, x3d/x3e exact re-rank) and the
+    brute-force oracle tail must agree on — a drift here silently breaks
+    the cross-variant recall comparisons."""
+    from pyspark.sql import Window
+
+    if k is None:
+        k = TOP_K
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
     )
 
 
@@ -303,13 +319,7 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos"
     )
     scored = cand.select("qid", F.col("vec_id").alias("cid"), cos)
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("qid", "cid", "rank", round2("cos").alias("cos"))
-        .orderBy("qid", "rank")
-    )
+    return _topk_ranked(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -430,13 +440,7 @@ def ivf_probe(spark: SparkSession, assigned: DataFrame, centers) -> DataFrame:
         "cos"
     )
     scored = cand.select("qid", F.col("vec_id").alias("cid"), cos)
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("qid", "cid", "rank", round2("cos").alias("cos"))
-        .orderBy("qid", "rank")
-    )
+    return _topk_ranked(scored)
 
 @query("x3c_ann_ivf")
 def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,13 +572,7 @@ def rerank_exact(shortlist: DataFrame, emb: DataFrame, k: int = TOP_K) -> DataFr
             ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "cid", "rank", round2("cos").alias("cos"))
-        .orderBy("qid", "rank")
-    )
+    return _topk_ranked(exact, k)
 
 
 @query("x3d_ann_pq")

@@ -215,7 +215,7 @@ _BPE_RE_SPARK = _BPE_RE.replace("\\", "\\\\")
     "t3_token_counts",
     oracle=f"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS ws_tokens,
+           len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> w != '')) AS ws_tokens,
            len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens
     FROM documents ORDER BY doc_id
     """,
@@ -224,7 +224,14 @@ def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.expr("size(filter(split(text, '\\\\s+'), w -> w != ''))").alias("ws_tokens"),
+        # explicit class, not \s: Java \s includes vertical tab U+000B,
+        # RE2 (DuckDB) \s does not — an explicit class is engine-neutral.
+        # Double-escaped so the REGEX engine (not the SQL literal parser)
+        # interprets the escapes: Spark's literal parser maps unknown \f
+        # to plain 'f', which would make the letter f a token separator.
+        F.expr(
+            "size(filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), w -> w != ''))"
+        ).alias("ws_tokens"),
         F.expr(f"size(regexp_extract_all(lower(text), '{_BPE_RE_SPARK}', 0))").alias(
             "bpe_tokens"
         ),

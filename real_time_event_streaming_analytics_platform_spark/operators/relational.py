@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..plans.registry import query
+from ..plans.registry import query, track_persist
 from .helpers import (
     DEC,
     davg,
@@ -1266,8 +1266,8 @@ def q32_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w / COUNT(*) OVER w
-                AS DOUBLE) AS avg_10m
+           floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w) * 100 + 0.5) / 100 AS avg_10m
     FROM events
     WINDOW w AS (PARTITION BY event_type
                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -1286,9 +1286,15 @@ def q33_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             fmt_ts("ts").alias("t"),
             F.count("*").over(w).alias("n_10m"),
-            (F.sum(F.col("value").cast(DEC)).over(w) / F.count("*").over(w))
-            .cast("double")
-            .alias("avg_10m"),
+            # davg discipline (helpers.py): cast the EXACT decimal sum to
+            # double FIRST, divide in double, then round2. Spark's
+            # decimal-quotient-then-cast and DuckDB's double division
+            # disagree in the final ULP for ~70% of 6-dp sums — the one
+            # place this file deviated from the scheme.
+            round2(
+                F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+                / F.count("*").over(w)
+            ).alias("avg_10m"),
         )
         .orderBy("event_type", "t", "event_id")
     )
@@ -1352,7 +1358,12 @@ def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage = stage.join(anchor, "user_id").where(
                 F.col("ts") > F.col("anchor")
             )
-        anchor = stage.groupBy("user_id").agg(F.min("ts").alias("anchor"))
+        # persist each stage anchor: stage N's plan embeds every earlier
+        # stage, and the final union evaluates all of them — uncached,
+        # the events scan repeats O(steps²) times instead of O(steps)
+        anchor = track_persist(
+            stage.groupBy("user_id").agg(F.min("ts").alias("anchor"))
+        )
         stages.append(anchor)
     counts = None
     for (step_name, step), stage in zip(_FUNNEL_STEPS, stages):
@@ -1502,7 +1513,9 @@ def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
     )
     f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
-    g = (
+    # persisted: the week-0 base `b` is a second full evaluation of g
+    # otherwise (first-seen groupBy + activity join + distinct count ×2)
+    g = track_persist(
         w.join(f, "user_id")
         .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("active_users"))
