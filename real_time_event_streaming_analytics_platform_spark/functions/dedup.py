@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..plans.registry import query
-from .._shingle import NUM_HASHES, BANDS, ROWS_PER_BAND, shingles_df, signature_df
+from .._shingle import NUM_HASHES, BANDS, ROWS_PER_BAND, signature_df
 
 # ---------------------------------------------------------------------------
 # Q24 — exact dedup on events: keep-first per (user_id, event_type, value).
@@ -468,9 +468,10 @@ def standing_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"sgr_band_index_{fp}"
         path = _scratch_dir("sgr-band-index-") + "/band_index"
         sig_i = signature_index(spark, sf_dir).where(~F.expr(_BATCH_PRED))
-        keys_i = cap_buckets(banded_df(sig_i), ["band", "bh"], MAX_BUCKET).select(
-            F.col("doc_id").alias("index_id"), "band", "bh"
-        )
+        # same construction as every ad-hoc probe (ONE definition of the
+        # capped band-key shape — a cap/key change can't diverge between
+        # the bucketed table and index_probe_frames)
+        keys_i, _ = index_probe_frames(sig_i)
         write_bucketed(keys_i, name, "bh", path=path)
         _BAND_INDEX[key] = name
     return spark.table(name)

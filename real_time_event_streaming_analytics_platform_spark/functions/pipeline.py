@@ -148,14 +148,16 @@ def connected_components(
     # mid-job, and with ANSI off it would silently produce NULLs.
     # Callers with non-numeric ids should map them to longs
     # (zipWithIndex / xxhash64) before calling.
+    # Checkpoint the typed edges FIRST, then derive both the cast
+    # validation and the working edge set from the checkpointed frame —
+    # the caller's edge lineage (possibly a full shingle→minhash→band
+    # self-join) executes exactly once, not once per consumer.
     typed = edges.select(
         F.expr(f"try_cast({src} AS long)").alias("u"),
         F.expr(f"try_cast({dst} AS long)").alias("v"),
-    )
+    ).localCheckpoint()
     # One aggregate pass validates the cast (count(col) skips NULLs, so
-    # nu < n ⇔ some id failed try_cast) — folding the guard into a
-    # single scan instead of a separate filter-and-count job over the
-    # same (possibly expensive) edges lineage.
+    # nu < n ⇔ some id failed try_cast).
     stats = typed.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("u").alias("nu"),

@@ -236,18 +236,30 @@ _COOLDOWN_OUT = StructType(
     ]
 )
 
-_COOLDOWN_STATE = StructType([StructField("last_epoch", DoubleType())])
+# State carries BOTH the last emission epoch and the running suppressed
+# count: a suppressed tally that lived only in a local variable would
+# reset at every micro-batch boundary, making suppressed_since_last
+# depend on batch sizing — the same input split 1-file-per-trigger vs
+# one availableNow batch must produce identical rows (the S5 contract).
+_COOLDOWN_STATE = StructType(
+    [
+        StructField("last_epoch", DoubleType()),
+        StructField("suppressed", LongType()),
+    ]
+)
 
 
 def _cooldown(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    last = state.get[0] if state.exists else None
+    if state.exists:
+        last, suppressed = state.get[0], int(state.get[1] or 0)
+    else:
+        last, suppressed = None, 0
     rows = _concat_nonempty(pdfs)
     if rows is None:
         yield pd.DataFrame({c: [] for c in _COOLDOWN_OUT.fieldNames()})
         return
     rows = rows.sort_values(["ts", "event_id"])
     out = {c: [] for c in _COOLDOWN_OUT.fieldNames()}
-    suppressed = 0
     for r in rows.itertuples(index=False):
         epoch = r.ts.timestamp()
         if last is not None and (epoch - last) < COOLDOWN_SECONDS:
@@ -260,7 +272,10 @@ def _cooldown(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[
         out["suppressed_since_last"].append(suppressed)
         suppressed = 0
         last = epoch
-    state.update((last if last is not None else float("nan"),))
+    # `last` cannot be None here: a non-empty batch with no prior state
+    # always emits its first row (no NaN sentinel needed — storing one
+    # would make the cooldown comparison depend on NaN semantics).
+    state.update((last, suppressed))
     yield pd.DataFrame(out)
 
 

@@ -828,3 +828,35 @@ def test_s19_stream_stream_left_outer_join_emits_unmatched(spark, tmpdir):
     assert got_nulls, "watermark never evicted any unmatched left row"
     # and no left row appears both matched and null-padded
     assert not got_nulls & {a for a, _ in got_matched}
+
+
+def test_s5b_cooldown_suppressed_count_is_batch_size_independent(spark, tmpdir):
+    """The suppressed_since_last counter lives in GroupState, not a
+    per-batch local: the same alerts replayed one-file-per-trigger must
+    produce EXACTLY the rows of the single-batch run — a counter that
+    resets at micro-batch boundaries drops suppressed alerts that
+    straddle them."""
+    events = generate_events(120, seed=93, interval_ms=30000)  # 30s apart
+
+    def run(n_files, tag, max_files):
+        d = f"{tmpdir}/{tag}"
+        write_jsonl(events, f"{d}/in", n_files=n_files)
+        stream = parse_events(
+            read_event_stream(spark, f"{d}/in", max_files_per_trigger=max_files)
+        )
+        alerts = stream.select(
+            "source", F.col("status").alias("severity"), "event_id", "ts"
+        )
+        out = run_available_now(
+            cooldown_stream(alerts), f"{d}/ck", output_mode="append", name=f"s5b_{tag}"
+        ).collect()
+        return sorted(
+            (r["source"], r["severity"], r["event_id"], r["suppressed_since_last"])
+            for r in out
+        )
+
+    one = run(1, "one", None)
+    split = run(8, "split", 1)
+    assert one == split
+    # and the counter is not identically zero (suppression does happen)
+    assert any(s > 0 for *_, s in one)
