@@ -100,10 +100,14 @@ _CMS_D = 4
 _CMS_W = 1024
 
 
-def _token_rows(docs: DataFrame) -> DataFrame:
-    """(group, token) rows: q25b's tokenization (lowercase alnum runs)."""
+def _token_rows(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(group, token[, extra...]) rows: q25b's tokenization (lowercase
+    alnum runs). The ONE definition of the rule — x12's sharded variant
+    carries its shard column through ``extra_cols`` instead of copying
+    the split/filter/explode."""
     return docs.select(
         F.col("lang").alias("grp"),
+        *extra_cols,
         F.explode(
             F.filter(
                 F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
@@ -200,15 +204,7 @@ def x12_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sharded = docs.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
-    toks = sharded.select(
-        F.col("lang").alias("grp"),
-        "shard",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-            )
-        ).alias("token"),
-    )
+    toks = _token_rows(sharded, "shard")
     per_shard = cms_build(
         toks.withColumn("grp", F.concat_ws("|", "grp", "shard")).drop("shard")
     ).select(

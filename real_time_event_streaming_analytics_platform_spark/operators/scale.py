@@ -196,12 +196,45 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+
+    def _to_scalar(v):
+        """Driver-side value → float; timestamps/dates via epoch."""
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            # collected values are session-tz (UTC) wall clock; pin UTC so
+            # the driver scalar matches unix_timestamp() regardless of the
+            # driver process's local timezone
+            return v.replace(tzinfo=datetime.timezone.utc).timestamp()
+        if isinstance(v, datetime.date):
+            return float(v.toordinal()) * 86400.0
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"write_zordered: layout column value {v!r} is neither "
+                "numeric nor a timestamp/date — z-ordering needs an "
+                "ordered numeric domain (hash string keys to longs first)"
+            )
+
+    def _col_expr(c: str) -> Column:
+        dt = dict(df.dtypes)[c]
+        if dt.startswith("timestamp"):  # timestamp and timestamp_ntz
+            # NTZ → TIMESTAMP (session tz is UTC) → long epoch seconds —
+            # the same convention _to_scalar applies to the driver values
+            return F.col(c).cast("timestamp").cast("long").cast("double")
+        if dt == "date":
+            # toordinal-compatible: days since year-1, scaled to seconds
+            return (F.datediff(F.col(c), F.lit("0001-01-01")) + 1).cast(
+                "double"
+            ) * 86400.0
+        return F.col(c).cast("double")
+
     def norm(c: str, lo, hi) -> Column:
         if hi == lo:
             return F.lit(0).cast("long")
-        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
-            float(hi) - float(lo)
-        )
+        flo, fhi = _to_scalar(lo), _to_scalar(hi)
+        scaled = (_col_expr(c) - F.lit(flo)) / F.lit(fhi - flo)
         return F.least(
             F.lit(n_buckets - 1).cast("long"),
             F.greatest(F.lit(0).cast("long"), F.floor(scaled * n_buckets)),

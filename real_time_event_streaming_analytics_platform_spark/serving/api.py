@@ -67,16 +67,20 @@ def kpi(
     broadcast scalar join (correct but one extra aggregate per read).
     """
     parse_window(window)
-    df = hot.where(F.col("window") == window)
+    ttl = F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+    if anchor is None:
+        # In-plan anchor over the WHOLE hot frame, before any filter —
+        # the same quantity hot_anchor() precomputes. Anchoring after
+        # the source/window filters would make the TTL self-referential
+        # per subset: a stale source's own max never expires its rows,
+        # and the two documented-equivalent paths would disagree.
+        df = _anchored(hot, "window_start")
+    else:
+        df = hot.withColumn("_anchor", F.lit(anchor))
+    df = df.where(F.col("window") == window)
     if source is not None:
         df = df.where(F.col("source") == source)
-    ttl = F.expr(f"INTERVAL {ttl_seconds} SECONDS")
-    if anchor is not None:
-        df = df.where(F.col("window_start") >= F.lit(anchor) - ttl)
-    else:
-        df = _anchored(df, "window_start").where(
-            F.col("window_start") >= F.col("_anchor") - ttl
-        ).drop("_anchor")
+    df = df.where(F.col("window_start") >= F.col("_anchor") - ttl).drop("_anchor")
     return df.orderBy(F.col("window_start").desc(), "source").limit(limit)
 
 
@@ -129,9 +133,23 @@ def series(
         and bucket == "minute"
         and _ROLLUP_COLS.get(agg) in rollup.columns
     ):
-        df = rollup
+        # Grid-align the rollup: sliding_aggregates windows start every
+        # 10 s, so each event appears in 6 overlapping 1-minute rows —
+        # keeping only :00-aligned window_starts selects exactly the
+        # tumbling-minute subset (a no-op for an already-tumbling
+        # rollup), matching the raw path's date_trunc buckets.
+        df = rollup.where(
+            F.col("window_start") == F.date_trunc("minute", "window_start")
+        )
+        # Continuous-aggregate range semantics: the buckets CONTAINING
+        # start/end are returned whole (a pre-aggregated bucket cannot
+        # be split). The raw fallback clips to exact timestamps — a
+        # mid-bucket start differs between the paths by design, exactly
+        # as TimescaleDB's continuous aggregates serve whole buckets.
         if start is not None:
-            df = df.where(F.col("window_start") >= F.lit(start))
+            df = df.where(
+                F.col("window_start") >= F.date_trunc("minute", F.lit(start))
+            )
         if end is not None:
             df = df.where(F.col("window_start") <= F.lit(end))
         if source is not None:
@@ -223,9 +241,13 @@ def register_views(events: DataFrame, anomalies: DataFrame | None = None) -> Non
         _anchored(anomalies).where(
             F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 24 HOURS")
         ).drop("_anchor").createOrReplaceTempView("anomalies_last_24h")
+        # the reference's active_anomalies view is the UNRESOLVED subset
+        # (sql/01-init-timescaledb.sql: resolved BOOLEAN DEFAULT FALSE);
+        # matching active_alert_counts' filter in this module
+        cond = "WHERE NOT resolved" if "resolved" in anomalies.columns else ""
         spark.sql(
             "CREATE OR REPLACE TEMP VIEW active_anomalies AS "
-            "SELECT * FROM anomalies_last_24h"
+            f"SELECT * FROM anomalies_last_24h {cond}"
         )
 
 
@@ -277,7 +299,15 @@ def gapfill_series(series_df: DataFrame, bucket: str = "minute") -> DataFrame:
     bounds aggregate broadcast against the distinct key set, exploded
     with `sequence()` — no driver loop; only already-aggregated rows
     join."""
-    step = {"minute": "interval 1 minute", "hour": "interval 1 hour"}[bucket]
+    steps = {
+        "minute": "interval 1 minute",
+        "hour": "interval 1 hour",
+        "day": "interval 1 day",
+        "week": "interval 7 days",
+    }
+    if bucket not in steps:
+        raise ValueError(f"unsupported bucket {bucket!r}; one of {sorted(steps)}")
+    step = steps[bucket]
     bounds = series_df.agg(
         F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
     )

@@ -110,9 +110,12 @@ def _parse_project(raw: DataFrame) -> DataFrame:
         F.col("j.event_id").alias("event_id"),
         F.col("j.source").alias("source"),
         # ISO-8601 → timestamp; parse failure falls back to processing
-        # time (EventAggregationJob.java:116-126)
+        # time (EventAggregationJob.java:116-126). try_to_timestamp, not
+        # to_timestamp: under ANSI (Spark 4 default) the plain form
+        # THROWS on a malformed string — the fallback could never fire
+        # and one bad line would kill the stream.
         F.coalesce(
-            F.to_timestamp("j.timestamp"), F.current_timestamp()
+            F.try_to_timestamp("j.timestamp"), F.current_timestamp()
         ).alias("ts"),
         F.col("j.attributes.metric").alias("metric"),
         F.col("j.attributes.status").alias("status"),
@@ -255,10 +258,17 @@ def classify_events(raw: DataFrame) -> DataFrame:
     java:188-193 catches the JSON exception and drops the record; an
     operator debugging a producer regression gets nothing). One
     from_json pass computes a deterministic reject reason:
-    'invalid_json' | 'missing_event_id' | 'missing_metric' | NULL
-    (= valid). Downstream, `parse_events` ≡ the _reason IS NULL branch,
-    and `dlq_writer` routes the rest to a quarantine table WITH the
-    original line, so bad payloads are replayable after a fix."""
+    'invalid_json' | 'missing_event_id' | 'missing_metric' |
+    'invalid_timestamp' | NULL (= valid), and `dlq_writer` routes the
+    rest to a quarantine table WITH the original line, so bad payloads
+    are replayable after a fix.
+
+    The DLQ path is deliberately STRICTER than the lossy stream path on
+    timestamps: `parse_events` keeps a row with an unparseable timestamp
+    by stamping processing time (the reference's fallback, EventAgg:116-
+    126), but a processing-time stamp makes an epoch's content differ on
+    replay — so the auditable path quarantines those rows instead, and
+    every main-table row is a pure function of its input line."""
     j = F.from_json("raw", EVENT_SCHEMA)
     # from_json is PERMISSIVE (a malformed line yields a null-FIELDED
     # struct, not a null struct), so malformedness is detected with
@@ -269,6 +279,7 @@ def classify_events(raw: DataFrame) -> DataFrame:
         F.when(F.try_parse_json("raw").isNull(), "invalid_json")
         .when(j["event_id"].isNull(), "missing_event_id")
         .when(j["attributes"]["metric"].isNull(), "missing_metric")
+        .when(F.try_to_timestamp(j["timestamp"]).isNull(), "invalid_timestamp")
         .otherwise(F.lit(None).cast("string"))
     )
     return raw.select("raw", reason.alias("_reason"))

@@ -28,9 +28,14 @@ def tmpdir():
     shutil.rmtree(d, ignore_errors=True)
 
 
-CORRUPT = '{not json}\nnull\n{"event_id": null}\n{"event_id": "x"}\n'
+CORRUPT = (
+    '{not json}\nnull\n{"event_id": null}\n{"event_id": "x"}\n'
+    '{"event_id": "y", "timestamp": "not-a-date", "attributes": {"metric": 1.5}}\n'
+)
 # -> invalid_json, missing_event_id (literal null IS valid JSON),
-#    missing_event_id, missing_metric
+#    missing_event_id, missing_metric, invalid_timestamp (the stream
+#    path would stamp processing time; the deterministic DLQ path
+#    quarantines instead)
 
 
 def _drain(spark, in_dir, main, dlq, ckpt):
@@ -63,9 +68,13 @@ def test_s18_dlq_routes_rejects_with_reasons(spark, tmpdir):
         ("null", "missing_event_id"),
         ('{"event_id": null}', "missing_event_id"),
         ('{"event_id": "x"}', "missing_metric"),
+        (
+            '{"event_id": "y", "timestamp": "not-a-date", "attributes": {"metric": 1.5}}',
+            "invalid_timestamp",
+        ),
     }
     # conservation: every input line is in exactly one table
-    assert main.count() + dlq.count() == 64
+    assert main.count() + dlq.count() == 65
 
 
 def test_s18_restart_is_idempotent(spark, tmpdir):
@@ -80,4 +89,4 @@ def test_s18_restart_is_idempotent(spark, tmpdir):
             spark, f"{tmpdir}/in", f"{tmpdir}/main", f"{tmpdir}/dlq", f"{tmpdir}/ck"
         )
     assert spark.read.parquet(f"{tmpdir}/main").count() == 40
-    assert spark.read.parquet(f"{tmpdir}/dlq").count() == 4
+    assert spark.read.parquet(f"{tmpdir}/dlq").count() == 5

@@ -451,3 +451,21 @@ def test_attach_group_totals_keeps_null_keys(spark):
     key = lambda rows: sorted((r["k"] or "", r["v"], r["total"]) for r in rows)
     assert key(rewrite.collect()) == key(plain.collect())
     assert rewrite.where(F.col("k").isNull()).count() == 34
+
+
+def test_zorder_accepts_timestamp_layout_column(spark, tmpdir):
+    """(ts, user_id) is the natural event-platform layout; timestamp
+    columns must normalize via epoch, not crash on float(datetime)."""
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        write_zordered,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    z_path = f"{tmpdir}/layout_ts"
+    write_zordered(ev, z_path, "ts", "user_id", n_files=8)
+    back = spark.read.parquet(z_path)
+    assert back.count() == ev.count()
+    # layout only — all rows and columns intact
+    assert sorted(r.event_id for r in back.select("event_id").collect()) == sorted(
+        r.event_id for r in ev.select("event_id").collect()
+    )

@@ -207,3 +207,41 @@ def test_series_gapfill_densifies_all_sources(spark, events):
             assert r.value == observed[(r.source, r.bucket)]
         else:
             assert r.value is None
+
+
+def test_kpi_inplan_anchor_is_global_even_for_stale_source(spark, events):
+    """The in-plan anchor must equal hot_anchor's GLOBAL max: anchoring
+    after the source filter would let a stale source's own max keep its
+    rows alive forever, and the two documented-equivalent paths would
+    disagree."""
+    import datetime
+
+    hot = spark.createDataFrame(
+        [
+            ("A", "1m", datetime.datetime(2024, 1, 1, 12, 0), 10.0),
+            ("B", "1m", datetime.datetime(2024, 1, 1, 9, 0), 20.0),
+        ],
+        "source string, window string, window_start timestamp, avg_metric double",
+    )
+    inplan = kpi(hot, source="B", window="1m", ttl_seconds=3600).collect()
+    cached = kpi(
+        hot, source="B", window="1m", ttl_seconds=3600, anchor=hot_anchor(hot)
+    ).collect()
+    assert sorted(map(tuple, inplan)) == sorted(map(tuple, cached))
+    assert inplan == []  # B's 09:00 row expired against the 12:00 anchor
+
+
+def test_series_rollup_grid_aligns_sliding_input(spark, events):
+    """A sliding_aggregates-shaped rollup (window_start every 10 s, 6
+    overlapping rows per minute) must yield the SAME minute series as
+    the raw path — the fast path keeps only :00-aligned windows."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        sliding_aggregates,
+    )
+
+    sliding = sliding_aggregates(
+        events.withColumn("status", F.lit("ok"))
+    ).select("window_start", "source", "count_events", "avg_metric", "sum_metric")
+    raw = series(events, agg="count", bucket="minute").collect()
+    fast = series(events, agg="count", bucket="minute", rollup=sliding).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, raw))
