@@ -46,9 +46,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_utc(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The nanos→µs conversion is keyed to the ONE table written with
+    # TIMESTAMP(NANOS) (events), not sniffed by column name/dtype — a
+    # future table with a genuine bigint epoch column named ts must not
+    # be silently divided by 1000.
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

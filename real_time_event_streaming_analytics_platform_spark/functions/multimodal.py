@@ -126,9 +126,16 @@ def extract_media_features(with_payload: DataFrame) -> DataFrame:
     columnar Arrow buffers end-to-end.
     """
 
+    _NULL_MEDIA = {"width": None, "height": None, "n_frames": None, "feature": None}
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [decode_image(p, fake=True) for p in pdf["payload"]]
+            # NULL payloads (e.g. a null source column encoded to binary)
+            # yield null features instead of len(None) killing the worker
+            decoded = [
+                _NULL_MEDIA if p is None else decode_image(p, fake=True)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -181,7 +188,10 @@ def resize_media(with_payload: DataFrame, width: int = 64, height: int = 64) -> 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
         for pdf in it:
-            out = [bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]]
+            out = [
+                None if p is None else bytes(p[:n]).ljust(n, b"\0")
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -210,7 +220,12 @@ def frame_sample(with_payload: DataFrame, every_k: int = 4, frame_bytes: int = 2
         for pdf in it:
             ids, nos, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, len(p) // frame_bytes)
+                if p is None:
+                    continue  # null payload: no frames
+                # ceil division: a payload whose length is not a multiple
+                # of frame_bytes keeps its short tail frame (floor
+                # division silently dropped up to frame_bytes-1 bytes)
+                n_frames = max(1, -(-len(p) // frame_bytes))
                 for f in range(0, n_frames, every_k):
                     ids.append(doc_id)
                     nos.append(f)
