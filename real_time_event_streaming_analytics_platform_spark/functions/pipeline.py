@@ -431,11 +431,17 @@ def x8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # even sources downsampled to 129/256 ≈ 50% (hex prefix <= '80'), odd kept
 # in full — a stand-in mixing table; a real deployment broadcast-joins a
 # (source, rate) dimension instead of inlining the CASE.
+# TRY_CAST: an unknown source name (anything not 'src<digits>' — the
+# curation STREAM sees arbitrary feeds) yields NULL, %2 stays NULL, and
+# the CASE falls to the keep-in-full branch — under ANSI a plain CAST
+# would throw and crash-loop the stream on one odd source value.
 _MIX_THRESH_SPARK = (
-    "CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0 THEN '80' ELSE 'ff' END"
+    "CASE WHEN TRY_CAST(substring(source, 4, 10) AS INT) % 2 = 0 "
+    "THEN '80' ELSE 'ff' END"
 )
 _MIX_THRESH_DUCK = (
-    "CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN '80' ELSE 'ff' END"
+    "CASE WHEN TRY_CAST(substr(source, 4, 10) AS INT) % 2 = 0 "
+    "THEN '80' ELSE 'ff' END"
 )
 
 

@@ -76,6 +76,13 @@ def parse_webhook(
 ) -> DataFrame:
     """Webhook JSON bodies → normalized alert rows (one per alert).
 
+    Malformed bodies (from_json → null) and payloads whose alerts array
+    is null drop at the explode — the reference returns an HTTP 422 for
+    these at its endpoint (ASVC:410-415), so the loss is pre-ingestion
+    there too. A deployment that needs the quarantine audit trail wires
+    the payload stream through the same classify/dlq pattern as events
+    (streaming/entries.classify_events) before this parse.
+
     Works identically on a batch DataFrame and a streaming one (the
     plan is pure stateless projection, so it runs under any output
     mode). ``firing_only=True`` drops ``status='resolved'`` alerts —
@@ -93,8 +100,15 @@ def parse_webhook(
     )
     if firing_only:
         alerts = alerts.filter(F.col("_a.status") == "firing")
+    # try_to_timestamp + processing-time fallback (the entries.py parse
+    # convention): under ANSI the plain to_timestamp THROWS on one
+    # malformed startsAt, and the restart replays the same line — a
+    # permanent crash loop. A null/absent startsAt likewise must not
+    # emit a null ts (NaT kills the stateful cooldown downstream).
     ts = (
-        F.to_timestamp(F.col("_a.startsAt"))
+        F.coalesce(
+            F.try_to_timestamp(F.col("_a.startsAt")), F.current_timestamp()
+        )
         if ts_mode == "event"
         else F.current_timestamp()
     )

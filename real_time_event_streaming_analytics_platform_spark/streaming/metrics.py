@@ -74,7 +74,11 @@ class MetricsRegistry:
         def fmt(key: tuple, v: float) -> str:
             name, labels = key
             lbl = ",".join(f'{k}="{val}"' for k, val in labels)
-            return f"{name}{{{lbl}}} {v:g}" if lbl else f"{name} {v:g}"
+            # .17g round-trips any double ({v:g} truncates to 6
+            # significant digits — a counter at 1,234,567 would expose
+            # as 1.23457e+06 and only move in steps of 10)
+            sv = format(v, ".17g")
+            return f"{name}{{{lbl}}} {sv}" if lbl else f"{name} {sv}"
 
         with self._lock:
             lines = [fmt(k, v) for k, v in self._counters.items()]
@@ -98,6 +102,7 @@ class EngineMetricsListener(StreamingQueryListener):
 
     def __init__(self, registry: MetricsRegistry) -> None:
         self.registry = registry
+        self._labels: dict = {}  # query id -> last label dict
 
     # -- required interface -------------------------------------------------
     def onQueryStarted(self, event: QueryStartedEvent) -> None:
@@ -108,14 +113,21 @@ class EngineMetricsListener(StreamingQueryListener):
     def onQueryProgress(self, event: QueryProgressEvent) -> None:
         p = event.progress
         label = {"query": p.name or str(p.id)}
+        self._labels[str(p.id)] = label
         reg = self.registry
+
+        def _num(v) -> float:
+            # Spark reports NaN for the rate metrics on triggers with no
+            # prior timestamp, and NaN is truthy — 'v or 0.0' kept it
+            return 0.0 if v is None or v != v else float(v)
+
         reg.inc("streaming_batches_total", label)
         reg.inc("streaming_input_rows_total", label, float(p.numInputRows))
-        reg.set("streaming_input_rows_per_second", label, p.inputRowsPerSecond or 0.0)
+        reg.set("streaming_input_rows_per_second", label, _num(p.inputRowsPerSecond))
         reg.set(
             "streaming_processed_rows_per_second",
             label,
-            p.processedRowsPerSecond or 0.0,
+            _num(p.processedRowsPerSecond),
         )
         total_ms = (p.durationMs or {}).get("triggerExecution", 0)
         reg.set("streaming_batch_duration_ms", label, float(total_ms))
@@ -143,6 +155,21 @@ class EngineMetricsListener(StreamingQueryListener):
             "streaming_queries_terminated_total",
             {"status": "error" if event.exception else "clean"},
         )
+        # zero the dead query's THROUGHPUT gauges — otherwise dashboards
+        # show its last rates as if it were still running, masking an
+        # outage. State-size gauges are left at their final values: they
+        # describe the checkpointed state a restart will reload, and
+        # post-run consumers (the S13 harness, batch-style availableNow
+        # drains) read them after termination.
+        label = self._labels.pop(str(event.id), None)
+        if label is not None:
+            for g in (
+                "streaming_input_rows_per_second",
+                "streaming_processed_rows_per_second",
+                "streaming_watermark_lag_seconds",
+            ):
+                if self.registry.get(g, label) is not None:
+                    self.registry.set(g, label, 0.0)
 
 
 def update_active_alert_gauges(registry: MetricsRegistry, anomalies: DataFrame) -> None:

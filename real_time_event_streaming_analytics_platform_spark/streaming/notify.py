@@ -180,13 +180,30 @@ def deliver_batch(
     twice. That residue is inherent to side-effecting sinks without a
     transactional transport; receivers needing strict exactly-once must
     dedup on the (alert_id, rule) key each message carries."""
+    rows = batch_df.collect()  # bounded: post-cooldown key-space cap
     marker = None
+    sig = None
     if delivery_log is not None:
         os.makedirs(delivery_log, exist_ok=True)
         marker = os.path.join(delivery_log, f"epoch-{epoch_id}.done")
-    if marker is not None and os.path.exists(marker):
-        return 0  # replayed epoch: already delivered
-    rows = batch_df.collect()  # bounded: post-cooldown key-space cap
+        # content signature guards against epoch-id collisions: a stream
+        # restarted from a FRESH checkpoint (or a second query sharing
+        # this delivery_log) restarts epochs at 0, and a marker keyed by
+        # epoch id alone would silently suppress its real alerts. Same
+        # epoch id + same alert set ⇒ genuine replay, skip; same id +
+        # different content ⇒ a different logical epoch, deliver.
+        import hashlib
+
+        sig = hashlib.sha256(
+            "\n".join(sorted(f"{r['event_id']}|{r['ts']}" for r in rows)).encode()
+        ).hexdigest()
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    if json.load(fh).get("sig") == sig:
+                        return 0  # replayed epoch: already delivered
+            except (OSError, ValueError):
+                pass  # unreadable marker: deliver and rewrite
     delivered = 0
     for row in rows:
         for message in fan_out(_alert_dict(row), config):
@@ -195,6 +212,20 @@ def deliver_batch(
     if marker is not None:
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"epoch": epoch_id, "delivered": delivered}, fh)
+            json.dump({"epoch": epoch_id, "delivered": delivered, "sig": sig}, fh)
         os.replace(tmp, marker)
+        # bounded marker retention: a replay can only reach epochs the
+        # checkpoint still retains, so markers far older than the current
+        # epoch are dead weight (a 10 s trigger writes ~3M files/year
+        # into one directory otherwise). Pruned opportunistically, far
+        # past any plausible replay horizon.
+        if epoch_id > 0 and epoch_id % 1000 == 0:
+            horizon = epoch_id - 10_000
+            for name in os.listdir(delivery_log):
+                if name.startswith("epoch-") and name.endswith(".done"):
+                    try:
+                        if int(name[6:-5]) < horizon:
+                            os.remove(os.path.join(delivery_log, name))
+                    except (ValueError, OSError):
+                        pass
     return delivered

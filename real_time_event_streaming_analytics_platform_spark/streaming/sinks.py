@@ -132,14 +132,21 @@ def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "e
         for st in statuses
         if st.isDirectory() and st.getPath().getName().startswith(prefix)
     ]
-    # __HIVE_DEFAULT_PARTITION__ holds NULL partition values — not a
-    # date, never expired by age (it would also sort AFTER every real
-    # date and poison the max-partition anchor).
-    dates = sorted(
-        e[len(prefix):]
-        for e in part_dirs
-        if e[len(prefix):] != "__HIVE_DEFAULT_PARTITION__"
-    )
+    # Only well-formed yyyy-MM-dd values participate: the NULL partition
+    # (__HIVE_DEFAULT_PARTITION__) and any stray non-ISO value (manual
+    # backfill dirs like event_date=20240101) must neither poison the
+    # lexicographic max anchor nor crash the parse — and a value we
+    # can't parse is never returned for deletion either.
+    def _is_iso(v: str) -> bool:
+        from datetime import date
+
+        try:
+            date.fromisoformat(v)
+            return True
+        except ValueError:
+            return False
+
+    dates = sorted(e[len(prefix):] for e in part_dirs if _is_iso(e[len(prefix):]))
     if not part_dirs:
         data = [
             st.getPath().getName()
