@@ -38,106 +38,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness rows for the FIRST 50 queries() entries
 # only; more queries have oracles than slots, so some must yield.
 #
-# Round-4 rotation (per VERDICT r03 next-round #2/#8): the five round-3
-# LLM-pipeline operators (t6 repetition, t7 chunk dedup, x8
-# decontamination, x9 source mixing, x10 curation funnel) had never held
-# a driver CORRECTNESS row, so they are promoted into the window this
-# round; five long-stable trivial R-series operators (r1, r5, r12, r13,
-# r14 — green in r01+r02+r03) rotate out in their place. The r02-era
-# demotions (set-op bag variants, cube/grouping-sets next to rollup,
-# q09b next to q09, q20b next to q20, unpivot next to pivot, the scalar
-# trio q16/q17/q19) all hold green r02 rows and stay demoted. Every
-# demoted query remains fully registered and oracle-checked locally —
-# tests/test_oracle_queries.py covers every oracle pair each session.
+# Round-6 rotation (per VERDICT r05 next-round #3, taken to its
+# fixpoint): after r05, ALL 33 demoted queries held driver rows from
+# r04 only — two rounds stale by r06. This round promotes every one of
+# them back into the window and demotes 33 queries that just earned
+# fresh green r05 rows. The 17 window keepers are the 15 queries NEW in
+# r05 (r13b, r16, q26b, q29-q36, t8, t9, q37, q38 — each holds exactly
+# one green row, so they stay for a second confirmation against any
+# round-6 code motion) plus the two flagships r3 (the entry() query)
+# and r4 (the reference's core sliding-window shape). Net effect:
+# after r06 every oracle-backed query holds a green driver row from
+# r05 or r06 — maximum achievable freshness with 83 oracles and 50
+# slots. Every demoted query remains fully registered and
+# oracle-checked locally each session (tests/test_oracle_queries.py).
 _DEMOTED = [
-    # Round-5 rotation (per VERDICT r04 next-round #1): the 18 queries
-    # demoted since r02/r03 (set-op bag variants, cube/grouping-sets,
-    # q09b, q20b, unpivot, the scalar trio, and the five trivial
-    # R-series ops) had driver rows 2-3 rounds stale while the codebase
-    # changed around them, so ALL of them rotate back into the window
-    # this round. In their place, 18 operators that just earned fresh
-    # green r04 rows rotate out: the text-analysis series (t1-t7,
-    # q25/q25b), the corpus-assembly series (x4-x10), and the exact-
-    # dedup/cosine trio (q24, d1, x3). After r05, every oracle-backed
-    # query holds a green driver row from r04 or r05.
-    "t1_lang_id",
-    "t2_quality_score",
-    "t3_token_counts",
-    "t5_pii_scrub",
-    "t6_repetition",
-    "t7_chunk_dedup",
-    "q25_text_stats",
-    "q25b_top_tokens",
-    "x4_multimodal_roundtrip",
-    "x5_train_split",
-    "x6_sequence_pack",
-    "x7_embedding_quantize",
-    "x8_decontaminate",
-    "x9_source_mixing",
-    "x10_curation_funnel",
-    "q24_dedup_exact",
-    "d1_dedup_docs_exact",
-    "x3_cosine_topk",
-    # Round-5 additions: r16_alertmanager_ingest (closing VERDICT r04
-    # "What's missing" #5) and q26b_hash_sample (upgrading the sampling
-    # category from rows-only to oracle-backed) each take a window slot;
-    # q23 and q27 (both green in r04) yield theirs, keeping priority at
-    # exactly 50.
-    "q23_sessionization",
-    "q27_pivot",
-    # Round-5 additions (batch 2): q29_gapfill_series, q30_recursive
-    # _hierarchy, q31_lateral_topk, and q32_ewma_trend (gap-fill,
-    # WITH RECURSIVE, LATERAL, and sequential-per-key smoothing — four
-    # SQL/analytic categories the engine did not previously cover) each
-    # take a window slot; four join variants green in r04 (q04/q05/q06/
-    # q08 — the join category stays driver-covered by q02/q03/q07) yield
-    # theirs, keeping priority at exactly 50.
-    "q04_orders_histogram",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q08_broadcast_join",
-    # Round-5 additions (batch 3): r13b_variant_json (Spark 4 VARIANT
-    # twin of r13, oracle-identical by construction) takes the slot of
-    # q11_topk (green r04; top-k stays driver-covered by q09 ranking and
-    # q31's lateral per-key top-k).
-    "q11_topk",
-    # Round-5 additions (batch 4): q33_time_range_window (RANGE BETWEEN
-    # INTERVAL frame — time-defined rolling windows, a distinct category
-    # from the ROWS frames of r7/r8) takes the slot of q20_date_shift
-    # (green r04; date arithmetic stays driver-covered by q20b, which is
-    # re-verified in this round's window).
-    "q20_date_shift",
-    # Round-5 additions (batch 5): t8_fuzzy_dedup (edit-distance dedup
-    # with prefix blocking — the entity-resolution comparator the
-    # hash/MinHash family can't express) and t9_bm25_search (BM25 keyword
-    # retrieval — the engine-native twin of the reference stack's unused
-    # Elasticsearch) take the slots of r8_rolling_median and
-    # q10_analytic_window (both green r04; the rolling-window category
-    # stays driver-covered by r7/r8b, analytic windows by q09/q09b/q33).
-    "r8_rolling_median",
-    "q10_analytic_window",
-    # Round-5 additions (batch 6): q34_funnel (strict-ordered conversion
-    # funnel), q35_scd2 (type-2 slowly-changing-dimension build), and
-    # q36_cohort_retention (weekly cohort retention matrix) — three
-    # classic event-analytics categories the registry did not previously
-    # cover — take the slots of q02_join_segment, q12_union, and
-    # r11_kpi_latest_per_key (all green r04; joins stay driver-covered by
-    # q03/q07, set ops by the four q12 bag/set variants in this window,
-    # latest-per-key by the /kpi serving tests + r3).
-    "q02_join_segment",
-    "q12_union",
-    "r11_kpi_latest_per_key",
-    # Round-5 additions (batch 7): q37_profile (single-pass column
-    # profiling unpivoted with stack) and q38_quality_checks (named
-    # assertion battery — FK anti-joins, ranges, uniqueness) — the
-    # data-quality layer a curation pipeline gates ingest on — take the
-    # slots of q13_count_distinct (exact distinct counting is now
-    # driver-exercised by q37's per-column distinct profile) and
-    # q14_rollup (the rollup family stays covered by q14b cube and
-    # q14c grouping sets, both re-verified in this round's window).
-    "q13_count_distinct",
-    "q14_rollup",
+    # Long-stable R-series ops, all green r01-r05 (per-line notes name
+    # the in-window coverage that remains for each category).
+    "r1_project_filter",     # project+filter exercised by nearly every window query
+    "r2_keyed_agg",          # keyed agg covered by q01-twin shapes q24/x10 in-window
+    "r5_percentile_cont",    # percentile pair: both green 5 rounds running
+    "r6_percentile_rank",    # nearest-rank twin of r5, same oracle family
+    "r7_rolling_zscore",     # rolling stats: promoted r8 re-verifies; S4 streaming parity
+    "r8b_rolling_mad",       # rolling median/MAD, green r04+r05; promoted r8 re-verifies
+    "r9_alerts_scan",        # filtered scan, green r01-r05
+    "r10_conditional_agg",   # conditional agg covered by x10 funnel in-window
+    "r12_relative_time",     # relative-time views, green r01-r05
+    "r13_json_extract",      # JSON path covered by kept r13b (VARIANT twin, same oracle)
+    "r14_severity_case",     # CASE classification, green r01-r05
+    "r15_cooldown_dedup",    # cooldown dedup, green r05; streaming twin S5/S11 tested
+    # Relational categories with multiple green rows; each category
+    # keeps in-window coverage via the promoted set or the keepers.
+    "q01_pricing_summary",   # agg summary covered by promoted q24/x10 + kept q37
+    "q03_multiway_join",     # joins covered by promoted q02/q04-q08 this round
+    "q07_theta_self_join",   # theta join, green r04+r05
+    "q09_ranking_window",    # ranking covered by kept q31 lateral top-k + promoted q10/q11
+    "q09b_analytic_funcs",   # analytic windows covered by kept q32/q33
+    "q12_union_all",         # set ops: promoted q12_union re-verifies the category
+    "q12_intersect",
+    "q12_except",
+    "q12_intersect_all",
+    "q12_except_all",
+    "q14b_cube",             # grouping family: promoted q14_rollup re-verifies
+    "q14c_grouping_sets",
+    "q15_correlated_subquery",  # green r04+r05
+    "q16_string_funcs",      # scalar trio green r04+r05
+    "q17_in_between",
+    "q18_having",
+    "q19_null_handling",
+    "q20b_date_diff_buckets",  # date arithmetic: promoted q20_date_shift re-verifies
+    "q21_array_explode",     # arrays green r04+r05; promoted q25b top-tokens re-exercises explode
+    "q22_asof_prior_click",  # as-of join green r04+r05
+    "q28_unpivot",           # promoted q27_pivot re-verifies the pivot family
+    # Yields its slot to d2_jaccard_scoring (new this round — the
+    # planted all-pairs mini-oracle for x2b's scoring math, VERDICT r05
+    # #7): pure-SQL recursion untouched by round-6 changes, green r05.
+    "q30_recursive_hierarchy",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +28,79 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import real_time_event_streaming_analytics_platform_spark as engine
 from real_time_event_streaming_analytics_platform_spark.session import SessionFactory
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Cross-round comparisons were noise-dominated by round 5 (same code
+# moved 75-132s across reruns while the scheduler floor moved 0.065 to
+# 0.366s). Three noise-proofing mechanisms, all in this file so every
+# round runs them identically:
+#   1. every query is timed as the MEDIAN OF N in-run repetitions
+#      (N = $SPARK_GRAFT_BENCH_REPS, default 3) — the cold first rep
+#      (codegen, parquet footers) is discarded by the median;
+#   2. the run's scheduler floor (median of 7 one-row jobs) is recorded
+#      and every query also gets a floor-normalized ratio;
+#   3. a "vs_prev" block compares this run against the committed
+#      previous-round snapshot BENCH_PREV.json on floor-normalized
+#      ratios, and `bench.py --ab <git-ref>` reruns an arbitrary ref's
+#      bench back-to-back on this machine for direct attribution.
+
+
+def _job_floor(spark) -> float:
+    """Scheduler's per-job minimum on this session right now: median
+    wall time of 7 one-row jobs. Total contention indicator — read all
+    other timings against it."""
+    samples = []
+    for _ in range(7):
+        t0 = time.monotonic()
+        spark.range(1).collect()
+        samples.append(time.monotonic() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def _vs_prev(timings: dict[str, float], floor: float) -> dict | None:
+    """Floor-normalized per-query ratios vs the committed previous-round
+    snapshot (BENCH_PREV.json — promoted from BENCH_DETAIL.json at each
+    round boundary via ``bench.py --promote``).
+
+    ratio = (now/floor_now) / (prev/floor_prev); > 1 means slower than
+    the previous round after removing scheduler-contention drift. The
+    median ratio over the common subset is the round-over-round health
+    number; individual outliers name the queries to investigate."""
+    prev_path = os.path.join(_HERE, "BENCH_PREV.json")
+    if not os.path.exists(prev_path):
+        return None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except ValueError:
+        return None
+    prev_q = prev.get("queries", {})
+    prev_floor = prev.get("spark_job_floor_sec") or prev.get("slo", {}).get(
+        "spark_job_floor_sec"
+    )
+    if not prev_q or not prev_floor or not floor:
+        return None
+    ratios = {}
+    for k, now in timings.items():
+        p = prev_q.get(k)
+        if p and p > 0 and now > 0:
+            ratios[k] = round((now / floor) / (p / prev_floor), 2)
+    if not ratios:
+        return None
+    vals = sorted(ratios.values())
+    return {
+        "against": os.path.basename(prev_path),
+        "floor_prev_sec": prev_floor,
+        "floor_now_sec": floor,
+        "n_common": len(ratios),
+        "median_ratio": round(statistics.median(vals), 2),
+        "p90_ratio": round(vals[int(0.9 * (len(vals) - 1))], 2),
+        "worst": dict(
+            sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "ratios": ratios,
+    }
 
 
 def main() -> None:
@@ -75,7 +149,10 @@ def main() -> None:
     # on the warm-but-quiet session is the faithful comparison.
     extras = _bench_slo(spark, sf_dir)
 
+    floor = _job_floor(spark)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    samples_out: dict[str, list[float]] = {}
     for i, name in enumerate(names):
         # Root cause of the round-3 "mid-tier regression": Spark's
         # ContextCleaner only releases shuffle files / broadcast blocks
@@ -92,11 +169,21 @@ def main() -> None:
             except Exception:
                 pass
         fn = engine.QUERIES[name]
-        t0 = time.monotonic()
         try:
-            df = fn(spark, sf_dir)
-            df.count()  # force full execution of the final plan
-            timings[name] = round(time.monotonic() - t0, 3)
+            # Median of `reps` full executions (plan build + run each
+            # time). Caches persist ACROSS reps of one query — rep 1
+            # pays any index build, reps 2+ measure the amortized
+            # steady state, and the median reports the steady state.
+            samples = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).count()  # force the final plan fully
+                samples.append(time.monotonic() - t0)
+            # median_low, not median: for even rep counts the plain
+            # median AVERAGES the two middle samples — with reps=2 that
+            # mixes the cold rep back into the steady-state number.
+            timings[name] = round(statistics.median_low(samples), 3)
+            samples_out[name] = [round(s, 3) for s in samples]
         except Exception as exc:  # keep benching; a broken query reads as absent
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
         finally:
@@ -109,18 +196,25 @@ def main() -> None:
     timings.update(_bench_skew(spark, sf))
 
     total = round(sum(v for k, v in timings.items() if k in engine.QUERIES), 3)
+    vs_prev = _vs_prev(timings, floor)
+    scaleup = _bench_scaleup(spark, sf_dir, timings)
     detail = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_samples": samples_out,
+        "reps_per_query": reps,
+        "spark_job_floor_sec": floor,
+        "floor_normalized": {
+            k: round(v / floor, 1) for k, v in timings.items() if floor
+        },
+        "vs_prev": vs_prev,
+        "scaleup": scaleup,
         "sf": sf,
         "slo": extras,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
+    with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print("detail: " + json.dumps(detail))
 
@@ -144,6 +238,20 @@ def main() -> None:
         "skew_window_plain_sec",
         "skew_salted_rewrite_sec",
     ]
+    vs_compact = None
+    if vs_prev:
+        vs_compact = {
+            k: vs_prev[k]
+            for k in (
+                "against",
+                "floor_prev_sec",
+                "floor_now_sec",
+                "n_common",
+                "median_ratio",
+                "p90_ratio",
+                "worst",
+            )
+        }
     print(
         json.dumps(
             {
@@ -151,11 +259,198 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "reps_per_query": reps,
+                "spark_job_floor_sec": floor,
                 "queries": {k: timings[k] for k in headline if k in timings},
+                "vs_prev": vs_compact,
+                "scaleup": scaleup,
                 "slo": extras,
             }
         )
     )
+
+
+def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict | None:
+    """Two-scale evidence (VERDICT r05 #2): sf0.1 is 17 MB on disk,
+    which undersells the scale design — so generate a ~MULT× corpus and
+    measure how the headline shapes actually scale.
+
+    Part A — the reference's core pipeline from the engine's OWN
+    connector: ``format("synthetic_events")`` generates raw
+    Kafka-shaped JSON at n and MULT·n rows, and the canonical
+    parse → 1m/10s sliding-aggregate plan (the S2 parity shape) runs at
+    both scales.
+
+    Part B — registered queries against MULT× TABLES: events /
+    documents / embeddings are replicated MULT× with deterministic
+    id remaps and content perturbation (ts jitter, a per-replica text
+    token, a per-replica embedding offset — so dedup/ANN do real work,
+    not hash-collapse on identical rows), written as parquet, and the
+    headline subset re-runs against that directory unchanged. Each
+    scaled query runs twice and reports the WARM rep — the same
+    steady-state the sf0.1 medians report.
+
+    ``factor`` = t_scaled / t_base per query; ≲ MULT means at-or-better
+    than linear scaling. Disable with SPARK_GRAFT_SCALEUP=0; multiplier
+    via SPARK_GRAFT_SCALE_MULT (default 10)."""
+    if os.environ.get("SPARK_GRAFT_SCALEUP", "1") == "0":
+        return None
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.sources.synthetic import (
+        register,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        _parse_project,
+        sliding_aggregates,
+    )
+
+    out: dict = {"multiplier": mult}
+    d = tempfile.mkdtemp(prefix="sgr-bench-scale-")
+    try:
+        # --- Part A: connector-fed pipeline at 1x and MULTx ---
+        register(spark)
+        n_base = 100_000
+        pipe = {}
+        for tag, n in (("1x", n_base), (f"{mult}x", n_base * mult)):
+            raw = (
+                spark.read.format("synthetic_events")
+                .option("n", n)
+                .option("seed", 7)
+                .option(
+                    "numPartitions", spark.sparkContext.defaultParallelism
+                )
+                .load()
+            )
+            # the S2 batch-parity form of the streaming job: same parse
+            # projection, same 1m/10s sliding aggregate, no watermark
+            # (meaningless on a bounded frame). Two runs, report the
+            # WARM one — the first 1x run otherwise absorbs the Python
+            # datasource workers' cold start and reads as 8x slower
+            # than the 10x run.
+            t_warm = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                sliding_aggregates(_parse_project(raw)).count()
+                t_warm = time.monotonic() - t0
+            pipe[tag] = round(t_warm, 3)
+        out["connector_pipeline_sec"] = pipe
+        if pipe.get("1x"):
+            out["connector_pipeline_factor"] = round(
+                pipe[f"{mult}x"] / pipe["1x"], 2
+            )
+
+        # --- Part B: replicated tables + registered queries ---
+        rep = F.explode(
+            F.sequence(F.lit(0), F.lit(mult - 1))
+        ).alias("_rep")
+        ev = load(spark, sf_dir, "events").select("*", rep)
+        (
+            ev.select(
+                (F.col("event_id") + F.col("_rep") * F.lit(10**12)).alias(
+                    "event_id"
+                ),
+                # same time span, MULTx density — throughput growth, the
+                # realistic way an event table grows
+                (
+                    F.col("ts")
+                    + (F.col("_rep") * F.expr("INTERVAL 1 MILLISECOND"))
+                ).alias("ts"),
+                (F.col("user_id") + F.col("_rep") * F.lit(10**7)).alias(
+                    "user_id"
+                ),
+                "event_type",
+                "value",
+                "props",
+            ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        )
+        docs = (
+            load(spark, sf_dir, "documents")
+            .select("*", rep)
+            .withColumn(
+                "_text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" replica"),
+                        F.col("_rep").cast("string"),
+                    )
+                ),
+            )
+        )
+        (
+            docs.select(
+                (F.col("doc_id") + F.col("_rep") * F.lit(10**9)).alias(
+                    "doc_id"
+                ),
+                F.col("_text").alias("text"),
+                "lang",
+                "source",
+                F.length("_text").alias("n_chars"),
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        )
+        emb = load(spark, sf_dir, "embeddings").select("*", rep)
+        (
+            emb.select(
+                (F.col("vec_id") + F.col("_rep") * F.lit(10**9)).alias(
+                    "vec_id"
+                ),
+                F.transform(
+                    "embedding",
+                    lambda x: (
+                        x + F.col("_rep").cast("float") * F.lit(0.003)
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        )
+        spark.catalog.clearCache()
+
+        subset = [
+            "r3_series_minute",
+            "r4_sliding_window",
+            "q24_dedup_exact",
+            "t2_quality_score",
+            "x2_minhash_near_dup",
+            "x3c_ann_ivf",
+        ]
+        scaled: dict[str, float] = {}
+        factors: dict[str, float] = {}
+        for name in subset:
+            fn = engine.QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                t_warm = None
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    fn(spark, d).count()
+                    t_warm = time.monotonic() - t0
+                scaled[name] = round(t_warm, 3)
+                base = base_timings.get(name)
+                if base:
+                    factors[name] = round(t_warm / base, 2)
+            except Exception as exc:
+                print(f"bench: scaleup {name} failed: {exc!r}", file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()
+        out["queries_scaled_sec"] = scaled
+        out["scaling_factor"] = factors
+        out["note"] = (
+            f"factor = warm {mult}x-wall / sf0.1-median; <= ~{mult} means "
+            "at-or-better-than-linear scaling"
+        )
+    except Exception as exc:
+        print(f"bench: scaleup failed: {exc!r}", file=sys.stderr)
+        return out if len(out) > 1 else None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def _bench_ivf_split(spark, sf_dir: str) -> dict[str, float]:
@@ -467,5 +762,101 @@ def _bench_slo(spark, sf_dir: str) -> dict:
     return out
 
 
+def _promote() -> None:
+    """Snapshot the current BENCH_DETAIL.json as BENCH_PREV.json — the
+    committed previous-round reference the next run's vs_prev block
+    compares against. Run (and commit the result) at each round
+    boundary, after the round's official bench."""
+    import shutil
+
+    src = os.path.join(_HERE, "BENCH_DETAIL.json")
+    dst = os.path.join(_HERE, "BENCH_PREV.json")
+    shutil.copyfile(src, dst)
+    print(f"promoted {src} -> {dst}")
+
+
+def _ab(ref: str) -> None:
+    """Same-machine A/B against an arbitrary git ref (committed form of
+    the ad-hoc worktree comparison round 5 ran by hand): check the ref
+    out into a temp worktree, run ITS bench.py as a subprocess, then run
+    HEAD's bench.py, and print one JSON line with both totals, both
+    floors, and the floor-normalized per-query ratios (HEAD/ref; < 1
+    means HEAD is faster). Both runs inherit this environment, minutes
+    apart on one machine — the only comparison the round-5 verdict found
+    trustworthy. Writes AB_RESULT.json next to this file."""
+    import subprocess
+    import tempfile
+
+    wt = tempfile.mkdtemp(prefix=f"sgr-ab-{ref.replace('/', '_')}-")
+
+    def run_bench(cwd: str) -> dict:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SCALEUP"] = "0"  # A/B compares queries, not fixtures
+        proc = subprocess.run(
+            [sys.executable, os.path.join(cwd, "bench.py")],
+            cwd=cwd,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench in {cwd} failed rc={proc.returncode}: "
+                f"{proc.stderr[-2000:]}"
+            )
+        detail_path = os.path.join(cwd, "BENCH_DETAIL.json")
+        with open(detail_path) as f:
+            return json.load(f)
+
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ref],
+            cwd=_HERE,
+            check=True,
+            capture_output=True,
+        )
+        prev = run_bench(wt)
+        now = run_bench(_HERE)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=_HERE,
+            capture_output=True,
+        )
+    f_prev = prev.get("spark_job_floor_sec") or prev.get("slo", {}).get(
+        "spark_job_floor_sec", 1.0
+    )
+    f_now = now.get("spark_job_floor_sec") or now.get("slo", {}).get(
+        "spark_job_floor_sec", 1.0
+    )
+    ratios = {
+        k: round((v / f_now) / (prev["queries"][k] / f_prev), 2)
+        for k, v in now.get("queries", {}).items()
+        if prev.get("queries", {}).get(k)
+    }
+    vals = sorted(ratios.values())
+    result = {
+        "ref": ref,
+        "ref_total_sec": prev.get("value"),
+        "head_total_sec": now.get("value"),
+        "ref_floor_sec": f_prev,
+        "head_floor_sec": f_now,
+        "n_common": len(ratios),
+        "median_ratio_head_over_ref": (
+            round(statistics.median(vals), 2) if vals else None
+        ),
+        "ratios": ratios,
+    }
+    with open(os.path.join(_HERE, "AB_RESULT.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in result.items() if k != "ratios"}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--promote":
+        _promote()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        _ab(sys.argv[2])
+    else:
+        main()

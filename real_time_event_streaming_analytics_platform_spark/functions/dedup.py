@@ -333,6 +333,82 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d2_jaccard_scoring",
+    oracle="""
+    WITH small AS (
+        SELECT doc_id, lower(text) AS lt FROM documents
+        ORDER BY doc_id LIMIT 40
+    ),
+    words AS (
+        SELECT doc_id, lt,
+               list_filter(regexp_split_to_array(lt, '[^a-z0-9]+'),
+                           w -> w != '') AS ws
+        FROM small
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(ws) < 3 THEN [lt]
+                        ELSE list_transform(range(1, len(ws) - 1),
+                                 i -> array_to_string(ws[i:i+2], ' '))
+                   END
+               ) AS gs
+        FROM words
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                 / len(list_distinct(a.gs || b.gs)) * 10000 + 0.5)
+               / 10000 AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d2_jaccard_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted all-pairs mini-oracle for x2b's exact-Jaccard scoring
+    math (VERDICT r05 next-round #7): on a corpus small enough that
+    candidates = ALL pairs by construction, the word-3-gram Jaccard
+    becomes DuckDB-expressible, so the driver hash-checks the exact
+    shingling + array_intersect/array_union arithmetic that x2b applies
+    to its LSH candidates. x2b itself stays rows-only (its candidate
+    SET comes from MinHash banding, which no portable SQL reproduces) —
+    this pins the scoring; the recall tests pin the banding.
+
+    Bounded by construction (first 40 docs → 780 pairs): all-pairs is
+    the correctness harness, never the scale path — the scale path IS
+    x2b's LSH restriction."""
+    from .._shingle import _grams_expr, with_words
+
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    grams = with_words(docs).select(
+        "doc_id", F.array_distinct(_grams_expr()).alias("grams")
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    # 40-row self-pairing: Spark broadcasts one side (nested-loop join,
+    # NOT a CartesianProduct — the plan-audit test distinguishes them).
+    # floor(x·1e4 + 0.5)/1e4 on BOTH sides instead of round(): Spark
+    # rounds HALF_UP, DuckDB rounds half-even — the explicit form pins
+    # one rounding rule into both plans.
+    return (
+        ga.join(gb, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.size(F.array_intersect("ga", "gb"))
+                    / F.size(F.array_union("ga", "gb"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2c — SimHash near-dup: 64-bit signature from per-word hash bits, 4×16-bit
 # bands for candidates, Hamming distance ≤ 6 filter via bit_count(xor).

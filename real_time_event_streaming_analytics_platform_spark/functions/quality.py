@@ -20,11 +20,12 @@ Scale notes
   100 TB you would swap `count_distinct` for `approx_count_distinct`
   per column (x1/x11 show the HLL path); the exact form is kept here
   because the driver oracle hash-checks exact values.
-- q38 checks are independent aggregates unioned into one result: the FK
-  checks are anti-joins that broadcast the smaller key set; the range /
-  uniqueness checks are single-scan conditional aggregates. Each check
-  reports (n_checked, n_violations, passed) so an all-green corpus still
-  hashes non-trivially.
+- q38 scans each fact table ONCE: same-table checks fuse into one
+  conditional aggregate per table, and each FK check rides a left join
+  that carries the row count and any range check in the same pass (the
+  standalone ``_check`` helper remains for ad-hoc single assertions).
+  Each check reports (n_checked, n_violations, passed) so an all-green
+  corpus still hashes non-trivially.
 """
 
 from __future__ import annotations
@@ -134,51 +135,66 @@ def _check(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
     """,
 )
 def q38_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same-table checks are FUSED into one scan per table (at 100 TB,
+    # per-check independent aggregates re-scan the fact tables — the
+    # r05 advisor's finding): events is read once (uniqueness + range
+    # in one conditional aggregate); each FK check rides a left join
+    # that also carries the table's row count and any same-table range
+    # check, so lineitem and orders are each scanned once too. The
+    # parent key sets are deduped before the join — PKs are unique in
+    # this schema, but a duplicated parent key must inflate a VIOLATION
+    # count, never the child row count.
     events = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     lineitem = load(spark, sf_dir, "lineitem")
-    uniq = events.agg(
-        F.count(F.lit(1)).alias("n_checked"),
-        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("n_violations"),
-    ).select(
-        F.lit("events_id_unique").alias("check_name"),
-        "n_checked",
-        "n_violations",
-        (F.col("n_violations") == 0).alias("passed"),
+
+    e = events.agg(
+        F.count(F.lit(1)).alias("n_e"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("v_unique"),
+        F.count_if(F.col("value") <= 0).alias("v_positive"),
     )
-    checks = [
-        uniq,
-        _check(
-            "events_value_positive", events, events.where(F.col("value") <= 0)
-        ),
-        _check(
-            "lineitem_orders_fk",
-            lineitem,
-            lineitem.join(
-                orders.select("o_orderkey"),
-                lineitem["l_orderkey"] == orders["o_orderkey"],
-                "left_anti",
-            ),
-        ),
-        _check(
-            "lineitem_qty_range",
-            lineitem,
-            lineitem.where(
+    li = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("_pk")).distinct(),
+            F.col("l_orderkey") == F.col("_pk"),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n_l"),
+            F.count_if(F.col("_pk").isNull()).alias("v_fk_l"),
+            F.count_if(
                 (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
-            ),
-        ),
-        _check(
-            "orders_customer_fk",
-            orders,
-            orders.join(
-                customer.select("c_custkey"),
-                orders["o_custkey"] == customer["c_custkey"],
-                "left_anti",
-            ),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out.orderBy("check_name")
+            ).alias("v_qty"),
+        )
+    )
+    o = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("_pk")).distinct(),
+            F.col("o_custkey") == F.col("_pk"),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n_o"),
+            F.count_if(F.col("_pk").isNull()).alias("v_fk_o"),
+        )
+    )
+    stack = (
+        "stack(5, "
+        "'events_id_unique', n_e, v_unique, "
+        "'events_value_positive', n_e, v_positive, "
+        "'lineitem_orders_fk', n_l, v_fk_l, "
+        "'lineitem_qty_range', n_l, v_qty, "
+        "'orders_customer_fk', n_o, v_fk_o"
+        ") as (check_name, n_checked, n_violations)"
+    )
+    return (
+        e.crossJoin(li)
+        .crossJoin(o)
+        .select(F.expr(stack))
+        .select(
+            "check_name",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )

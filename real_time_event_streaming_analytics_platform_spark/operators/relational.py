@@ -1365,14 +1365,32 @@ def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.groupBy("user_id").agg(F.min("ts").alias("anchor"))
         )
         stages.append(anchor)
-    counts = None
+    # One union-of-tagged-stages → one aggregate: a single job counts
+    # every stage (the per-stage frames are persisted above, so the
+    # union scans cached anchors), instead of scheduling one tiny
+    # count job per funnel step.
+    tagged = None
     for (step_name, step), stage in zip(_FUNNEL_STEPS, stages):
-        row = stage.agg(F.count("*").alias("users")).select(
+        t = stage.select(
             F.lit(step).cast("bigint").alias("step"),
             F.lit(step_name).alias("step_name"),
-            "users",
         )
-        counts = row if counts is None else counts.unionAll(row)
+        tagged = t if tagged is None else tagged.unionAll(t)
+    grouped = tagged.groupBy("step", "step_name").agg(
+        F.count("*").alias("_users")
+    )
+    # an empty stage vanishes from the groupBy; the funnel contract
+    # (and the oracle) emits users=0 for it — restore via a literal
+    # step spine
+    spine = spark.createDataFrame(
+        [(step, name) for name, step in _FUNNEL_STEPS],
+        "step bigint, step_name string",
+    )
+    counts = spine.join(grouped, ["step", "step_name"], "left").select(
+        "step",
+        "step_name",
+        F.coalesce(F.col("_users"), F.lit(0)).alias("users"),
+    )
     first = counts.where(F.col("step") == 1).select(
         F.col("users").alias("_first")
     )

@@ -74,6 +74,13 @@ def salted_agg(
             part = getattr(F, fn)(col)
         phase1_aggs.append(part.alias(f"_p_{out}"))
         phase2_aggs.append(mergers[fn](f"_p_{out}").alias(out))
+    # Salt choice only needs to SPREAD rows, not be stable: a task
+    # retry may re-salt its rows differently, but every assignment
+    # yields the same phase-2 merge for these decomposable aggregates,
+    # so the result is deterministic even though the salt is not.
+    # (Hashing row content instead would be retry-stable but collapses
+    # when the hot key's rows are identical — the exact case salting
+    # exists for.)
     salt: Column = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(SALT_BUCKETS))
     phase1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*phase1_aggs)
     return phase1.groupBy(key).agg(*phase2_aggs)
@@ -193,29 +200,6 @@ def write_zordered(
     bucketing, which changes the read-side plan).
     """
     n_buckets = 1 << bits
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-    ).collect()[0]
-
-    def _to_scalar(v):
-        """Driver-side value → float; timestamps/dates via epoch."""
-        import datetime
-
-        if isinstance(v, datetime.datetime):
-            # collected values are session-tz (UTC) wall clock; pin UTC so
-            # the driver scalar matches unix_timestamp() regardless of the
-            # driver process's local timezone
-            return v.replace(tzinfo=datetime.timezone.utc).timestamp()
-        if isinstance(v, datetime.date):
-            return float(v.toordinal()) * 86400.0
-        try:
-            return float(v)
-        except (TypeError, ValueError):
-            raise ValueError(
-                f"write_zordered: layout column value {v!r} is neither "
-                "numeric nor a timestamp/date — z-ordering needs an "
-                "ordered numeric domain (hash string keys to longs first)"
-            )
 
     def _col_expr(c: str) -> Column:
         dt = dict(df.dtypes)[c]
@@ -230,10 +214,28 @@ def write_zordered(
             ) * 86400.0
         return F.col(c).cast("double")
 
-    def norm(c: str, lo, hi) -> Column:
-        if hi == lo:
+    # Bounds are derived IN-PLAN over the same numeric expression the
+    # bucketing uses (min/max of _col_expr, not of the raw column), so
+    # the driver only ever sees two doubles per axis — no driver-side
+    # datetime conversion, hence no dependence on the driver process's
+    # OS timezone (collect() renders TimestampType via local tz).
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(_col_expr(col_a)),
+        F.max(_col_expr(col_a)),
+        F.min(_col_expr(col_b)),
+        F.max(_col_expr(col_b)),
+    ).collect()[0]
+    for c, v in ((col_a, lo_a), (col_b, lo_b)):
+        if v is None:
+            raise ValueError(
+                f"write_zordered: layout column {c!r} casts to all-NULL "
+                "double — z-ordering needs an ordered numeric domain "
+                "(hash string keys to longs first)"
+            )
+
+    def norm(c: str, flo: float, fhi: float) -> Column:
+        if fhi == flo:
             return F.lit(0).cast("long")
-        flo, fhi = _to_scalar(lo), _to_scalar(hi)
         scaled = (_col_expr(c) - F.lit(flo)) / F.lit(fhi - flo)
         return F.least(
             F.lit(n_buckets - 1).cast("long"),
@@ -259,16 +261,33 @@ def compact_parquet(
     micro-batch files turn listing and task scheduling into the
     bottleneck long before data volume does. Sizing reads the file
     index (one metadata RPC), not the data; the rewrite is one
-    shuffle-free coalesce when shrinking file count. Returns the
+    shuffle-free coalesce when shrinking file count (a repartition
+    shuffle only when the target count exceeds the scan's split count,
+    i.e. when files must be SPLIT to hit the size target). Returns the
     output file count."""
+    import os
+
+    if os.path.abspath(dst) == os.path.abspath(src):
+        # The read plan is lazy: mode("overwrite") would truncate the
+        # source directory before the scan tasks read it.
+        raise ValueError(
+            "compact_parquet: dst must differ from src (the overwrite "
+            "would truncate the source under the lazy read) — write to "
+            "a sibling directory and swap"
+        )
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(src)
     fs = p.getFileSystem(conf)
     size = fs.getContentSummary(p).getLength()
-    n = max(1, -(-size // (target_mb * 1024 * 1024)))
-    spark.read.parquet(src).coalesce(int(n)).write.mode("overwrite").parquet(dst)
+    n = int(max(1, -(-size // (target_mb * 1024 * 1024))))
+    df = spark.read.parquet(src)
+    # coalesce() can only shrink; growing the file count needs a real
+    # repartition or the size target is silently unmet.
+    cur = df.rdd.getNumPartitions()
+    sized = df.coalesce(n) if n <= cur else df.repartition(n)
+    sized.write.mode("overwrite").parquet(dst)
     q = jvm.org.apache.hadoop.fs.Path(dst)
     return sum(
         1

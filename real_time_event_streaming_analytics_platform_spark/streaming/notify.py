@@ -180,12 +180,15 @@ def deliver_batch(
     twice. That residue is inherent to side-effecting sinks without a
     transactional transport; receivers needing strict exactly-once must
     dedup on the (alert_id, rule) key each message carries."""
-    rows = batch_df.collect()  # bounded: post-cooldown key-space cap
-    marker = None
-    sig = None
-    if delivery_log is not None:
-        os.makedirs(delivery_log, exist_ok=True)
-        marker = os.path.join(delivery_log, f"epoch-{epoch_id}.done")
+    # One collect serves every path (bounded: post-cooldown key-space
+    # cap). A replayed completed epoch DOES pay this collect — that is
+    # the price of the content-signature collision guard below; replays
+    # are rare (restart recovery only), and the hash itself is computed
+    # lazily: on the replay path for the compare, otherwise not until
+    # the marker write after delivery.
+    rows = batch_df.collect()
+
+    def _sig() -> str:
         # content signature guards against epoch-id collisions: a stream
         # restarted from a FRESH checkpoint (or a second query sharing
         # this delivery_log) restarts epochs at 0, and a marker keyed by
@@ -194,10 +197,17 @@ def deliver_batch(
         # different content ⇒ a different logical epoch, deliver.
         import hashlib
 
-        sig = hashlib.sha256(
+        return hashlib.sha256(
             "\n".join(sorted(f"{r['event_id']}|{r['ts']}" for r in rows)).encode()
         ).hexdigest()
+
+    marker = None
+    sig = None
+    if delivery_log is not None:
+        os.makedirs(delivery_log, exist_ok=True)
+        marker = os.path.join(delivery_log, f"epoch-{epoch_id}.done")
         if os.path.exists(marker):
+            sig = _sig()
             try:
                 with open(marker) as fh:
                     if json.load(fh).get("sig") == sig:
@@ -210,6 +220,8 @@ def deliver_batch(
             transport(message)
             delivered += 1
     if marker is not None:
+        if sig is None:
+            sig = _sig()
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"epoch": epoch_id, "delivered": delivered, "sig": sig}, fh)

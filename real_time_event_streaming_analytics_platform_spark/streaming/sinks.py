@@ -148,19 +148,26 @@ def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "e
 
     dates = sorted(e[len(prefix):] for e in part_dirs if _is_iso(e[len(prefix):]))
     if not part_dirs:
-        data = [
+        # Raise ONLY on layouts that are provably wrong for this job:
+        # bare data files (unpartitioned table) or a hive layout on a
+        # DIFFERENT column. A table whose first micro-batch hasn't
+        # committed yet (only _spark_metadata / .staging entries) and
+        # stray non-hive subdirectories no-op — retention pointed at a
+        # not-yet-populated sink must not crash the maintenance loop.
+        misconfigured = [
             st.getPath().getName()
             for st in statuses
             if not st.getPath().getName().startswith(("_", "."))
+            and (not st.isDirectory() or "=" in st.getPath().getName())
         ]
-        if data:
-            # Data present but no {col}= layout: this table is not
-            # hive-partitioned on partition_col. Returning [] would
-            # silently disable retention forever; fail loudly instead.
+        if misconfigured:
+            # Returning [] here would silently disable retention
+            # forever; fail loudly instead.
             raise ValueError(
-                f"{path} has no {prefix}* partition directories — "
-                "directory-listing retention requires a table written "
-                f"with partitionBy({partition_col!r})"
+                f"{path} has no {prefix}* partition directories (found "
+                f"{misconfigured[:3]}…) — directory-listing retention "
+                "requires a table written with "
+                f"partitionBy({partition_col!r})"
             )
         return []
     if not dates:
