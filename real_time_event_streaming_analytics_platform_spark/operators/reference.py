@@ -632,7 +632,11 @@ def r13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-tokenizing — the PostgreSQL JSONB analogue (the reference stores
 # attributes as JSONB, 01-init-timescaledb.sql). Oracle-identical to
 # r13 by construction: both engines must agree that the variant path
-# changes the execution strategy, never the answer.
+# changes the execution strategy, never the answer. The shredding claim
+# is PINNED, not aspirational: tests/test_variant_shredding.py asserts
+# the persisted footer carries typed_value groups and that an
+# extraction's scan reads ReadSchema struct<v:struct<0:int>> — one
+# shredded column, never the variant binary.
 # ---------------------------------------------------------------------------
 
 

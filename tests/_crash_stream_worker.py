@@ -1,0 +1,67 @@
+"""Subprocess worker for the S20 hard-crash recovery test.
+
+Runs the reference ingest pipeline (file stream → parse → parquet file
+sink with checkpoint) in its OWN JVM so the parent test can SIGKILL it
+mid-epoch — a real crash, not a graceful stop. Modes:
+
+- ``run``:   processingTime trigger, one file per micro-batch (slow on
+             purpose — gives the parent a wide mid-epoch kill window),
+             prints ``STARTED`` once the query is live, then runs until
+             killed.
+- ``drain``: availableNow trigger, large file batches — the restart
+             path; recovers from whatever the checkpoint holds and
+             exits 0 when the input is drained.
+
+Usage: python _crash_stream_worker.py {run|drain} IN_DIR OUT_DIR CK_DIR
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    mode, in_dir, out_dir, ck_dir = sys.argv[1:5]
+
+    from pyspark.sql import SparkSession
+
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        parse_events,
+        read_event_stream,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"crash-worker-{mode}")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stream = parse_events(
+        read_event_stream(
+            spark, in_dir, max_files_per_trigger=1 if mode == "run" else 1000
+        )
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+    )
+    if mode == "run":
+        q = writer.trigger(processingTime="0 seconds").start()
+        print("STARTED", flush=True)
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
