@@ -89,8 +89,17 @@ def _vs_prev(timings: dict[str, float], floor: float) -> dict | None:
     if not ratios:
         return None
     vals = sorted(ratios.values())
+    method_note = None
+    if "reps_per_query" not in prev:
+        method_note = (
+            "prev snapshot predates median-of-N timing (single cold "
+            "samples incl. index builds); ratios for index-building "
+            "queries overstate the improvement — one-time discontinuity, "
+            "gone once a median-based snapshot is promoted"
+        )
     return {
         "against": os.path.basename(prev_path),
+        "method_note": method_note,
         "floor_prev_sec": prev_floor,
         "floor_now_sec": floor,
         "n_common": len(ratios),
@@ -352,7 +361,7 @@ def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict |
         ev = load(spark, sf_dir, "events").select("*", rep)
         (
             ev.select(
-                (F.col("event_id") + F.col("_rep") * F.lit(10**12)).alias(
+                (F.col("event_id") + F.col("_rep").cast("bigint") * F.lit(10**12)).alias(
                     "event_id"
                 ),
                 # same time span, MULTx density — throughput growth, the
@@ -361,7 +370,7 @@ def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict |
                     F.col("ts")
                     + (F.col("_rep") * F.expr("INTERVAL 1 MILLISECOND"))
                 ).alias("ts"),
-                (F.col("user_id") + F.col("_rep") * F.lit(10**7)).alias(
+                (F.col("user_id") + F.col("_rep").cast("bigint") * F.lit(10**7)).alias(
                     "user_id"
                 ),
                 "event_type",
@@ -385,7 +394,7 @@ def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict |
         )
         (
             docs.select(
-                (F.col("doc_id") + F.col("_rep") * F.lit(10**9)).alias(
+                (F.col("doc_id") + F.col("_rep").cast("bigint") * F.lit(10**9)).alias(
                     "doc_id"
                 ),
                 F.col("_text").alias("text"),
@@ -397,7 +406,7 @@ def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict |
         emb = load(spark, sf_dir, "embeddings").select("*", rep)
         (
             emb.select(
-                (F.col("vec_id") + F.col("_rep") * F.lit(10**9)).alias(
+                (F.col("vec_id") + F.col("_rep").cast("bigint") * F.lit(10**9)).alias(
                     "vec_id"
                 ),
                 F.transform(

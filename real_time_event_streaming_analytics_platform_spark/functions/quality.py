@@ -17,9 +17,10 @@ Scale notes
   non-null + exact distinct counts) unpivoted to rows with ``stack``.
   Exact multi-distinct expands the aggregate (Spark's Expand operator
   multiplies rows by the distinct-column count before the shuffle) — at
-  100 TB you would swap `count_distinct` for `approx_count_distinct`
-  per column (x1/x11 show the HLL path); the exact form is kept here
-  because the driver oracle hash-checks exact values.
+  100 TB you swap `count_distinct` for `approx_count_distinct` per
+  column, which is exactly q37b (error-bound-tested against q37); the
+  exact form is kept as q37 because the driver oracle hash-checks
+  exact values.
 - q38 scans each fact table ONCE: same-table checks fuse into one
   conditional aggregate per table, and each FK check rides a left join
   that carries the row count and any range check in the same pass (the
@@ -82,6 +83,40 @@ def q37_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n").alias("n"),
             (F.col("_n") - F.col("n_nonnull")).alias("n_null"),
             "n_distinct",
+        )
+        .orderBy("col")
+    )
+
+
+@query("q37b_profile_approx")
+def q37b_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q37: ``approx_count_distinct`` (HLL++,
+    rsd=0.01) replaces exact multi-distinct. Exact multi-distinct goes
+    through Catalyst's Expand operator — the pre-shuffle row count
+    multiplies by the number of distinct columns, which at 100 TB turns
+    one profile scan into a six-fold shuffle. The HLL form is ONE
+    partial-aggregable pass: each task carries six fixed-size sketches,
+    the shuffle moves sketch bytes (not rows), and the merge is
+    sketch-union. Rows-only by design (sketch estimates are not
+    SQL-portable); tests/test_quality.py pins ≤3% relative error per
+    column against q37's exact counts at sf0.01."""
+    events = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"nd_{c}"))
+    row = events.agg(*aggs)
+    stack = "stack({n}, {args}) as (col, n_nonnull, n_distinct_approx)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS),
+    )
+    return (
+        row.select("_n", F.expr(stack))
+        .select(
+            "col",
+            F.col("_n").alias("n"),
+            (F.col("_n") - F.col("n_nonnull")).alias("n_null"),
+            "n_distinct_approx",
         )
         .orderBy("col")
     )

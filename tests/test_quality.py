@@ -115,3 +115,23 @@ def test_t9_bm25_ranks_term_dense_doc_first(spark, tmpdir):
     assert rows[0].doc_id == 2  # rank 1 = the term-dense doc
     by_id = {r.doc_id: r.bm25 for r in rows}
     assert by_id[2] > by_id[3] >= by_id.get(1, 0.0)
+
+
+def test_q37b_approx_profile_within_error_bound(spark, sf_dir):
+    """The HLL profile (q37b) tracks the exact profile (q37): identical
+    n/n_null (both exact counts) and per-column distinct estimates
+    within 3x the configured rsd (0.01) of the exact values."""
+    exact = {r["col"]: r for r in QUERIES["q37_profile"](spark, sf_dir).collect()}
+    approx = {
+        r["col"]: r for r in QUERIES["q37b_profile_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for col, e in exact.items():
+        a = approx[col]
+        assert a["n"] == e["n"] and a["n_null"] == e["n_null"]
+        nd = e["n_distinct"]
+        assert abs(a["n_distinct_approx"] - nd) <= max(1, 0.03 * nd), (
+            col,
+            a["n_distinct_approx"],
+            nd,
+        )
