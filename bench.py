@@ -818,6 +818,13 @@ def _ab(ref: str) -> None:
         with open(detail_path) as f:
             return json.load(f)
 
+    # the HEAD bench subprocess rewrites BENCH_DETAIL.json; an A/B run
+    # must not clobber the round's official detail artifact
+    detail_path = os.path.join(_HERE, "BENCH_DETAIL.json")
+    saved_detail = None
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            saved_detail = f.read()
     try:
         subprocess.run(
             ["git", "worktree", "add", "--detach", wt, ref],
@@ -833,6 +840,9 @@ def _ab(ref: str) -> None:
             cwd=_HERE,
             capture_output=True,
         )
+        if saved_detail is not None:
+            with open(detail_path, "w") as f:
+                f.write(saved_detail)
     f_prev = prev.get("spark_job_floor_sec") or prev.get("slo", {}).get(
         "spark_job_floor_sec", 1.0
     )

@@ -469,3 +469,35 @@ def test_zorder_accepts_timestamp_layout_column(spark, tmpdir):
     assert sorted(r.event_id for r in back.select("event_id").collect()) == sorted(
         r.event_id for r in ev.select("event_id").collect()
     )
+
+
+def test_compact_parquet_refuses_inplace_and_can_split(spark, tmpdir):
+    """dst == src would truncate the source under the lazy read (must
+    raise); a target count ABOVE the scan's split count must repartition
+    (coalesce alone cannot grow), so tiny target_mb yields >1 file."""
+    import glob
+
+    import pytest as _pytest
+
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        compact_parquet,
+    )
+
+    from pyspark.sql import functions as _F
+
+    # high-entropy columns so the single parquet file lands well above
+    # the 1 MB target (hashes defeat delta/dictionary encoding)
+    big = spark.range(500_000).select(
+        "id",
+        _F.xxhash64("id").alias("h1"),
+        _F.xxhash64("id", _F.lit(1)).alias("h2"),
+    )
+    src = f"{tmpdir}/one_big"
+    big.coalesce(1).write.mode("overwrite").parquet(src)
+    with _pytest.raises(ValueError, match="dst must differ"):
+        compact_parquet(spark, src, src)
+    n_out = compact_parquet(spark, src, f"{tmpdir}/split", target_mb=1)
+    assert n_out >= 2
+    assert len(glob.glob(f"{tmpdir}/split/*.parquet")) == n_out
+    assert spark.read.parquet(f"{tmpdir}/split").count() == 500_000

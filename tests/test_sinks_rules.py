@@ -2,6 +2,7 @@
 (O36)."""
 
 import json
+import os
 
 import pytest
 import shutil
@@ -161,5 +162,23 @@ def test_expired_partitions_skips_hive_default_partition(spark):
             "id long, event_date string",
         ).write.partitionBy("event_date").parquet(f"{d}/t")
         assert expired_partitions(spark, f"{d}/t", keep_days=12) == ["2024-01-01"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_expired_partitions_noop_before_first_commit(spark):
+    """A retention job pointed at a sink whose first micro-batch hasn't
+    committed yet (only _spark_metadata / staging entries exist) must
+    no-op, not crash the maintenance loop; a layout partitioned on a
+    DIFFERENT column still fails loudly."""
+    d = tempfile.mkdtemp(prefix="sgr-ret-fresh-")
+    try:
+        os.makedirs(f"{d}/t/_spark_metadata")
+        os.makedirs(f"{d}/t/.staging-xyz")
+        assert expired_partitions(spark, f"{d}/t", keep_days=5) == []
+        # wrong-column hive layout is a misconfiguration, not a fresh sink
+        os.makedirs(f"{d}/t/other_col=2024-01-01")
+        with pytest.raises(ValueError, match="partition directories"):
+            expired_partitions(spark, f"{d}/t", keep_days=5)
     finally:
         shutil.rmtree(d, ignore_errors=True)
