@@ -423,6 +423,7 @@ def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict |
         subset = [
             "r3_series_minute",
             "r4_sliding_window",
+            "r7_rolling_zscore",
             "q24_dedup_exact",
             "t2_quality_score",
             "x2_minhash_near_dup",

@@ -54,7 +54,10 @@ def main() -> None:
         .outputMode("append")
     )
     if mode == "run":
-        q = writer.trigger(processingTime="0 seconds").start()
+        # throttled trigger: 40 one-file epochs can never drain faster
+        # than ~12 s, so the parent's 2-7 s kill always lands mid-run
+        # regardless of machine speed
+        q = writer.trigger(processingTime="300 milliseconds").start()
         print("STARTED", flush=True)
         q.awaitTermination()
     else:
