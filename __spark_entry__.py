@@ -41,15 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 rotation (per VERDICT r05 next-round #3, taken to its
 # fixpoint): after r05, ALL 33 demoted queries held driver rows from
 # r04 only — two rounds stale by r06. This round promotes every one of
-# them back into the window and demotes 33 queries that just earned
-# fresh green r05 rows. The 17 window keepers are the 15 queries NEW in
-# r05 (r13b, r16, q26b, q29-q36, t8, t9, q37, q38 — each holds exactly
-# one green row, so they stay for a second confirmation against any
-# round-6 code motion) plus the two flagships r3 (the entry() query)
-# and r4 (the reference's core sliding-window shape). Net effect:
-# after r06 every oracle-backed query holds a green driver row from
-# r05 or r06 — maximum achievable freshness with 83 oracles and 50
-# slots. Every demoted query remains fully registered and
+# them back into the window and demotes 34 queries that earned green
+# r05 rows. The window keepers are 14 of the 15 queries NEW in r05
+# (r13b, r16, q26b, q29, q31-q36, t8, t9, q37, q38 — each holds
+# exactly one green row, so they stay for a second confirmation
+# against any round-6 code motion; q30 yields its slot to the new
+# d2_jaccard_scoring, see below) plus the two flagships r3 (the
+# entry() query) and r4 (the reference's core sliding-window shape).
+# Window = 33 promoted + 16 keepers + d2 = 50 of the 84 oracle-backed
+# queries (83 + d2). Net effect: after r06 every oracle-backed query
+# holds a green driver row from r05 or r06 — maximum achievable
+# freshness with 84 oracles and 50 slots. Every demoted query remains fully registered and
 # oracle-checked locally each session (tests/test_oracle_queries.py).
 _DEMOTED = [
     # Long-stable R-series ops, all green r01-r05 (per-line notes name

@@ -76,9 +76,15 @@ def _vs_prev(timings: dict[str, float], floor: float) -> dict | None:
     except ValueError:
         return None
     prev_q = prev.get("queries", {})
-    prev_floor = prev.get("spark_job_floor_sec") or prev.get("slo", {}).get(
-        "spark_job_floor_sec"
-    )
+    prev_floor = prev.get("spark_job_floor_sec")
+    prev_floor_method = "median7"
+    if not prev_floor:
+        # pre-round-6 snapshots only carried the SLO block's single
+        # cold sample — a different estimator than the median-of-7 the
+        # current side uses; flag it, because single samples swung
+        # 0.065-0.366 s in round 5 and a high one flips ratios
+        prev_floor = prev.get("slo", {}).get("spark_job_floor_sec")
+        prev_floor_method = "single-sample-slo-fallback"
     if not prev_q or not prev_floor or not floor:
         return None
     ratios = {}
@@ -101,10 +107,13 @@ def _vs_prev(timings: dict[str, float], floor: float) -> dict | None:
         "against": os.path.basename(prev_path),
         "method_note": method_note,
         "floor_prev_sec": prev_floor,
+        "floor_prev_method": prev_floor_method,
         "floor_now_sec": floor,
         "n_common": len(ratios),
         "median_ratio": round(statistics.median(vals), 2),
-        "p90_ratio": round(vals[int(0.9 * (len(vals) - 1))], 2),
+        # nearest-rank p90 (ceil(0.9n)-1): flooring the index biases the
+        # published tail-regression metric low
+        "p90_ratio": round(vals[max(0, -(-9 * len(vals) // 10) - 1)], 2),
         "worst": dict(
             sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
         ),
@@ -305,6 +314,11 @@ def _bench_scaleup(spark, sf_dir: str, base_timings: dict[str, float]) -> dict |
     if os.environ.get("SPARK_GRAFT_SCALEUP", "1") == "0":
         return None
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+    if mult < 2:
+        # mult=1 would collide the '1x'/'{mult}x' keys and publish a
+        # meaningless self-comparison; mult<=0 builds an empty corpus
+        print(f"bench: scaleup skipped (multiplier {mult} < 2)", file=sys.stderr)
+        return None
     import shutil
     import tempfile
 
@@ -844,9 +858,11 @@ def _ab(ref: str) -> None:
         if saved_detail is not None:
             with open(detail_path, "w") as f:
                 f.write(saved_detail)
-    f_prev = prev.get("spark_job_floor_sec") or prev.get("slo", {}).get(
-        "spark_job_floor_sec", 1.0
-    )
+    f_prev = prev.get("spark_job_floor_sec")
+    ref_floor_method = "median7"
+    if not f_prev:
+        f_prev = prev.get("slo", {}).get("spark_job_floor_sec", 1.0)
+        ref_floor_method = "single-sample-slo-fallback"
     f_now = now.get("spark_job_floor_sec") or now.get("slo", {}).get(
         "spark_job_floor_sec", 1.0
     )
@@ -861,6 +877,7 @@ def _ab(ref: str) -> None:
         "ref_total_sec": prev.get("value"),
         "head_total_sec": now.get("value"),
         "ref_floor_sec": f_prev,
+        "ref_floor_method": ref_floor_method,
         "head_floor_sec": f_now,
         "n_common": len(ratios),
         "median_ratio_head_over_ref": (

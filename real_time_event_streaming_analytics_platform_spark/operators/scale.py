@@ -204,8 +204,9 @@ def write_zordered(
     def _col_expr(c: str) -> Column:
         dt = dict(df.dtypes)[c]
         if dt.startswith("timestamp"):  # timestamp and timestamp_ntz
-            # NTZ → TIMESTAMP (session tz is UTC) → long epoch seconds —
-            # the same convention _to_scalar applies to the driver values
+            # NTZ → TIMESTAMP (session tz is UTC) → long epoch seconds;
+            # this expression alone defines the normalization — the
+            # min/max bounds below are aggregates of the SAME expression
             return F.col(c).cast("timestamp").cast("long").cast("double")
         if dt == "date":
             # toordinal-compatible: days since year-1, scaled to seconds

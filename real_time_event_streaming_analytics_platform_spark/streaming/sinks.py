@@ -149,16 +149,29 @@ def expired_partitions(spark, path: str, keep_days: int, partition_col: str = "e
     dates = sorted(e[len(prefix):] for e in part_dirs if _is_iso(e[len(prefix):]))
     if not part_dirs:
         # Raise ONLY on layouts that are provably wrong for this job:
-        # bare data files (unpartitioned table) or a hive layout on a
-        # DIFFERENT column. A table whose first micro-batch hasn't
-        # committed yet (only _spark_metadata / .staging entries) and
-        # stray non-hive subdirectories no-op — retention pointed at a
-        # not-yet-populated sink must not crash the maintenance loop.
+        # bare data files (unpartitioned table), a hive layout on a
+        # DIFFERENT column, or non-hive subdirectories that actually
+        # HOLD data files (a bare-date layout like {path}/2024-01-01/
+        # part-*.parquet from a non-Spark writer). A table whose first
+        # micro-batch hasn't committed yet (only _spark_metadata /
+        # .staging entries, or empty scratch dirs) no-ops — retention
+        # pointed at a not-yet-populated sink must not crash the
+        # maintenance loop.
+        def _dir_holds_data(st) -> bool:
+            if not st.isDirectory():
+                return False
+            if "=" in st.getPath().getName():
+                return True  # hive layout, wrong column
+            return any(
+                not c.getPath().getName().startswith(("_", "."))
+                for c in fs.listStatus(st.getPath())
+            )
+
         misconfigured = [
             st.getPath().getName()
             for st in statuses
             if not st.getPath().getName().startswith(("_", "."))
-            and (not st.isDirectory() or "=" in st.getPath().getName())
+            and (not st.isDirectory() or _dir_holds_data(st))
         ]
         if misconfigured:
             # Returning [] here would silently disable retention

@@ -176,6 +176,17 @@ def test_expired_partitions_noop_before_first_commit(spark):
         os.makedirs(f"{d}/t/_spark_metadata")
         os.makedirs(f"{d}/t/.staging-xyz")
         assert expired_partitions(spark, f"{d}/t", keep_days=5) == []
+        # an EMPTY stray subdirectory is still indistinguishable from
+        # staging -> no-op
+        os.makedirs(f"{d}/t/scratch")
+        assert expired_partitions(spark, f"{d}/t", keep_days=5) == []
+        # ...but a non-hive subdirectory HOLDING data files is a real
+        # layout (bare-date dirs from a non-Spark writer) -> loud
+        with open(f"{d}/t/scratch/part-0.parquet", "w") as fh:
+            fh.write("x")
+        with pytest.raises(ValueError, match="partition directories"):
+            expired_partitions(spark, f"{d}/t", keep_days=5)
+        os.remove(f"{d}/t/scratch/part-0.parquet")
         # wrong-column hive layout is a misconfiguration, not a fresh sink
         os.makedirs(f"{d}/t/other_col=2024-01-01")
         with pytest.raises(ValueError, match="partition directories"):

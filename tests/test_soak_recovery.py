@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import random
 import shutil
+import signal
 import subprocess
 import sys
 import tempfile
@@ -55,6 +56,10 @@ def tmpdir():
 def _worker(mode: str, in_dir: str, out_dir: str, ck_dir: str, **popen_kw):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(_HERE)
+    # own process group, so the kill can take out the Spark JVM child
+    # with SIGKILL too — killing only the Python driver would let the
+    # JVM exit through PythonGatewayServer's orderly stdin-EOF path
+    # (System.exit + shutdown hooks), a softer crash than claimed
     return subprocess.Popen(
         [
             sys.executable,
@@ -65,6 +70,7 @@ def _worker(mode: str, in_dir: str, out_dir: str, ck_dir: str, **popen_kw):
             ck_dir,
         ],
         env=env,
+        start_new_session=True,
         **popen_kw,
     )
 
@@ -90,11 +96,16 @@ def test_s20_sigkill_midrun_recovers_exactly_once(spark, tmpdir):
             assert "STARTED" in line, f"worker never started: {line!r}"
             time.sleep(delay)
             assert proc.poll() is None, "worker exited before the kill"
-            proc.kill()  # SIGKILL — no JVM shutdown hooks, no stop()
+            # SIGKILL the whole process group: Python driver AND Spark
+            # JVM die instantly — no shutdown hooks, no stop()
+            os.killpg(proc.pid, signal.SIGKILL)
             proc.wait(timeout=30)
         finally:
             if proc.poll() is None:
-                proc.kill()
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
 
         drain = _worker("drain", f"{tmpdir}/in", out, ck)
         assert drain.wait(timeout=300) == 0, f"restart failed (kill point {i})"
@@ -146,6 +157,11 @@ def test_s21_soak_state_plateau_and_bounded_lag(spark, tmpdir):
     listener = EngineMetricsListener(registry)
     spark.streams.addListener(listener)
     register(spark)
+    # recentProgress is capped at 100 entries by default; a fast machine
+    # runs >100 batches in the soak and the cap would silently drop the
+    # RAMP third, degenerating the plateau assertion into tail-vs-tail
+    prev_keep = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "5000")
 
     # event time advances 100 ms/row × 1200 rows = 2 min per batch, so a
     # ~minute soak sweeps hours of event time — many complete
@@ -195,6 +211,9 @@ def test_s21_soak_state_plateau_and_bounded_lag(spark, tmpdir):
         agg_q.stop()
         anom_q.stop()
         spark.streams.removeListener(listener)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_keep
+        )
 
     # --- (a) sliding-agg state plateaus ---
     series = _progress_series(agg_q)
