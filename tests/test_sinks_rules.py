@@ -193,3 +193,81 @@ def test_expired_partitions_noop_before_first_commit(spark):
             expired_partitions(spark, f"{d}/t", keep_days=5)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_s22_rule_reload_takes_effect_mid_stream(spark):
+    """O27 dynamic half: toggling the rules table between micro-batch
+    tranches changes matching WITHOUT restarting the stream or its
+    checkpoint — the reference's alert service reads rules per
+    evaluation (alert-service main.py:66-71), so a disabled rule stops
+    firing on the very next event."""
+    from datetime import datetime, timezone
+
+    from real_time_event_streaming_analytics_platform_spark.serving.rules import (
+        make_rules,
+        rule_matching_writer,
+    )
+
+    d = tempfile.mkdtemp(prefix="sgr-s22-")
+    try:
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def alert_rows(tag, n):
+            return [(f"{tag}-{i}", "web", "critical", ts) for i in range(n)]
+
+        schema = "event_id string, source string, severity string, ts timestamp"
+        # rules v1: crit-web enabled, crit-all disabled
+        make_rules(
+            spark,
+            [
+                ("crit-web", True, ["web"], "critical"),
+                ("crit-all", False, [], "critical"),
+            ],
+        ).write.mode("overwrite").parquet(f"{d}/rules")
+
+        write = rule_matching_writer(f"{d}/rules", f"{d}/matched")
+        spark.createDataFrame(alert_rows("a", 5), schema).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/alerts")
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{d}/alerts").schema
+        ).parquet(f"{d}/alerts")
+        q = (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", f"{d}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # rules v2 (same path, same running pipeline semantics): flip
+        # both toggles — crit-web off, crit-all on
+        make_rules(
+            spark,
+            [
+                ("crit-web", False, ["web"], "critical"),
+                ("crit-all", True, [], "critical"),
+            ],
+        ).write.mode("overwrite").parquet(f"{d}/rules")
+        spark.createDataFrame(alert_rows("b", 5), schema).write.mode(
+            "append"
+        ).parquet(f"{d}/alerts")
+        q2 = (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", f"{d}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        got = spark.read.parquet(f"{d}/matched").collect()
+        by_rule = {}
+        for r in got:
+            by_rule.setdefault(r["rule_id"], set()).add(r["event_id"].split("-")[0])
+        # tranche a matched only under v1's crit-web; tranche b only
+        # under v2's crit-all — no cross-contamination in either
+        # direction, and nothing matched twice
+        assert by_rule == {"crit-web": {"a"}, "crit-all": {"b"}}, by_rule
+        assert len(got) == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
