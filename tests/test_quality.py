@@ -135,3 +135,26 @@ def test_q37b_approx_profile_within_error_bound(spark, sf_dir):
             a["n_distinct_approx"],
             nd,
         )
+
+
+def test_q38_scans_each_fact_table_once(spark, sf_dir):
+    """The round-6 rewrite's contract: every table is scanned once PER
+    ROLE, never once per check (the advisor's finding was events 3x /
+    lineitem 3x). events and lineitem each appear once; orders appears
+    exactly twice because it plays two roles — the checked child of the
+    customer-FK check and the (column-pruned, key-only) parent side of
+    the lineitem-FK join — and customer once as a parent."""
+    plan = (
+        QUERIES["q38_quality_checks"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    expected = {
+        "events.parquet": 1,
+        "lineitem.parquet": 1,
+        "orders.parquet": 2,
+        "customer.parquet": 1,
+    }
+    for table, n in expected.items():
+        assert plan.count(table) == n, f"{table} scanned {plan.count(table)}x"
