@@ -164,3 +164,60 @@ def test_fuzzed_window_functions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_grouping_family_match_duckdb(spark, views):
+    """ROLLUP / CUBE / GROUPING SETS over random categorical key pairs
+    — the multi-level aggregation family the handwritten q14 trio pins
+    at one shape each. Aggregates stay in the decimal-exact convention;
+    subtotal rows carry NULL keys identically in both engines, and the
+    compare is order-insensitive, so no ORDER BY gymnastics needed."""
+    rng = random.Random(140682)
+    failures = []
+    for case in range(12):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, _ = _TABLES[table]
+        keys = rng.sample(cats, 2) if len(cats) >= 2 else cats
+        key_list = ", ".join(keys)
+        form = rng.choice(
+            [
+                f"ROLLUP ({key_list})",
+                f"CUBE ({key_list})",
+                f"GROUPING SETS (({key_list}), ({keys[0]}), ())",
+            ]
+        )
+        col = rng.choice(nums)
+        sql = (
+            f"SELECT {key_list}, COUNT(*) AS n, {_dsum(col)} AS s "
+            f"FROM {table} GROUP BY {form}"
+        )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
+
+
+def test_fuzzed_set_operations_match_duckdb(spark, views):
+    """UNION / INTERSECT / EXCEPT, set and bag forms, over random
+    single-column projections with disjoint-ish range predicates —
+    the q12 family at shapes the handwritten six don't enumerate."""
+    rng = random.Random(90210)
+    failures = []
+    for case in range(12):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        col = rng.choice(cats + strs)
+        num = rng.choice(nums)
+        a, b = sorted([round(rng.uniform(1, 80), 2), round(rng.uniform(20, 100), 2)])
+        op = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+        )
+        sql = (
+            f"SELECT {col} FROM {table} WHERE {num} <= {b} "
+            f"{op} "
+            f"SELECT {col} FROM {table} WHERE {num} >= {a}"
+        )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
