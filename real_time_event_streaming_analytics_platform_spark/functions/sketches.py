@@ -229,3 +229,67 @@ def x12_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate(merged, top)
         .orderBy("grp", F.desc("est_count"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches (x13): the RANK-domain member of the mergeable
+# family (x11 cardinality, x12 frequency). The reference's core serving
+# numbers ARE percentiles (p95/p99 per source, EventAggregationJob.java
+# metrics_1min shape) — computed there per-window over raw rows. At
+# 100 TB, "p99 latency over an arbitrary day range" by rescanning raw
+# history is the same anti-pattern as COUNT(DISTINCT): the KLL pipeline
+# materializes one few-KB sketch per (key, day) — built map-side, the
+# shuffle carries sketch bytes — and answers any-range quantiles by
+# MERGING stored sketches (kll_merge_agg_double), never re-reading rows.
+#
+# Guarantees differ from HLL in one honest way: KLL compaction is
+# randomized, so merged-daily and direct single-pass sketches are NOT
+# bit-identical (unlike x11's exact union algebra) — the guarantee is a
+# normalized RANK error (~1.65% at the default k=200, 99% confidence).
+# The tests therefore pin rank accuracy (the estimate's empirical rank
+# within ±2.5% of the target) for BOTH the direct and the merged path,
+# plus the incremental-append shape.
+# ---------------------------------------------------------------------------
+
+_KLL_K = 200  # default accuracy/size point: ~1.65% rank error, ~5 KB
+
+
+def daily_metric_sketches(events: DataFrame) -> DataFrame:
+    """Per (event_type, day) KLL sketch of ``value`` — the incremental
+    materialization unit (append today's sketches; history is frozen)."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.kll_sketch_agg_double("value", F.lit(_KLL_K)).alias("sketch"))
+
+
+def merge_quantile_estimates(
+    sketches: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Merge stored sketches per event_type → quantile estimates, one
+    output column per requested quantile (p50/p95/p99 naming)."""
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    merged = sketches.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sketch").alias("merged")
+    )
+    est = merged.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("merged", qarr).alias("qs"),
+    )
+    cols = [
+        F.col("qs")[i].alias(f"p{str(q).replace('0.', '')}")
+        for i, q in enumerate(quantiles)
+    ]
+    return est.select("event_type", *cols)
+
+
+@query("x13_sketch_quantiles")
+def x13_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value p50/p95/p99 per event_type via materialize-then-merge KLL.
+
+    Rows-only at the driver (randomized compaction makes estimates
+    non-portable); tests/test_sketches.py pins rank accuracy of the
+    direct and merged paths and the incremental-append shape."""
+    events = load(spark, sf_dir, "events")
+    return merge_quantile_estimates(daily_metric_sketches(events)).orderBy(
+        "event_type"
+    )

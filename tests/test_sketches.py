@@ -150,3 +150,66 @@ def test_x12_query_runs_and_ranks(spark):
     for grp, ests in by_grp.items():
         assert len(ests) == 10, grp
         assert ests == sorted(ests, reverse=True), grp
+
+
+# ---- x13 KLL quantile sketches ----
+
+
+def _rank_errors(spark, est_rows, quantiles=("p5", "p95", "p99")):
+    """For each (event_type, quantile-estimate), the |empirical rank −
+    target| in the EXACT data. KLL's contract is rank error, not value
+    error — a heavy-tailed value axis makes value-tolerance meaningless
+    while rank stays tight."""
+    targets = {"p5": 0.5, "p95": 0.95, "p99": 0.99}
+    events = load(spark, SF_DIR, "events")
+    errs = []
+    for r in est_rows:
+        aggs = [
+            (
+                F.count_if(F.col("value") <= float(r[name]))
+                / F.count(F.lit(1))
+            ).alias(name)
+            for name in quantiles
+        ]
+        ranks = (
+            events.where(F.col("event_type") == r["event_type"])
+            .agg(*aggs)
+            .collect()[0]
+        )
+        for name in quantiles:
+            errs.append(abs(ranks[name] - targets[name]))
+    return errs
+
+
+def test_kll_rank_accuracy_direct_and_merged(spark):
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        x13_sketch_quantiles,
+    )
+
+    rows = x13_sketch_quantiles(spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    # k=200 → ~1.65% normalized rank error (99% conf); 2.5% headroom
+    errs = _rank_errors(spark, rows)
+    assert max(errs) <= 0.025, errs
+
+
+def test_kll_incremental_append_rank_accuracy(spark):
+    """Appending today's sketches to frozen history sketches (no
+    history rescan) must answer with the same rank guarantee as the
+    full rebuild — the property that justifies materializing. Unlike
+    HLL's exact union algebra, KLL compaction is randomized, so the
+    assertion is the rank bound, not bit equality."""
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        daily_metric_sketches,
+        merge_quantile_estimates,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    cut = events.agg(F.max(F.to_date("ts")).alias("mx")).collect()[0].mx
+    history = events.where(F.to_date("ts") < F.lit(cut))
+    today = events.where(F.to_date("ts") >= F.lit(cut))
+    stored = daily_metric_sketches(history)
+    increment = daily_metric_sketches(today)
+    rows = merge_quantile_estimates(stored.unionByName(increment)).collect()
+    errs = _rank_errors(spark, rows)
+    assert max(errs) <= 0.025, errs
