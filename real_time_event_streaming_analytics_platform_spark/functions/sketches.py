@@ -275,8 +275,10 @@ def merge_quantile_estimates(
         "event_type",
         F.kll_sketch_get_quantile_double("merged", qarr).alias("qs"),
     )
+    # p50/p95/p99 naming: int(round(q*100)) — a str-replace scheme
+    # produced `p5` for the MEDIAN (conventionally the 5th percentile)
     cols = [
-        F.col("qs")[i].alias(f"p{str(q).replace('0.', '')}")
+        F.col("qs")[i].alias(f"p{int(round(q * 100))}")
         for i, q in enumerate(quantiles)
     ]
     return est.select("event_type", *cols)

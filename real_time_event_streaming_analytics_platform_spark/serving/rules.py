@@ -72,6 +72,24 @@ def rule_matching_writer(rules_path: str, out_path: str):
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         rules = spark.read.schema(RULE_SCHEMA).parquet(rules_path)
+        # Guard against the non-atomic overwrite window: parquet
+        # overwrite deletes files before committing replacements, and
+        # the explicit schema makes an empty directory read SUCCEED
+        # with zero rows — a trigger landing mid-swap would then match
+        # nothing and commit, silently dropping the batch's alerts
+        # into an append-only sink forever. Failing the batch instead
+        # fails the query; the checkpoint replays this epoch on
+        # restart, converting silent loss into at-least-once delivery.
+        # (Swap rules atomically — write a temp dir then rename — to
+        # avoid hitting this at all; a rules table with genuinely zero
+        # rows is indistinguishable from a half-deleted one, so it is
+        # rejected too.)
+        if rules.limit(1).count() == 0:
+            raise RuntimeError(
+                f"rules table at {rules_path} read empty — mid-swap "
+                "window or truly empty; failing the batch so the "
+                "checkpoint replays it (swap rules via temp-dir+rename)"
+            )
         (
             match_rules(batch_df, rules)
             .withColumn("epoch_id", F.lit(epoch_id))

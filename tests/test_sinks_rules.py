@@ -271,3 +271,28 @@ def test_s22_rule_reload_takes_effect_mid_stream(spark):
         assert len(got) == 10
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rule_writer_rejects_empty_rules_midswap(spark):
+    """A trigger landing inside the non-atomic rules overwrite window
+    reads an empty directory as 0 rows (schema'd read succeeds) — the
+    writer must FAIL the batch (checkpoint replays it) rather than
+    match nothing and silently drop the batch's alerts forever."""
+    from datetime import datetime, timezone
+
+    from real_time_event_streaming_analytics_platform_spark.serving.rules import (
+        rule_matching_writer,
+    )
+
+    d = tempfile.mkdtemp(prefix="sgr-s22e-")
+    try:
+        os.makedirs(f"{d}/rules")  # mid-swap: directory exists, no files
+        batch = spark.createDataFrame(
+            [("a-0", "web", "critical", datetime(2024, 1, 1, tzinfo=timezone.utc))],
+            "event_id string, source string, severity string, ts timestamp",
+        )
+        with pytest.raises(RuntimeError, match="read empty"):
+            rule_matching_writer(f"{d}/rules", f"{d}/out")(batch, 0)
+        assert not os.path.exists(f"{d}/out")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -155,30 +155,33 @@ def test_x12_query_runs_and_ranks(spark):
 # ---- x13 KLL quantile sketches ----
 
 
-def _rank_errors(spark, est_rows, quantiles=("p5", "p95", "p99")):
+def _rank_errors(spark, est_rows, quantiles=("p50", "p95", "p99")):
     """For each (event_type, quantile-estimate), the |empirical rank −
-    target| in the EXACT data. KLL's contract is rank error, not value
-    error — a heavy-tailed value axis makes value-tolerance meaningless
-    while rank stays tight."""
-    targets = {"p5": 0.5, "p95": 0.95, "p99": 0.99}
+    target| in the EXACT data — computed in ONE events scan (broadcast
+    join of the tiny estimates frame, grouped conditional aggregates),
+    not one filtered job per event type. KLL's contract is rank error,
+    not value error — a heavy-tailed value axis makes value-tolerance
+    meaningless while rank stays tight."""
+    targets = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
     events = load(spark, SF_DIR, "events")
-    errs = []
-    for r in est_rows:
-        aggs = [
-            (
-                F.count_if(F.col("value") <= float(r[name]))
-                / F.count(F.lit(1))
-            ).alias(name)
-            for name in quantiles
-        ]
-        ranks = (
-            events.where(F.col("event_type") == r["event_type"])
-            .agg(*aggs)
-            .collect()[0]
-        )
-        for name in quantiles:
-            errs.append(abs(ranks[name] - targets[name]))
-    return errs
+    est = spark.createDataFrame(
+        [(r["event_type"], *[float(r[n]) for n in quantiles]) for r in est_rows],
+        "event_type string, " + ", ".join(f"e_{n} double" for n in quantiles),
+    )
+    aggs = [
+        (
+            F.count_if(F.col("value") <= F.col(f"e_{n}")) / F.count(F.lit(1))
+        ).alias(n)
+        for n in quantiles
+    ]
+    ranks = (
+        events.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(*aggs)
+        .collect()
+    )
+    assert len(ranks) == len(est_rows)
+    return [abs(r[n] - targets[n]) for r in ranks for n in quantiles]
 
 
 def test_kll_rank_accuracy_direct_and_merged(spark):
