@@ -95,6 +95,11 @@ _DEMOTED = [
     # planted all-pairs mini-oracle for x2b's scoring math, VERDICT r05
     # #7): pure-SQL recursion untouched by round-6 changes, green r05.
     "q30_recursive_hierarchy",
+    # Yields its slot to q26c_stratified_sample (new this round —
+    # exact-k per-stratum deterministic sampling): the sampling
+    # category stays driver-covered by q26c's fresh row; q26b holds
+    # green r05.
+    "q26b_hash_sample",
 ]
 
 

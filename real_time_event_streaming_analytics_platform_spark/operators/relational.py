@@ -611,6 +611,47 @@ def q26b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q26c_stratified_sample",
+    oracle="""
+    SELECT event_type, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    ) WHERE rk <= 50
+    ORDER BY event_type, event_id
+    """,
+)
+def q26c_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-k deterministic sample: 50 rows per event_type,
+    selected by md5-hash order — the balanced-per-class sample a
+    training-data pipeline draws (per-label eval sets, per-source
+    audits). ``sampleBy`` gives only approximate fractions and no
+    per-stratum count guarantee; the hash-rank form gives exactly k per
+    stratum, is reproducible across engines and runs (md5 is defined
+    identically everywhere, with event_id as the total-order tiebreak),
+    and composes with any stratum key. Scale: one hash-partitioned
+    window per stratum — k rows retained per task group, no global
+    sort; at 100 TB the same plan shape runs with the stratum key as
+    the shuffle key. Oracle-portable because md5 (unlike xxhash64) is
+    bit-identical in DuckDB."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.select(
+            "event_type", "event_id", "value", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= 50)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q27 — PIVOT: order counts per status spread across priority columns.
 # The oracle uses the portable conditional-aggregation form (what PIVOT
