@@ -221,3 +221,48 @@ def test_fuzzed_set_operations_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_scalar_projections_match_duckdb(spark, views):
+    """Row-level scalar pipelines (string ops, CASE, COALESCE/NULLIF,
+    arithmetic) over random columns — the q16/q19 family at
+    compositions the handwritten pair doesn't enumerate. Stays in the
+    dialect-portable subset: no engine-specific functions, division
+    guarded by NULLIF, ordered by the unique key."""
+    rng = random.Random(61803)
+    uniq = {"events": "event_id", "orders": "o_orderkey", "lineitem": "l_orderkey, l_linenumber"}
+    failures = []
+    for case in range(12):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        s = rng.choice(strs)
+        n = rng.choice(nums)
+        exprs = []
+        for i in range(rng.randint(2, 4)):
+            kind = rng.choice(["upper", "substr", "len", "concat", "case", "coalesce", "arith"])
+            if kind == "upper":
+                exprs.append(f"UPPER(CAST({s} AS STRING)) AS e{i}")
+            elif kind == "substr":
+                exprs.append(f"SUBSTR(CAST({s} AS STRING), 1, {rng.randint(1, 5)}) AS e{i}")
+            elif kind == "len":
+                exprs.append(f"LENGTH(CAST({s} AS STRING)) AS e{i}")
+            elif kind == "concat":
+                exprs.append(f"CAST({s} AS STRING) || '_' || CAST({n} AS STRING) AS e{i}")
+            elif kind == "case":
+                c = round(rng.uniform(1, 100), 2)
+                exprs.append(f"CASE WHEN {n} > {c} THEN 'hi' ELSE 'lo' END AS e{i}")
+            elif kind == "coalesce":
+                exprs.append(f"COALESCE(NULLIF(CAST({s} AS STRING), ''), 'empty') AS e{i}")
+            else:
+                d = round(rng.uniform(1, 10), 2)
+                # decimal-exact accumulation-free arithmetic; NULLIF
+                # guards the divisor
+                exprs.append(
+                    f"floor(CAST({n} AS DOUBLE) / NULLIF({d}, 0) * 100 + 0.5) / 100 AS e{i}"
+                )
+        key = uniq[table]
+        sql = f"SELECT {key}, {', '.join(exprs)} FROM {table} ORDER BY {key}"
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
