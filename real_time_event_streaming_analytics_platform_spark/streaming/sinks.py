@@ -218,3 +218,62 @@ def rollup_writer(path: str):
         )
 
     return write
+
+
+def kll_sketch_writer(path: str, key_col: str = "source", val_col: str = "metric", k: int = 200):
+    """foreachBatch incremental KLL materializer — the streaming twin of
+    the batch sketch pipeline (functions/sketches.py x13): each
+    micro-batch reduces its rows to per-(key, day) KllDoublesSketch
+    binaries and stores them append-style, so any-range quantiles are
+    answered later by merging stored sketches, never by rescanning
+    events.
+
+    Replay idempotence WITHOUT read-modify-write: a stored-sketch
+    MERGE-on-write (read existing day sketch, union, write back) would
+    double-count a replayed epoch — KLL has no idempotent union. So the
+    storage unit is the (day, epoch) partition, written with dynamic
+    partition overwrite: a replayed epoch rewrites exactly its own
+    partitions (same rows → same n), other epochs untouched, and the
+    read side merges across epochs with ``kll_merge_agg_double``. The
+    per-epoch sketch rows are O(keys × days-touched) few-KB payloads;
+    a maintenance pass may later compact epochs into daily sketches
+    with the same merge function (nothing downstream changes — readers
+    merge whatever granularity is stored)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.col(key_col).alias("key"), F.to_date("ts").alias("day")
+            )
+            .agg(F.kll_sketch_agg_double(val_col, F.lit(k)).alias("sketch"))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day", "epoch")
+            .parquet(path)
+        )
+
+    return write
+
+
+def kll_store_quantiles(
+    spark, path: str, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Per-key quantile estimates from the stored sketches — merge-only,
+    no event data touched. Column naming matches x13 (p50/p95/p99)."""
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("key")
+        .agg(F.kll_merge_agg_double("sketch").alias("merged"))
+    )
+    est = merged.select(
+        "key",
+        F.kll_sketch_get_n_double("merged").alias("n"),
+        F.kll_sketch_get_quantile_double("merged", qarr).alias("qs"),
+    )
+    cols = [
+        F.col("qs")[i].alias(f"p{int(round(q * 100))}")
+        for i, q in enumerate(quantiles)
+    ]
+    return est.select("key", "n", *cols)

@@ -105,3 +105,92 @@ def test_s17_untouched_partitions_survive(spark, tmpdir):
         assert after_b[k] == after_a[k]
     # and B actually added its own disjoint partitions
     assert len(after_b) > len(after_a)
+
+
+def test_s23_streaming_kll_sketches_no_double_count_and_rank_accuracy(spark, tmpdir):
+    """The streaming twin of x13: kll_sketch_writer materializes
+    per-(key, day, epoch) sketches from micro-batches. Pins (a) the
+    stored merge's row count n equals the event count EXACTLY (sketches
+    never drop or duplicate rows), (b) a replayed epoch does NOT
+    double-count (dynamic partition overwrite rewrites its own (day,
+    epoch) partitions instead of re-merging), and (c) quantile
+    estimates from the store hit KLL's rank guarantee against the exact
+    per-source data."""
+    from real_time_event_streaming_analytics_platform_spark.sources.fixtures import (
+        generate_events,
+        write_jsonl,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        parse_events,
+        read_event_stream,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        kll_sketch_writer,
+        kll_store_quantiles,
+    )
+
+    n = 4000
+    write_jsonl(generate_events(n, seed=41, interval_ms=100), f"{tmpdir}/in", n_files=4)
+    stream = parse_events(
+        read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+    )
+    write = kll_sketch_writer(f"{tmpdir}/sk")
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = parse_events(
+        spark.read.text(f"{tmpdir}/in").withColumnRenamed("value", "raw")
+    )
+    exact_counts = {
+        r["source"]: r["n"]
+        for r in batch.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    est = {r["key"]: r for r in kll_store_quantiles(spark, f"{tmpdir}/sk").collect()}
+    assert set(est) == set(exact_counts)
+    for src, row in est.items():
+        assert row["n"] == exact_counts[src], (src, row["n"], exact_counts[src])
+
+    # (b) replay idempotence, deterministically: a second store fed by
+    # direct write() calls — tranche 1 as epoch 0, tranche 2 as epoch
+    # 1, then tranche 1 REPLAYED as epoch 0. The dynamic partition
+    # overwrite must rewrite epoch 0's own partitions, leaving total n
+    # unchanged (a merge-on-write design would double-count here).
+    t1 = batch.where(F.col("event_id") < F.lit("m"))
+    t2 = batch.where(F.col("event_id") >= F.lit("m"))
+    write2 = kll_sketch_writer(f"{tmpdir}/sk2")
+    write2(t1, 0)
+    write2(t2, 1)
+    n_before = {
+        r["key"]: r["n"]
+        for r in kll_store_quantiles(spark, f"{tmpdir}/sk2").collect()
+    }
+    write2(t1, 0)  # replay
+    n_after = {
+        r["key"]: r["n"]
+        for r in kll_store_quantiles(spark, f"{tmpdir}/sk2").collect()
+    }
+    assert n_after == n_before, "replayed epoch double-counted"
+    est2 = est
+
+    # (c) rank accuracy per source against exact data, one scan
+    est_df = spark.createDataFrame(
+        [(k, float(r["p50"]), float(r["p95"])) for k, r in est2.items()],
+        "source string, e50 double, e95 double",
+    )
+    ranks = (
+        batch.join(F.broadcast(est_df), "source")
+        .groupBy("source")
+        .agg(
+            (F.count_if(F.col("metric") <= F.col("e50")) / F.count(F.lit(1))).alias("r50"),
+            (F.count_if(F.col("metric") <= F.col("e95")) / F.count(F.lit(1))).alias("r95"),
+        )
+        .collect()
+    )
+    for r in ranks:
+        assert abs(r["r50"] - 0.5) <= 0.025, (r["source"], r["r50"])
+        assert abs(r["r95"] - 0.95) <= 0.025, (r["source"], r["r95"])
