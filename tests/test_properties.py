@@ -72,3 +72,63 @@ def test_parse_window_total_function(w):
         assert w not in WINDOW_SECONDS
     else:
         assert out == WINDOW_SECONDS[w] and out > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("set"),
+                st.sampled_from(["web", "mobile", "api"]),
+                st.integers(0, 20),     # window_start bucket
+                st.integers(1, 50),     # ttl seconds
+            ),
+            st.tuples(st.just("tick"), st.integers(1, 30)),
+            st.tuples(st.just("purge")),
+            st.tuples(st.just("kpi"), st.sampled_from(["web", None])),
+        ),
+        max_size=60,
+    )
+)
+def test_hotstore_ttl_model(ops):
+    """Randomized-op model check of HotStore against a reference dict
+    under a fake clock: kpi never serves an expired entry, always
+    serves every live matching entry (within limit), newest-first, and
+    purge_expired removes exactly the dead keys."""
+    from real_time_event_streaming_analytics_platform_spark.serving.hotstore import (
+        HotStore,
+    )
+
+    clock = [1000.0]
+    store = HotStore(now_fn=lambda: clock[0])
+    model: dict[tuple, float] = {}  # key -> expiry
+
+    for op in ops:
+        if op[0] == "set":
+            _, src, ws, ttl = op
+            store.set(src, "1m", f"2024-01-01T00:{ws:02d}", {"count_events": ws}, ttl)
+            model[(src, "1m", f"2024-01-01T00:{ws:02d}")] = clock[0] + ttl
+        elif op[0] == "tick":
+            clock[0] += op[1]
+        elif op[0] == "purge":
+            n = store.purge_expired()
+            dead = [k for k, exp in model.items() if exp <= clock[0]]
+            assert n == len(dead)
+            for k in dead:
+                del model[k]
+        else:
+            _, src = op
+            got = {(r["source"], r["window"], r["window_start"]) for r in store.kpi(source=src)}
+            live = {
+                k
+                for k, exp in model.items()
+                if exp > clock[0] and (src is None or k[0] == src)
+            }
+            assert got == live  # < 100 entries, so limit never cuts
+    # closing invariant: after a final purge, exactly the live keys
+    # remain resident (lazy expiry never loses a live key and a purge
+    # never retains a dead one)
+    store.purge_expired()
+    live_n = sum(1 for exp in model.values() if exp > clock[0])
+    assert len(store) == live_n
