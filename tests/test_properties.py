@@ -1,7 +1,9 @@
 """Property-based checks (hypothesis, no Spark session needed) for the
 pure-Python building blocks whose contracts the engine leans on:
-random-access event generation determinism, and the severity/cooldown
-constants' internal consistency with the formatters' assumptions.
+random-access event generation (determinism, JSON contract, time-wrap
+horizon, seed-lane separation), the serving window parser's totality,
+HotStore's TTL semantics against a reference model, and fan_out's
+channel dispatch table.
 """
 
 from __future__ import annotations
@@ -132,3 +134,57 @@ def test_hotstore_ttl_model(ops):
     store.purge_expired()
     live_n = sum(1 for exp in model.values() if exp > clock[0])
     assert len(store) == live_n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    email=st.booleans(),
+    recipients=st.lists(st.sampled_from(["a@x", "b@x", "c@x"]), max_size=3),
+    slack=st.booleans(),
+    slack_url=st.one_of(st.none(), st.just("https://hooks.example/T1")),
+    webhook=st.booleans(),
+    hooks=st.lists(st.sampled_from(["https://h1.example", "https://h2.example"]), max_size=2),
+    severity=st.sampled_from(["info", "warning", "critical"]),
+    source=st.sampled_from(["web", "mobile", "api"]),
+)
+def test_fan_out_message_contract(
+    email, recipients, slack, slack_url, webhook, hooks, severity, source
+):
+    """For every config combination, fan_out emits exactly the enabled+
+    configured channels (the reference's dispatch table), and every
+    message carries the fields the transports and the done-marker
+    accounting rely on (channel, alert_id)."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.notify import (
+        NotifierConfig,
+        fan_out,
+    )
+
+    alert = {
+        "event_id": "evt-1",
+        "source": source,
+        "severity": severity,
+        "ts": "2024-01-01T00:00:00+00:00",
+        "value": 123.4,
+    }
+    cfg = NotifierConfig(
+        email_enabled=email,
+        email_recipients=recipients,
+        slack_enabled=slack,
+        slack_webhook_url=slack_url,
+        webhook_enabled=webhook,
+        custom_webhooks=hooks,
+    )
+    msgs = fan_out(alert, cfg)
+    want = (
+        (1 if email and recipients else 0)
+        + (1 if slack and slack_url else 0)
+        + (len(hooks) if webhook else 0)
+    )
+    assert len(msgs) == want
+    for m in msgs:
+        assert m["channel"] in ("email", "slack", "webhook")
+        assert m["alert_id"] == "evt-1"
+    by_channel = [m["channel"] for m in msgs]
+    assert by_channel.count("email") == (1 if email and recipients else 0)
+    assert by_channel.count("slack") == (1 if slack and slack_url else 0)
+    assert by_channel.count("webhook") == (len(hooks) if webhook else 0)
