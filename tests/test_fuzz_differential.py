@@ -266,3 +266,41 @@ def test_fuzzed_scalar_projections_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_temporal_functions_match_duckdb(spark, views):
+    """date_trunc / EXTRACT / DATE-cast compositions over the events
+    timestamp — the r3/r12/q20 temporal family at random granularities
+    (portable subset verified: both engines truncate and extract
+    identically on TIMESTAMP in a UTC session)."""
+    rng = random.Random(31415)
+    failures = []
+    units = ["year", "month", "day", "hour", "minute"]
+    extracts = ["year", "month", "day", "hour", "minute"]
+    for case in range(10):
+        mode = rng.choice(["trunc_group", "extract_group", "project"])
+        if mode == "trunc_group":
+            u = rng.choice(units)
+            sql = (
+                f"SELECT date_trunc('{u}', ts) AS g, COUNT(*) AS n, "
+                f"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s "
+                f"FROM events GROUP BY 1 ORDER BY 1"
+            )
+        elif mode == "extract_group":
+            e1, e2 = rng.sample(extracts, 2)
+            sql = (
+                f"SELECT EXTRACT({e1} FROM ts) AS a, EXTRACT({e2} FROM ts) AS b, "
+                f"COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+            )
+        else:
+            u = rng.choice(units)
+            e = rng.choice(extracts)
+            sql = (
+                f"SELECT event_id, date_trunc('{u}', ts) AS g, "
+                f"EXTRACT({e} FROM ts) AS x, CAST(ts AS DATE) AS d "
+                f"FROM events ORDER BY event_id"
+            )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
