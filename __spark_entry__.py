@@ -38,68 +38,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness rows for the FIRST 50 queries() entries
 # only; more queries have oracles than slots, so some must yield.
 #
-# Round-6 rotation (per VERDICT r05 next-round #3, taken to its
-# fixpoint): after r05, ALL 33 demoted queries held driver rows from
-# r04 only — two rounds stale by r06. This round promotes every one of
-# them back into the window and demotes 34 queries that earned green
-# r05 rows. The window keepers are 14 of the 15 queries NEW in r05
-# (r13b, r16, q26b, q29, q31-q36, t8, t9, q37, q38 — each holds
-# exactly one green row, so they stay for a second confirmation
-# against any round-6 code motion; q30 yields its slot to the new
-# d2_jaccard_scoring, see below) plus the two flagships r3 (the
-# entry() query) and r4 (the reference's core sliding-window shape).
-# Window = 33 promoted + 16 keepers + d2 = 50 of the 84 oracle-backed
-# queries (83 + d2). Net effect: after r06 every oracle-backed query
-# holds a green driver row from r05 or r06 — maximum achievable
-# freshness with 84 oracles and 50 slots. Every demoted query remains fully registered and
-# oracle-checked locally each session (tests/test_oracle_queries.py).
+# Round-7 rotation (per VERDICT r06 next-round #3, the standing
+# alternation): the 35 queries demoted in r06 are all promoted back —
+# each held a green r05 row that would otherwise go two rounds stale —
+# and 35 queries that earned green r06 rows yield their slots. Keepers
+# (13, besides the two standing flagships r3 — the entry() query — and
+# r4 — the reference's core sliding-window shape):
+#   - d2_jaccard_scoring and q26c_stratified_sample: NEW in r06, each
+#     holds exactly one green row; kept for a second confirmation;
+#   - q38_quality_checks: its FK-dimension join gains an explicit
+#     broadcast this round (VERDICT r06 #5) — the plan change must
+#     re-verify against the oracle in the same round it lands;
+#   - r13b, r16, q23, q29, q31, q34, q35, q36, t9, x10: one keeper per
+#     family whose siblings all rotate out together (VARIANT parsing,
+#     webhook ingest, sessionization, gap-fill, LATERAL, funnel, SCD2,
+#     cohort, BM25, curation funnel) so no family leaves the window
+#     entirely.
+# Window = 35 promoted + 2 flagships + 13 keepers = 50 of the 85
+# oracle-backed queries. Net effect: after r07 every oracle-backed
+# query holds a green driver row from r06 or r07 — maximum achievable
+# freshness with 85 oracles and 50 slots. Every demoted query remains
+# fully registered and oracle-checked locally each session
+# (tests/test_oracle_queries.py).
 _DEMOTED = [
-    # Long-stable R-series ops, all green r01-r05 (per-line notes name
-    # the in-window coverage that remains for each category).
-    "r1_project_filter",     # project+filter exercised by nearly every window query
-    "r2_keyed_agg",          # keyed agg covered by q01-twin shapes q24/x10 in-window
-    "r5_percentile_cont",    # percentile pair: both green 5 rounds running
-    "r6_percentile_rank",    # nearest-rank twin of r5, same oracle family
-    "r7_rolling_zscore",     # rolling stats: promoted r8 re-verifies; S4 streaming parity
-    "r8b_rolling_mad",       # rolling median/MAD, green r04+r05; promoted r8 re-verifies
-    "r9_alerts_scan",        # filtered scan, green r01-r05
-    "r10_conditional_agg",   # conditional agg covered by x10 funnel in-window
-    "r12_relative_time",     # relative-time views, green r01-r05
-    "r13_json_extract",      # JSON path covered by kept r13b (VARIANT twin, same oracle)
-    "r14_severity_case",     # CASE classification, green r01-r05
-    "r15_cooldown_dedup",    # cooldown dedup, green r05; streaming twin S5/S11 tested
-    # Relational categories with multiple green rows; each category
-    # keeps in-window coverage via the promoted set or the keepers.
-    "q01_pricing_summary",   # agg summary covered by promoted q24/x10 + kept q37
-    "q03_multiway_join",     # joins covered by promoted q02/q04-q08 this round
-    "q07_theta_self_join",   # theta join, green r04+r05
-    "q09_ranking_window",    # ranking covered by kept q31 lateral top-k + promoted q10/q11
-    "q09b_analytic_funcs",   # analytic windows covered by kept q32/q33
-    "q12_union_all",         # set ops: promoted q12_union re-verifies the category
-    "q12_intersect",
-    "q12_except",
-    "q12_intersect_all",
-    "q12_except_all",
-    "q14b_cube",             # grouping family: promoted q14_rollup re-verifies
-    "q14c_grouping_sets",
-    "q15_correlated_subquery",  # green r04+r05
-    "q16_string_funcs",      # scalar trio green r04+r05
-    "q17_in_between",
-    "q18_having",
-    "q19_null_handling",
-    "q20b_date_diff_buckets",  # date arithmetic: promoted q20_date_shift re-verifies
-    "q21_array_explode",     # arrays green r04+r05; promoted q25b top-tokens re-exercises explode
-    "q22_asof_prior_click",  # as-of join green r04+r05
-    "q28_unpivot",           # promoted q27_pivot re-verifies the pivot family
-    # Yields its slot to d2_jaccard_scoring (new this round — the
-    # planted all-pairs mini-oracle for x2b's scoring math, VERDICT r05
-    # #7): pure-SQL recursion untouched by round-6 changes, green r05.
-    "q30_recursive_hierarchy",
-    # Yields its slot to q26c_stratified_sample (new this round —
-    # exact-k per-stratum deterministic sampling): the sampling
-    # category stays driver-covered by q26c's fresh row; q26b holds
-    # green r05.
-    "q26b_hash_sample",
+    # R-series ops that earned green r06 rows; the returning r1/r2/
+    # r5-r10/r12-r15 refresh the category's coverage this round.
+    "r8_rolling_median",     # rolling stats: returning r7/r8b re-verify the family
+    "r11_kpi_latest_per_key",  # latest-N serving shape, green r06 + S14 hot-store twin
+    # Join flavors, all green r06; returning q03 (multiway) + q07
+    # (theta) + q22 (as-of) keep the join family in-window.
+    "q02_join_segment",
+    "q04_orders_histogram",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q08_broadcast_join",
+    "q10_analytic_window",   # ranking/analytic: returning q09/q09b re-verify
+    "q11_topk",
+    "q12_union",             # set ops: the five returning q12_* variants re-verify
+    "q13_count_distinct",
+    "q14_rollup",            # grouping family: returning q14b/q14c re-verify
+    "q20_date_shift",        # date arithmetic: returning q20b re-verifies
+    "q24_dedup_exact",       # exact dedup, green r06; kept d2 pins the dedup family
+    "q25_text_stats",        # text battery green r06; t-family keeps breadth via kept t9
+    "q25b_top_tokens",
+    "q27_pivot",             # pivot family: returning q28_unpivot re-verifies
+    "q32_ewma_trend",        # green r05+r06
+    "q33_time_range_window", # green r05+r06
+    "d1_dedup_docs_exact",   # exact-hash dedup, green r06; kept d2 pins scoring math
+    "x3_cosine_topk",        # bitwise-exact fold oracle, green r06; recall tests local
+    "t1_lang_id",            # text analysis, all green r06; kept t9 holds the family
+    "t2_quality_score",
+    "t3_token_counts",
+    "t5_pii_scrub",
+    "t6_repetition",
+    "t7_chunk_dedup",
+    "t8_fuzzy_dedup",
+    "x4_multimodal_roundtrip",  # green r05+r06; x4b schema/batch tests local
+    # Corpus-assembly family, all green r06; kept x10 funnel spans the
+    # split/mix/decontaminate shapes end-to-end.
+    "x5_train_split",
+    "x6_sequence_pack",
+    "x7_embedding_quantize",
+    "x8_decontaminate",
+    "x9_source_mixing",
+    "q37_profile",           # profiling: green r05+r06; q37b approx twin error-tested local
 ]
 
 
