@@ -220,7 +220,13 @@ def rollup_writer(path: str):
     return write
 
 
-def kll_sketch_writer(path: str, key_col: str = "source", val_col: str = "metric", k: int = 200):
+def kll_sketch_writer(
+    path: str,
+    key_col: str = "source",
+    val_col: str = "metric",
+    k: int = 200,
+    run: str | None = None,
+):
     """foreachBatch incremental KLL materializer — the streaming twin of
     the batch sketch pipeline (functions/sketches.py x13): each
     micro-batch reduces its rows to per-(key, day) KllDoublesSketch
@@ -231,25 +237,47 @@ def kll_sketch_writer(path: str, key_col: str = "source", val_col: str = "metric
     Replay idempotence WITHOUT read-modify-write: a stored-sketch
     MERGE-on-write (read existing day sketch, union, write back) would
     double-count a replayed epoch — KLL has no idempotent union. So the
-    storage unit is the (day, epoch) partition, written with dynamic
-    partition overwrite: a replayed epoch rewrites exactly its own
-    partitions (same rows → same n), other epochs untouched, and the
-    read side merges across epochs with ``kll_merge_agg_double``. The
-    per-epoch sketch rows are O(keys × days-touched) few-KB payloads;
-    a maintenance pass may later compact epochs into daily sketches
-    with the same merge function (nothing downstream changes — readers
-    merge whatever granularity is stored)."""
+    storage unit is the (day, run, epoch) partition, written with
+    dynamic partition overwrite: a replayed epoch rewrites exactly its
+    own partitions (same rows → same n), other epochs untouched, and
+    the read side merges across epochs with ``kll_merge_agg_double``.
+
+    The ``run`` partition level closes the epoch-id-collision hazard
+    the pure (day, epoch) layout had: a stream restarted from a FRESH
+    checkpoint (or a second query sharing the path) restarts epoch ids
+    at 0 and would silently overwrite previously stored sketches for
+    the same (day, epoch). By default ``run`` is a deterministic
+    CONTENT SIGNATURE of the epoch's rows (bit_xor of row hashes +
+    count — the same epoch-collision guard notify.py uses), so a
+    same-checkpoint replay (identical rows) lands on the identical
+    partition and overwrites idempotently, while a fresh-checkpoint
+    epoch 0 (different rows) gets a different ``run`` and APPENDS.
+    Callers may pass an explicit ``run`` (e.g. the streaming query's
+    checkpoint-stable ``id``) to skip the per-batch signature job.
+
+    The per-epoch sketch rows are O(keys × days-touched) few-KB
+    payloads; a maintenance pass may later compact runs/epochs into
+    daily sketches with the same merge function (nothing downstream
+    changes — readers merge whatever granularity is stored)."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        rid = run
+        if rid is None:
+            sig = batch_df.select(
+                F.bit_xor(F.xxhash64(key_col, "ts", val_col)).alias("x"),
+                F.count(F.lit(1)).alias("c"),
+            ).first()
+            rid = f"{(sig['x'] or 0) & 0xFFFFFFFFFFFF:012x}n{sig['c']}"
         (
             batch_df.groupBy(
                 F.col(key_col).alias("key"), F.to_date("ts").alias("day")
             )
             .agg(F.kll_sketch_agg_double(val_col, F.lit(k)).alias("sketch"))
+            .withColumn("run", F.lit(rid))
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day", "epoch")
+            .partitionBy("day", "run", "epoch")
             .parquet(path)
         )
 

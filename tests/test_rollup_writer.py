@@ -175,6 +175,20 @@ def test_s23_streaming_kll_sketches_no_double_count_and_rank_accuracy(spark, tmp
         for r in kll_store_quantiles(spark, f"{tmpdir}/sk2").collect()
     }
     assert n_after == n_before, "replayed epoch double-counted"
+
+    # (b2) fresh-checkpoint restart (or a second query sharing the
+    # path): epoch ids restart at 0 with DIFFERENT content. The run
+    # partition level (content signature) makes this an APPEND — the
+    # old (day, epoch)-only layout silently overwrote t1's epoch-0
+    # sketches and lost that history.
+    write3 = kll_sketch_writer(f"{tmpdir}/sk3")
+    write3(t1, 0)
+    write3(t2, 0)  # fresh-checkpoint twin: same epoch id, new rows
+    n_union = {
+        r["key"]: r["n"]
+        for r in kll_store_quantiles(spark, f"{tmpdir}/sk3").collect()
+    }
+    assert n_union == exact_counts, "fresh-checkpoint epoch 0 clobbered history"
     est2 = est
 
     # (c) rank accuracy per source against exact data, one scan
