@@ -267,8 +267,25 @@ def compact_parquet(
     i.e. when files must be SPLIT to hit the size target). Returns the
     output file count."""
     import os
+    import re
 
-    if os.path.abspath(dst) == os.path.abspath(src):
+    def _canon(path: str) -> str:
+        """Canonical identity for the in-place guard. Local paths go
+        through realpath so symlink aliases of the same directory are
+        caught; URI-scheme paths (file:/x, hdfs://, s3a://) are
+        rejected outright — the Hadoop FS calls below would accept
+        them, but this guard cannot resolve whether a URI aliases a
+        local src (file:/x vs /x, scheme-default authorities), and a
+        missed alias truncates the source under the lazy read."""
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
+            raise ValueError(
+                f"compact_parquet: URI-scheme paths ({path!r}) are not "
+                "supported — pass plain local filesystem paths (the "
+                "in-place guard cannot prove a URI does not alias src)"
+            )
+        return os.path.realpath(path)
+
+    if _canon(dst) == _canon(src):
         # The read plan is lazy: mode("overwrite") would truncate the
         # source directory before the scan tasks read it.
         raise ValueError(

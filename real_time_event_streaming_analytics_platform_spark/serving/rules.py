@@ -71,7 +71,17 @@ def rule_matching_writer(rules_path: str, out_path: str):
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        rules = spark.read.schema(RULE_SCHEMA).parquet(rules_path)
+        # SNAPSHOT the rules once per batch: collect the tiny table to
+        # the driver, validate it, and rebuild a local DataFrame from
+        # that snapshot. With two lazy reads (a guard count + the match
+        # join), a non-atomic overwrite landing BETWEEN them could pass
+        # the guard yet match against a partially written rule set and
+        # commit the partial result silently — the single collect
+        # closes that window because the guard and the match see the
+        # exact same rows.
+        rule_rows = (
+            spark.read.schema(RULE_SCHEMA).parquet(rules_path).collect()
+        )
         # Guard against the non-atomic overwrite window: parquet
         # overwrite deletes files before committing replacements, and
         # the explicit schema makes an empty directory read SUCCEED
@@ -84,12 +94,13 @@ def rule_matching_writer(rules_path: str, out_path: str):
         # avoid hitting this at all; a rules table with genuinely zero
         # rows is indistinguishable from a half-deleted one, so it is
         # rejected too.)
-        if rules.limit(1).count() == 0:
+        if not rule_rows:
             raise RuntimeError(
                 f"rules table at {rules_path} read empty — mid-swap "
                 "window or truly empty; failing the batch so the "
                 "checkpoint replays it (swap rules via temp-dir+rename)"
             )
+        rules = spark.createDataFrame(rule_rows, RULE_SCHEMA)
         (
             match_rules(batch_df, rules)
             .withColumn("epoch_id", F.lit(epoch_id))
