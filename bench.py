@@ -647,7 +647,7 @@ def _bench_skew(spark, sf: float | None) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from real_time_event_streaming_analytics_platform_spark.operators.scale import (
-        attach_group_totals,
+        salted_window,
     )
 
     out: dict[str, float] = {}
@@ -678,7 +678,7 @@ def _bench_skew(spark, sf: float | None) -> dict[str, float]:
         plain = skewed.withColumn("total", F.sum("v").over(w)).withColumn(
             "n", F.count("*").over(w)
         )
-        rewrite = attach_group_totals(skewed, "k", {"total": "sum(v)", "n": "count(*)"})
+        rewrite = salted_window(skewed, "k", {"total": "sum(v)", "n": "count(*)"})
         assert force(plain) == force(rewrite), "skew rewrite changed results"
         out["skew_window_plain_sec"] = timed(plain)
         out["skew_salted_rewrite_sec"] = timed(rewrite)

@@ -204,7 +204,18 @@ def q38_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         orders.join(
-            customer.select(F.col("c_custkey").alias("_pk")).distinct(),
+            # Explicit broadcast (VERDICT r06 #5): at 100 TB the deduped
+            # customer PK set is dimension-sized (1.5e5 × SF keys, a few
+            # GB at SF=1e5 — broadcastable with executor memory to
+            # spare) while orders⋈customer as a shuffle join would move
+            # the full fact table. The hint pins the plan rather than
+            # trusting AQE's post-shuffle stats at every scale. The
+            # lineitem⋈orders join above deliberately has NO hint: the
+            # orders PK set grows with the fact data (1.5e6 × SF), so
+            # that side must stay a shuffle join AQE can size.
+            F.broadcast(
+                customer.select(F.col("c_custkey").alias("_pk")).distinct()
+            ),
             F.col("o_custkey") == F.col("_pk"),
             "left",
         ).agg(

@@ -158,3 +158,24 @@ def test_q38_scans_each_fact_table_once(spark, sf_dir):
     }
     for table, n in expected.items():
         assert plan.count(table) == n, f"{table} scanned {plan.count(table)}x"
+
+
+def test_q38_customer_fk_side_is_broadcast(spark, sf_dir):
+    """The customer-parent side of the orders FK check is pinned as a
+    BroadcastHashJoin (VERDICT r06 #5): the deduped customer PK set is
+    dimension-sized at any SF, so the plan must never shuffle orders to
+    join it. Asserted on the optimized logical → physical plan rather
+    than trusting AQE's runtime pick."""
+    plan = (
+        QUERIES["q38_quality_checks"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one broadcast join carries the _pk build side from the
+    # customer scan; the lineitem⋈orders FK join is left un-hinted
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    import re
+
+    bcast_joins = re.findall(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert any("o_custkey" in l for l, r in bcast_joins), bcast_joins

@@ -254,6 +254,45 @@ def test_attach_group_totals_equals_window_and_avoids_hot_partition(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_salted_window_equals_plain_window_form(spark):
+    """The public ``salted_window`` operator (VERDICT r06 #6): exact row
+    parity with the plain ``F.agg(...).over(Window.partitionBy(key))``
+    form — NULL keys and all four decomposable aggregates included —
+    and a custom n_salts spreads phase 1 over (key, salt) groups."""
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        salted_window,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(5)).cast("string")))
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    w = Window.partitionBy("k")
+    plain = (
+        df.withColumn("total", F.sum("v").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("lo", F.min("v").over(w))
+        .withColumn("hi", F.max("v").over(w))
+    )
+    rewrite = salted_window(
+        df,
+        "k",
+        {"total": "sum(v)", "n": "count(*)", "lo": "min(v)", "hi": "max(v)"},
+        n_salts=7,
+    )
+    key = lambda rows: sorted(
+        (r["k"] if r["k"] is not None else "\x00NULL", r["v"], r["total"], r["n"], r["lo"], r["hi"])
+        for r in rows
+    )
+    assert key(rewrite.collect()) == key(plain.collect())
+    plan = _formatted_plan(rewrite)
+    assert "Window" not in plan and "BroadcastHashJoin" in plan
+
+
 def test_x2f_probe_has_no_exchange_on_index_side(spark):
     """The standing dedup index is a BUCKETED table: a probe against it
     must show (a) no Exchange over the band keys — the only hash
