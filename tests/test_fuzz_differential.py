@@ -268,6 +268,73 @@ def test_fuzzed_scalar_projections_match_duckdb(spark, views):
     assert not failures, failures[:3]
 
 
+def test_fuzzed_join_family_match_duckdb(spark, views):
+    """Join-FAMILY sweep (VERDICT r06 #4): inner / left / full equi-
+    and theta-joins plus EXISTS/NOT-EXISTS semi/anti forms, over
+    derived key columns engineered to exercise the two classic join
+    hazards — NULL keys (via NULLIF, which every equi-join must drop,
+    never match) and DUPLICATE keys (via modulo compression, which
+    multiplies matched rows). Both engines run the identical SQL text;
+    the semi/anti forms use portable EXISTS instead of engine-specific
+    SEMI JOIN syntax (they compile to the same semi/anti join nodes —
+    the plan-audit test shows Spark's LeftSemi/LeftAnti here). Mirrors
+    the join surface the reference delegates wholesale to PostgreSQL
+    (SURVEY §2b)."""
+    load(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    rng = random.Random(70707)
+    failures = []
+    for case in range(28):
+        mod = rng.choice([7, 19, 37, 101])
+        # NULLIF plants nulls on one or both sides; small moduli plant
+        # heavy key duplication on both sides simultaneously
+        null_a = rng.randint(0, mod - 1)
+        null_b = rng.choice([null_a, rng.randint(0, mod - 1)])
+        pred_a = rng.choice(["", f" WHERE o_orderkey % 13 < {rng.randint(4, 12)}"])
+        pred_b = rng.choice(["", f" WHERE c_custkey % 11 < {rng.randint(4, 10)}"])
+        a_def = (
+            f"SELECT o_orderkey AS id, NULLIF(o_custkey % {mod}, {null_a}) AS k, "
+            f"o_totalprice AS v FROM orders{pred_a}"
+        )
+        b_def = (
+            f"SELECT c_custkey AS id, NULLIF(c_custkey % {mod}, {null_b}) AS k, "
+            f"c_acctbal AS w FROM customer{pred_b}"
+        )
+        kind = rng.choice(
+            ["inner", "left", "full", "semi", "anti", "theta_inner", "theta_left"]
+        )
+        if kind in ("semi", "anti"):
+            neg = "NOT " if kind == "anti" else ""
+            sql = (
+                f"WITH a AS ({a_def}), b AS ({b_def}) "
+                f"SELECT a.id, a.k FROM a WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM b WHERE b.k = a.k) ORDER BY a.id"
+            )
+        else:
+            theta = ""
+            if kind.startswith("theta"):
+                theta = f" AND a.v {rng.choice(['<', '>='])} b.w * {rng.randint(2, 9)}"
+            jt = {
+                "inner": "JOIN",
+                "theta_inner": "JOIN",
+                "left": "LEFT JOIN",
+                "theta_left": "LEFT JOIN",
+                "full": "FULL JOIN",
+            }[kind]
+            # grouped projection keeps multiplied-row outputs compact;
+            # COUNT(*) counts null-extended rows, COUNT(b.id) doesn't —
+            # both engines must agree on exactly that split
+            sql = (
+                f"WITH a AS ({a_def}), b AS ({b_def}) "
+                f"SELECT a.k AS k, COUNT(*) AS n, COUNT(b.id) AS nb, "
+                f"{_dsum('b.w')} AS s "
+                f"FROM a {jt} b ON a.k = b.k{theta} GROUP BY a.k"
+            )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, kind, sql, msg))
+    assert not failures, failures[:3]
+
+
 def test_fuzzed_temporal_functions_match_duckdb(spark, views):
     """date_trunc / EXTRACT / DATE-cast compositions over the events
     timestamp — the r3/r12/q20 temporal family at random granularities
