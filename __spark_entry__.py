@@ -49,15 +49,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - q38_quality_checks: its FK-dimension join gains an explicit
 #     broadcast this round (VERDICT r06 #5) — the plan change must
 #     re-verify against the oracle in the same round it lands;
-#   - r13b, r16, q23, q29, q31, q34, q35, q36, t9, x10: one keeper per
+#   - r13b, r16, q23, q29, q31, q34, q35, q36, x10: one keeper per
 #     family whose siblings all rotate out together (VARIANT parsing,
 #     webhook ingest, sessionization, gap-fill, LATERAL, funnel, SCD2,
-#     cohort, BM25, curation funnel) so no family leaves the window
-#     entirely.
-# Window = 35 promoted + 2 flagships + 13 keepers = 50 of the 85
+#     cohort, curation funnel) so no family leaves the window entirely;
+#   - q39_group_share: NEW this round (the salted_window operator's
+#     oracle-backed registry query) — new queries hold zero green rows
+#     and always enter the window. t9_bm25_search yields its keeper
+#     slot for it (t9 holds green r05+r06 rows).
+# Window = 35 promoted + 2 flagships + 12 keepers + q39 = 50 of the 86
 # oracle-backed queries. Net effect: after r07 every oracle-backed
 # query holds a green driver row from r06 or r07 — maximum achievable
-# freshness with 85 oracles and 50 slots. Every demoted query remains
+# freshness with 86 oracles and 50 slots. Every demoted query remains
 # fully registered and oracle-checked locally each session
 # (tests/test_oracle_queries.py).
 _DEMOTED = [
@@ -102,6 +105,7 @@ _DEMOTED = [
     "x8_decontaminate",
     "x9_source_mixing",
     "q37_profile",           # profiling: green r05+r06; q37b approx twin error-tested local
+    "t9_bm25_search",        # green r05+r06; yields its keeper slot to the new q39
 ]
 
 

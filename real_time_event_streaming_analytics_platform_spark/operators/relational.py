@@ -1594,3 +1594,46 @@ def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — per-row group share via the salted window rewrite. The "what
+# fraction of its type's total does this event carry" projection is the
+# canonical skew-bound window shape (partitionBy a categorical key with
+# hot values); this query runs it through operators/scale.py
+# salted_window — two balanced shuffles + a broadcast join back, no
+# single-task hot partition — and the DuckDB oracle pins that the
+# rewrite is value-identical to the plain SUM() OVER (PARTITION BY)
+# form. Decimal accumulation makes the group totals bit-identical in
+# both engines; floor-rounding pins one rounding rule into both plans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_group_share",
+    oracle="""
+    SELECT event_id, event_type,
+           floor(CAST(value AS DOUBLE)
+                 / CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY event_type) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share
+    FROM events ORDER BY event_id
+    """,
+)
+def q39_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import salted_window
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.col("value").cast(DEC).alias("_vd")
+    )
+    shared = salted_window(events, "event_type", {"_total": "sum(_vd)"})
+    share = F.floor(
+        F.col("value").cast("double")
+        / F.col("_total").cast("double")
+        * 10000
+        + 0.5
+    ) / 10000
+    return (
+        shared.select("event_id", "event_type", share.alias("share"))
+        .orderBy("event_id")
+    )
