@@ -90,21 +90,44 @@ def q37_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q37b_profile_approx")
 def q37b_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of q37: ``approx_count_distinct`` (HLL++,
-    rsd=0.01) replaces exact multi-distinct. Exact multi-distinct goes
-    through Catalyst's Expand operator — the pre-shuffle row count
-    multiplies by the number of distinct columns, which at 100 TB turns
-    one profile scan into a six-fold shuffle. The HLL form is ONE
-    partial-aggregable pass: each task carries six fixed-size sketches,
-    the shuffle moves sketch bytes (not rows), and the merge is
-    sketch-union. Rows-only by design (sketch estimates are not
-    SQL-portable); tests/test_quality.py pins ≤3% relative error per
-    column against q37's exact counts at sf0.01."""
+    """The 100 TB form of q37: DataSketches HLL (``hll_sketch_agg``,
+    lgConfigK=14 ⇒ ~0.8% typical error) replaces exact multi-distinct.
+    Exact multi-distinct goes through Catalyst's Expand operator — the
+    pre-shuffle row count multiplies by the number of distinct columns,
+    which at 100 TB turns one profile scan into a six-fold shuffle. The
+    HLL form is ONE partial-aggregable pass: each task carries six
+    fixed-size sketches, the shuffle moves sketch bytes (not rows), and
+    the merge is sketch-union.
+
+    DataSketches rather than ``approx_count_distinct(rsd=0.01)``
+    deliberately: Spark's classic HLL++ declares its m registers as
+    individual aggregation-buffer attributes (~2.7k longs per column at
+    rsd 0.01), and Catalyst planning over that buffer schema costs ~5 s
+    PER PLAN regardless of data size (measured: the whole query was
+    5.8 s at sf0.1 and 6.3 s at sf0.01 — pure fixed overhead). The
+    sketch aggregate's buffer is one binary column, so the same
+    statistical machinery plans in milliseconds. hll_sketch_estimate
+    needs a non-NULL input column (it skips NULLs, as count_distinct
+    does); lgK=14 matches rsd≈0.008.
+
+    Rows-only by design (sketch estimates are not SQL-portable);
+    tests/test_quality.py pins ≤3% relative error per column against
+    q37's exact counts at sf0.01."""
     events = load(spark, sf_dir, "events")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in _PROFILE_COLS:
         aggs.append(F.count(c).alias(f"nn_{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"nd_{c}"))
+        aggs.append(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(
+                    # hll_sketch_agg accepts string/numeric/binary input;
+                    # cast non-string types through STRING so every
+                    # profiled column (timestamp, map) hashes uniformly
+                    F.col(c).cast("string"),
+                    F.lit(14),
+                )
+            ).alias(f"nd_{c}")
+        )
     row = events.agg(*aggs)
     stack = "stack({n}, {args}) as (col, n_nonnull, n_distinct_approx)".format(
         n=len(_PROFILE_COLS),
