@@ -371,3 +371,87 @@ def test_fuzzed_temporal_functions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_subquery_family_match_duckdb(spark, views):
+    """Subquery-FAMILY sweep: correlated scalar aggregates in SELECT
+    (the COUNT-over-empty-group trap — both engines must return 0, not
+    NULL), IN / NOT IN with NULLIF-planted nulls in the list (the
+    three-valued-logic trap: one NULL in a NOT IN list empties the
+    result), uncorrelated scalar comparisons, and HAVING against a
+    scalar subquery. Complements the join-family sweep, which covers
+    EXISTS/NOT EXISTS; together they span the subquery surface the
+    reference delegates to PostgreSQL (SURVEY §2b, q15/q31 family).
+    All aggregates are exact (COUNT/MIN/MAX/decimal SUM) so the
+    comparison is bit-strict."""
+    load(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    rng = random.Random(27182)
+    failures = []
+    for case in range(24):
+        kind = rng.choice(
+            ["scalar_corr", "in_list", "not_in_null", "scalar_uncorr", "having_sub", "in_agg"]
+        )
+        if kind == "scalar_corr":
+            # correlated scalar COUNT/MIN over lineitem per order; the
+            # quantity predicate guarantees some orders have NO matching
+            # rows (COUNT must yield 0 there, MIN must yield NULL)
+            agg = rng.choice(["COUNT(*)", "COUNT(l.l_orderkey)", "MIN(l.l_linenumber)"])
+            q = round(rng.uniform(10, 45), 2)
+            sql = (
+                f"SELECT o.o_orderkey, o.o_orderstatus, "
+                f"(SELECT {agg} FROM lineitem l "
+                f"WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > {q}) AS sub "
+                f"FROM orders o WHERE o.o_orderkey % 97 < {rng.randint(2, 5)} "
+                f"ORDER BY o.o_orderkey"
+            )
+        elif kind == "in_list":
+            bal = round(rng.uniform(-500, 5000), 2)
+            sql = (
+                f"SELECT o_orderstatus, COUNT(*) AS n, {_dsum('o_totalprice')} AS s "
+                f"FROM orders WHERE o_custkey IN "
+                f"(SELECT c_custkey FROM customer WHERE c_acctbal > {bal}) "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+            )
+        elif kind == "not_in_null":
+            # NULLIF plants a NULL in the NOT IN list for some seeds
+            # (when any c_custkey % mod == j exists) — then the whole
+            # result must be empty in BOTH engines; other seeds leave
+            # the list null-free and the result non-empty
+            mod = rng.choice([7, 19, 37])
+            j = rng.randint(0, mod + 2)  # j > mod-1 → no null planted
+            sql = (
+                f"SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                f"WHERE (o_custkey % {mod}) NOT IN "
+                f"(SELECT NULLIF(c_custkey % {mod}, {j}) FROM customer "
+                f"WHERE c_custkey % 5 = 0) "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+            )
+        elif kind == "scalar_uncorr":
+            op = rng.choice([">", "<="])
+            frac = rng.randint(2, 9)
+            sql = (
+                f"SELECT l_returnflag, COUNT(*) AS n, MAX(l_quantity) AS mx "
+                f"FROM lineitem WHERE l_extendedprice {op} "
+                f"(SELECT MAX(o_totalprice) FROM orders) / {frac} "
+                f"GROUP BY l_returnflag ORDER BY l_returnflag"
+            )
+        elif kind == "having_sub":
+            mult = rng.randint(20, 400)
+            sql = (
+                f"SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+                f"GROUP BY o_orderpriority "
+                f"HAVING COUNT(*) * {mult} > (SELECT COUNT(*) FROM customer) "
+                f"ORDER BY o_orderpriority"
+            )
+        else:  # in_agg: IN over a grouped+HAVING derived key set
+            k = rng.randint(2, 6)
+            sql = (
+                f"SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                f"WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+                f"GROUP BY l_orderkey HAVING COUNT(*) >= {k}) "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+            )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, kind, sql, msg))
+    assert not failures, failures[:3]
