@@ -294,6 +294,50 @@ def write_zordered(
     )
 
 
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    application_side_min_bytes: int | None = None,
+    creation_side_max_bytes: int | None = None,
+) -> dict[str, str | None]:
+    """Turn on Catalyst's runtime bloom-filter injection for selective
+    shuffle joins — the third leg of the 100 TB join toolkit next to
+    broadcast (small dims) and bucketing (recurring keys).
+
+    When a fact⋈dim join's dim side carries a selective predicate,
+    InjectRuntimeFilter builds a bloom filter over the dim join keys at
+    runtime and pushes a ``might_contain`` predicate into the FACT
+    side's scan — rows whose keys cannot match are dropped before the
+    shuffle, which is exactly where a 100 TB fact table pays its cost.
+    This is the runtime analogue of partition pruning for predicates
+    that don't align with the partition layout.
+
+    The two thresholds gate when injection is worthwhile: the creation
+    side must be small enough to build the filter cheaply
+    (``creationSideThreshold``, default 10 MB) and the application side
+    big enough to repay it (``applicationSideScanSizeThreshold``,
+    default 10 GB — at 100 TB every fact scan qualifies; tests lower it
+    to demonstrate the plan shape at small SF). Returns the previous
+    conf values so callers can restore them.
+    """
+    changes = {"spark.sql.optimizer.runtime.bloomFilter.enabled": "true"}
+    if application_side_min_bytes is not None:
+        changes[
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ] = str(application_side_min_bytes)
+    if creation_side_max_bytes is not None:
+        changes[
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ] = str(creation_side_max_bytes)
+    prev: dict[str, str | None] = {}
+    for k, v in changes.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
 def compact_parquet(
     spark: SparkSession, src: str, dst: str, target_mb: int = 128
 ) -> int:

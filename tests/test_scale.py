@@ -510,6 +510,55 @@ def test_zorder_accepts_timestamp_layout_column(spark, tmpdir):
     )
 
 
+def test_runtime_bloom_filter_reaches_fact_side(spark, tmpdir):
+    """The runtime-filter leg of the join toolkit: with
+    enable_runtime_bloom_filters, a selective dim predicate on a
+    shuffle join injects a bloom filter whose might_contain probe lands
+    on the FACT side below the join — at 100 TB that drops non-matching
+    fact rows before the shuffle. Thresholds are lowered to make the
+    tiny test scan qualify (the 10 GB default is the production
+    setting); plan shape and result parity are asserted, then the
+    previous conf values are restored."""
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        enable_runtime_bloom_filters,
+    )
+
+    fact = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    dim = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    fact.write.mode("overwrite").parquet(f"{tmpdir}/fact")
+    dim.write.mode("overwrite").parquet(f"{tmpdir}/dim")
+    f_, d_ = spark.read.parquet(f"{tmpdir}/fact"), spark.read.parquet(f"{tmpdir}/dim")
+    joined = f_.join(
+        d_.where(F.col("o_orderpriority") == "1-URGENT"),
+        f_.l_orderkey == d_.o_orderkey,
+    )
+    expect = joined.count()  # before any conf changes
+
+    prev = enable_runtime_bloom_filters(
+        spark, application_side_min_bytes=1, creation_side_max_bytes=64 * 1024 * 1024
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(joined)
+        assert "might_contain" in plan, plan[:2000]
+        # the probe must sit on the fact side: below the join, the
+        # might_contain filter references the fact key, not the dim key
+        probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
+        assert "l_orderkey" in probe_line, probe_line
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_compact_parquet_refuses_inplace_and_can_split(spark, tmpdir):
     """dst == src would truncate the source under the lazy read (must
     raise); a target count ABOVE the scan's split count must repartition
