@@ -510,6 +510,57 @@ def test_zorder_accepts_timestamp_layout_column(spark, tmpdir):
     )
 
 
+def test_aqe_splits_skewed_join_partitions(spark, tmpdir):
+    """Join-skew is delegated to AQE (salted_agg/salted_window cover
+    AGGREGATION skew, where AQE cannot help): with skewJoin enabled
+    and thresholds scaled to the test data, a join whose left side
+    piles most rows onto one key must show skew=true on the final
+    (adaptive) SortMergeJoin — the hot partition was split into
+    multiple tasks instead of serializing on one. Results must equal
+    the non-adaptive join."""
+    hot = spark.range(400_000).select(
+        F.lit(7).alias("k"), (F.col("id") % 1000).alias("v")
+    )
+    cold = spark.range(20_000).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") % 1000).alias("v")
+    )
+    left = hot.unionAll(cold)
+    right = spark.range(97).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+    left.write.mode("overwrite").parquet(f"{tmpdir}/skew_left")
+    right.write.mode("overwrite").parquet(f"{tmpdir}/skew_right")
+    l_, r_ = spark.read.parquet(f"{tmpdir}/skew_left"), spark.read.parquet(
+        f"{tmpdir}/skew_right"
+    )
+    joined = l_.join(r_, "k")
+    expect = joined.count()
+    prev = {}
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # production defaults are 256 MB / 5× median; the test's hot
+        # partition is ~MBs, so scale the absolute floor down while
+        # keeping the same relative-skew rule the 100 TB job relies on
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        joined = l_.join(r_, "k")
+        assert joined.count() == expect
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_reaches_fact_side(spark, tmpdir):
     """The runtime-filter leg of the join toolkit: with
     enable_runtime_bloom_filters, a selective dim predicate on a
