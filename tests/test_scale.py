@@ -550,8 +550,13 @@ def test_aqe_splits_skewed_join_partitions(spark, tmpdir):
         spark.conf.set(k, v)
     try:
         joined = l_.join(r_, "k")
-        assert joined.count() == expect
+        # Execute the inspected Dataset ITSELF: .count() builds a
+        # separate QueryExecution (groupBy().count()), leaving this
+        # one's adaptive plan un-finalized (isFinalPlan=false, no skew
+        # annotation). collect() finalizes joined's own plan.
+        assert len(joined.collect()) == expect
         final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, final[:2000]
         assert "skew=true" in final, final[:2000]
     finally:
         for k, v in prev.items():
@@ -592,6 +597,7 @@ def test_runtime_bloom_filter_reaches_fact_side(spark, tmpdir):
     prev = enable_runtime_bloom_filters(
         spark, application_side_min_bytes=1, creation_side_max_bytes=64 * 1024 * 1024
     )
+    prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _formatted_plan(joined)
@@ -602,7 +608,10 @@ def test_runtime_bloom_filter_reaches_fact_side(spark, tmpdir):
         assert "l_orderkey" in probe_line, probe_line
         assert joined.count() == expect
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        if prev_broadcast is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
         for k, v in prev.items():
             if v is None:
                 spark.conf.unset(k)
