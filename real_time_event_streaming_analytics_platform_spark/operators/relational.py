@@ -1613,11 +1613,16 @@ def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q39_group_share",
     oracle="""
     SELECT event_id, event_type,
-           floor(CAST(value AS DOUBLE)
-                 / CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                        OVER (PARTITION BY event_type) AS DOUBLE)
-                 * 10000 + 0.5) / 10000 AS share
-    FROM events ORDER BY event_id
+           CASE WHEN _total = 0 THEN NULL
+                ELSE floor(CAST(value AS DOUBLE) / CAST(_total AS DOUBLE)
+                           * 10000 + 0.5) / 10000
+           END AS share
+    FROM (
+        SELECT event_id, event_type, value,
+               SUM(CAST(value AS DECIMAL(18,6)))
+                   OVER (PARTITION BY event_type) AS _total
+        FROM events
+    ) ORDER BY event_id
     """,
 )
 def q39_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,12 +1632,18 @@ def q39_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", F.col("value").cast(DEC).alias("_vd")
     )
     shared = salted_window(events, "event_type", {"_total": "sum(_vd)"})
-    share = F.floor(
-        F.col("value").cast("double")
-        / F.col("_total").cast("double")
-        * 10000
-        + 0.5
-    ) / 10000
+    # A zero group total would make value/0.0 yield Inf/NaN, where
+    # Spark's floor (LONG result) and DuckDB's floor (DOUBLE Inf/NaN)
+    # disagree — nullify the share identically in both plans instead.
+    share = F.when(F.col("_total") == 0, F.lit(None).cast("double")).otherwise(
+        F.floor(
+            F.col("value").cast("double")
+            / F.col("_total").cast("double")
+            * 10000
+            + 0.5
+        )
+        / 10000
+    )
     return (
         shared.select("event_id", "event_type", share.alias("share"))
         .orderBy("event_id")

@@ -247,13 +247,26 @@ def kll_sketch_writer(
     checkpoint (or a second query sharing the path) restarts epoch ids
     at 0 and would silently overwrite previously stored sketches for
     the same (day, epoch). By default ``run`` is a deterministic
-    CONTENT SIGNATURE of the epoch's rows (bit_xor of row hashes +
-    count — the same epoch-collision guard notify.py uses), so a
-    same-checkpoint replay (identical rows) lands on the identical
-    partition and overwrites idempotently, while a fresh-checkpoint
-    epoch 0 (different rows) gets a different ``run`` and APPENDS.
-    Callers may pass an explicit ``run`` (e.g. the streaming query's
-    checkpoint-stable ``id``) to skip the per-batch signature job.
+    CONTENT SIGNATURE of the epoch's rows: bit_xor of row hashes, PLUS
+    a sum of the hashes' upper 32 bits, plus the row count. The xor
+    alone cancels rows repeated an even number of times, so two
+    different equal-count batches could collide; the hash-sum is an
+    independent order-insensitive component that breaks that
+    cancellation (notify.py's sha256-over-sorted-content guard is
+    stronger still, but needs a driver-side collect this per-batch
+    aggregate avoids). A same-checkpoint replay (identical rows) lands
+    on the identical partition and overwrites idempotently, while a
+    fresh-checkpoint epoch 0 (different rows) gets a different ``run``
+    and APPENDS. Callers may pass an explicit ``run`` (e.g. the
+    streaming query's checkpoint-stable ``id``) to skip the per-batch
+    signature job.
+
+    MIGRATION: this (day, run, epoch) layout is incompatible with a
+    store written by the older (day, epoch) writer at the same path —
+    Spark partition discovery rejects mixed directory depths. Compact
+    or rewrite an existing store (read old, merge with
+    kll_merge_agg_double, write under the new layout) before pointing
+    the upgraded writer at it; readers then work unchanged.
 
     The per-epoch sketch rows are O(keys × days-touched) few-KB
     payloads; a maintenance pass may later compact runs/epochs into
@@ -263,11 +276,19 @@ def kll_sketch_writer(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         rid = run
         if rid is None:
+            h = F.xxhash64(key_col, "ts", val_col)
             sig = batch_df.select(
-                F.bit_xor(F.xxhash64(key_col, "ts", val_col)).alias("x"),
+                F.bit_xor(h).alias("x"),
+                # upper-32-bit sum: order-insensitive like the xor but
+                # does NOT cancel even-multiplicity repeats; masked so
+                # the int64 sum cannot overflow under ANSI mode
+                F.sum(F.shiftrightunsigned(h, 32)).alias("s"),
                 F.count(F.lit(1)).alias("c"),
             ).first()
-            rid = f"{(sig['x'] or 0) & 0xFFFFFFFFFFFF:012x}n{sig['c']}"
+            rid = (
+                f"{(sig['x'] or 0) & 0xFFFFFFFFFFFF:012x}"
+                f"s{(sig['s'] or 0) & 0xFFFFFFFFFF:010x}n{sig['c']}"
+            )
         (
             batch_df.groupBy(
                 F.col(key_col).alias("key"), F.to_date("ts").alias("day")
