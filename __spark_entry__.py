@@ -38,74 +38,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness rows for the FIRST 50 queries() entries
 # only; more queries have oracles than slots, so some must yield.
 #
-# Round-7 rotation (per VERDICT r06 next-round #3, the standing
-# alternation): the 35 queries demoted in r06 are all promoted back —
-# each held a green r05 row that would otherwise go two rounds stale —
-# and 35 queries that earned green r06 rows yield their slots. Keepers
-# (13, besides the two standing flagships r3 — the entry() query — and
-# r4 — the reference's core sliding-window shape):
-#   - d2_jaccard_scoring and q26c_stratified_sample: NEW in r06, each
-#     holds exactly one green row; kept for a second confirmation;
-#   - q38_quality_checks: its FK-dimension join gains an explicit
-#     broadcast this round (VERDICT r06 #5) — the plan change must
-#     re-verify against the oracle in the same round it lands;
-#   - r13b, r16, q23, q29, q31, q34, q35, q36, x10: one keeper per
-#     family whose siblings all rotate out together (VARIANT parsing,
-#     webhook ingest, sessionization, gap-fill, LATERAL, funnel, SCD2,
-#     cohort, curation funnel) so no family leaves the window entirely;
-#   - q39_group_share: NEW this round (the salted_window operator's
-#     oracle-backed registry query) — new queries hold zero green rows
-#     and always enter the window. t9_bm25_search yields its keeper
-#     slot for it (t9 holds green r05+r06 rows).
-# Window = 35 promoted + 2 flagships + 12 keepers + q39 = 50 of the 86
-# oracle-backed queries. Net effect: after r07 every oracle-backed
-# query holds a green driver row from r06 or r07 — maximum achievable
-# freshness with 86 oracles and 50 slots. Every demoted query remains
-# fully registered and oracle-checked locally each session
-# (tests/test_oracle_queries.py).
+# Round-8 rotation (per VERDICT r07 next-round #5, the standing
+# alternation): the 36 queries demoted in r07 are all promoted back —
+# each holds a green r06 row that would otherwise go two rounds stale —
+# and 36 queries that earned green r07 rows yield their slots. Kept
+# in-window from the r07 set (14):
+#   - r3 (the entry() flagship) and r4 (the reference's core
+#     sliding-window shape): standing flagships, never rotate;
+#   - q39_group_share: its zero-total division guard landed this round
+#     (ADVICE r07) — the plan change must re-verify against the oracle
+#     in the same round it lands;
+#   - q03_multiway_join: gains the runtime bloom-filter join wiring
+#     this round (VERDICT r07 #7) — same plan-change rule;
+#   - r13b, r15, q09b, q12_intersect_all, q15, q21, q22, q26c, q30,
+#     d2: one keeper per family whose siblings all rotate out together
+#     (VARIANT parsing, cooldown dedup, analytic funcs, bag-semantics
+#     set ops, correlated subqueries, arrays, as-of join, stratified
+#     sampling, recursive CTE, Jaccard scoring) so no family leaves
+#     the window entirely.
+# Window = 36 promoted + 14 kept = 50 of the 86 oracle-backed queries.
+# Net effect: after r08 every oracle-backed query holds a green driver
+# row from r07 or r08 — maximum achievable freshness with 86 oracles
+# and 50 slots. The invariant is machine-asserted by
+# tests/test_coverage_counts.py::test_rotation_freshness (every oracle
+# key is either in the first-50 window or green in the latest
+# CORRECTNESS file). Every demoted query remains fully registered and
+# oracle-checked locally each session (tests/test_oracle_queries.py).
 _DEMOTED = [
-    # R-series ops that earned green r06 rows; the returning r1/r2/
-    # r5-r10/r12-r15 refresh the category's coverage this round.
-    "r8_rolling_median",     # rolling stats: returning r7/r8b re-verify the family
-    "r11_kpi_latest_per_key",  # latest-N serving shape, green r06 + S14 hot-store twin
-    # Join flavors, all green r06; returning q03 (multiway) + q07
-    # (theta) + q22 (as-of) keep the join family in-window.
-    "q02_join_segment",
-    "q04_orders_histogram",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q08_broadcast_join",
-    "q10_analytic_window",   # ranking/analytic: returning q09/q09b re-verify
-    "q11_topk",
-    "q12_union",             # set ops: the five returning q12_* variants re-verify
-    "q13_count_distinct",
-    "q14_rollup",            # grouping family: returning q14b/q14c re-verify
-    "q20_date_shift",        # date arithmetic: returning q20b re-verifies
-    "q24_dedup_exact",       # exact dedup, green r06; kept d2 pins the dedup family
-    "q25_text_stats",        # text battery green r06; t-family keeps breadth via kept t9
-    "q25b_top_tokens",
-    "q27_pivot",             # pivot family: returning q28_unpivot re-verifies
-    "q32_ewma_trend",        # green r05+r06
-    "q33_time_range_window", # green r05+r06
-    "d1_dedup_docs_exact",   # exact-hash dedup, green r06; kept d2 pins scoring math
-    "x3_cosine_topk",        # bitwise-exact fold oracle, green r06; recall tests local
-    "t1_lang_id",            # text analysis, all green r06; kept t9 holds the family
-    "t2_quality_score",
-    "t3_token_counts",
-    "t5_pii_scrub",
-    "t6_repetition",
-    "t7_chunk_dedup",
-    "t8_fuzzy_dedup",
-    "x4_multimodal_roundtrip",  # green r05+r06; x4b schema/batch tests local
-    # Corpus-assembly family, all green r06; kept x10 funnel spans the
-    # split/mix/decontaminate shapes end-to-end.
-    "x5_train_split",
-    "x6_sequence_pack",
-    "x7_embedding_quantize",
-    "x8_decontaminate",
-    "x9_source_mixing",
-    "q37_profile",           # profiling: green r05+r06; q37b approx twin error-tested local
-    "t9_bm25_search",        # green r05+r06; yields its keeper slot to the new q39
+    # R-series ops that earned green r07 rows; promoted r8/r11 plus
+    # kept r13b/r15 hold the serving/rolling families in-window.
+    "r1_project_filter",
+    "r2_keyed_agg",
+    "r5_percentile_cont",
+    "r6_percentile_rank",
+    "r7_rolling_zscore",
+    "r8b_rolling_mad",
+    "r9_alerts_scan",
+    "r10_conditional_agg",
+    "r12_relative_time",
+    "r13_json_extract",
+    "r14_severity_case",
+    "r16_alertmanager_ingest",
+    "q01_pricing_summary",
+    # Join flavors green r07; returning q02/q04-q06/q08 + kept q03/q22
+    # keep the join family in-window.
+    "q07_theta_self_join",
+    "q09_ranking_window",    # ranking: returning q10/q11 re-verify; q09b kept
+    # Set ops green r07; returning q12_union + kept q12_intersect_all
+    # re-verify the family.
+    "q12_union_all",
+    "q12_intersect",
+    "q12_except",
+    "q12_except_all",
+    "q14b_cube",             # grouping family: returning q14_rollup re-verifies
+    "q14c_grouping_sets",
+    "q16_string_funcs",      # scalar families green r07; kept q15/q21 hold
+    "q17_in_between",        # the subquery/array ends of the battery
+    "q18_having",
+    "q19_null_handling",
+    "q20b_date_diff_buckets",  # returning q20_date_shift re-verifies dates
+    "q23_sessionization",    # green r06+r07
+    "q26b_hash_sample",      # sampling: kept q26c re-verifies the family
+    "q28_unpivot",           # returning q27_pivot re-verifies pivot/unpivot
+    "q29_gapfill_series",    # green r06+r07
+    "q31_lateral_topk",      # green r06+r07
+    "q34_funnel",            # green r06+r07
+    "q35_scd2",              # green r06+r07
+    "q36_cohort_retention",  # green r06+r07
+    "q38_quality_checks",    # broadcast-FK plan re-verified r07
+    "x10_curation_funnel",   # green r06+r07; promoted x5-x9 re-verify the family
 ]
 
 

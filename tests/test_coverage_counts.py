@@ -28,3 +28,40 @@ def test_coverage_registry_counts_match_live_registry():
     # every oracle key is a registered query (a dangling oracle would
     # silently inflate the oracle-backed count)
     assert set(engine.ORACLE) <= set(engine.QUERIES)
+
+
+def test_rotation_freshness():
+    """The driver records correctness rows for only the first 50
+    queries() entries; the rotation promise (VERDICT r07 #5) is that
+    no oracle-backed query's green row ever goes more than one round
+    stale. Machine form: every engine.ORACLE key must either sit in
+    the CURRENT first-50 window (it will earn a fresh row this round)
+    or hold a green hash_match row in the LATEST recorded CORRECTNESS
+    file (its row is exactly one round old). Replaces the
+    hand-maintained rotation-arithmetic comments as the enforcement."""
+    import glob
+    import importlib.util
+    import json
+
+    root = os.path.dirname(_DOC)
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no CORRECTNESS_r*.json recorded yet"
+    latest = json.load(open(files[-1]))
+    green = {k for k, v in latest.items() if v.get("hash_match")}
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_rotation", os.path.join(root, "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    window = list(entry_mod.queries())[:50]
+
+    # the 50 driver slots must all land on oracle-checkable queries
+    not_oracle = [k for k in window if k not in engine.ORACLE]
+    assert not not_oracle, f"window slots wasted on rows-only: {not_oracle}"
+
+    stale = [k for k in engine.ORACLE if k not in window and k not in green]
+    assert not stale, (
+        f"oracle-backed queries neither in the current window nor green in "
+        f"{os.path.basename(files[-1])}: {stale}"
+    )
