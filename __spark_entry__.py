@@ -48,17 +48,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - q39_group_share: its zero-total division guard landed this round
 #     (ADVICE r07) — the plan change must re-verify against the oracle
 #     in the same round it lands;
-#   - q03_multiway_join: gains the runtime bloom-filter join wiring
-#     this round (VERDICT r07 #7) — same plan-change rule;
-#   - r13b, r15, q09b, q12_intersect_all, q15, q21, q22, q26c, q30,
-#     d2: one keeper per family whose siblings all rotate out together
+#   - q03_multiway_join: its sibling q03b_filtered_multiway is NEW
+#     this round (VERDICT r07 #7, the runtime-bloom-filter carrier) —
+#     new queries hold zero green rows and always enter the window;
+#     q03 stays alongside it so the unfiltered twin re-verifies in the
+#     same round. q26c_stratified_sample (green r06+r07) yields its
+#     keeper slot to q03b;
+#   - r13b, r15, q09b, q12_intersect_all, q15, q21, q22, q30, d2:
+#     one keeper per family whose siblings all rotate out together
 #     (VARIANT parsing, cooldown dedup, analytic funcs, bag-semantics
-#     set ops, correlated subqueries, arrays, as-of join, stratified
-#     sampling, recursive CTE, Jaccard scoring) so no family leaves
-#     the window entirely.
-# Window = 36 promoted + 14 kept = 50 of the 86 oracle-backed queries.
+#     set ops, correlated subqueries, arrays, as-of join, recursive
+#     CTE, Jaccard scoring) so no family leaves the window entirely.
+# Window = 36 promoted + 13 kept + q03b = 50 of the 87 oracle-backed
+# queries.
 # Net effect: after r08 every oracle-backed query holds a green driver
-# row from r07 or r08 — maximum achievable freshness with 86 oracles
+# row from r07 or r08 — maximum achievable freshness with 87 oracles
 # and 50 slots. The invariant is machine-asserted by
 # tests/test_coverage_counts.py::test_rotation_freshness (every oracle
 # key is either in the first-50 window or green in the latest
@@ -98,7 +102,8 @@ _DEMOTED = [
     "q19_null_handling",
     "q20b_date_diff_buckets",  # returning q20_date_shift re-verifies dates
     "q23_sessionization",    # green r06+r07
-    "q26b_hash_sample",      # sampling: kept q26c re-verifies the family
+    "q26b_hash_sample",      # sampling: both green r07; rows-only q26
+    "q26c_stratified_sample",  # stays locally oracle-checked each session
     "q28_unpivot",           # returning q27_pivot re-verifies pivot/unpivot
     "q29_gapfill_series",    # green r06+r07
     "q31_lateral_topk",      # green r06+r07

@@ -253,6 +253,7 @@ def main() -> None:
     total = round(sum(v for k, v in timings.items() if k in engine.QUERIES), 3)
     vs_prev = _vs_prev(timings, floor, reps)
     scaleup = _bench_scaleup(spark, sf_dir)
+    runtime_filter = _bench_runtime_filter(spark, sf_dir)
     detail = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -266,6 +267,7 @@ def main() -> None:
         },
         "vs_prev": vs_prev,
         "scaleup": scaleup,
+        "runtime_filter": runtime_filter,
         "sf": sf,
         "slo": extras,
     }
@@ -321,6 +323,7 @@ def main() -> None:
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "vs_prev": vs_compact,
                 "scaleup": scaleup,
+                "runtime_filter": runtime_filter,
                 "slo": extras,
             }
         )
@@ -625,6 +628,114 @@ def _bench_index_split(spark, sf_dir: str) -> dict[str, float]:
         idx.unpersist()
     except Exception as exc:
         print(f"bench: ivf split failed: {exc!r}", file=sys.stderr)
+    return out
+
+
+def _bench_runtime_filter(spark, sf_dir: str) -> dict | None:
+    """Forced-vs-default A/B for the runtime bloom-filter join carrier
+    (q03b_filtered_multiway, VERDICT r07 #7) — the same measured-effect
+    treatment salted_window got via q39.
+
+    Three timings, broadcast disabled for the filter pair so the only
+    variable is the bloom probe itself:
+    - default_sec: the query as users run it (production thresholds —
+      injection is a NO-OP at bench SF because the lineitem scan sits
+      far below the 10 GB application-side threshold; at 100 TB it
+      fires on this exact plan, pinned by
+      tests/test_scale.py::test_q03b_runtime_filter_plan_shape);
+    - shuffle_nofilter_sec / shuffle_filtered_sec: broadcast off (the
+      join shuffles, as it must when the filtered dim outgrows
+      broadcast at scale), bloom off vs bloom forced via lowered
+      thresholds.
+    fact_rows_total vs fact_rows_surviving quantify what the probe is
+    worth: the delta is the fact volume the filter drops BEFORE the
+    shuffle at scale. At bench SF the filter is overhead-only (the
+    whole fact table is a few MB); the note says so explicitly.
+    """
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        enable_runtime_bloom_filters,
+    )
+
+    out: dict = {}
+    try:
+        build = engine.QUERIES["q03b_filtered_multiway"]
+
+        def timed() -> float:
+            build(spark, sf_dir).count()  # warm: codegen + any build
+            samples = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                build(spark, sf_dir).count()
+                samples.append(time.monotonic() - t0)
+            return round(statistics.median(samples), 3)
+
+        out["default_sec"] = timed()
+
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out["fact_rows_total"] = li.count()
+        out["fact_rows_surviving"] = li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_semi"
+        ).count()
+
+        prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        prev_f = {"spark.sql.optimizer.runtime.bloomFilter.enabled": None}
+        try:
+            prev_f["spark.sql.optimizer.runtime.bloomFilter.enabled"] = spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", None
+            )
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+            out["shuffle_nofilter_sec"] = timed()
+            prev_thr = enable_runtime_bloom_filters(
+                spark,
+                application_side_min_bytes=1,
+                creation_side_max_bytes=64 * 1024 * 1024,
+            )
+            try:
+                plan = (
+                    build(spark, sf_dir)
+                    ._jdf.queryExecution()
+                    .explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            "formatted"
+                        )
+                    )
+                )
+                out["injected"] = "might_contain" in plan
+                out["shuffle_filtered_sec"] = timed()
+            finally:
+                for k, v in prev_thr.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+        finally:
+            if prev_b is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+            v = prev_f["spark.sql.optimizer.runtime.bloomFilter.enabled"]
+            if v is not None:
+                spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        out["note"] = (
+            "default = production thresholds, injection is a deliberate no-op "
+            "at this SF (scan below the 10 GB application-side threshold); the "
+            "shuffle pair isolates the bloom probe with broadcast off — "
+            "overhead-only at bench SF, while fact_rows_total vs "
+            "fact_rows_surviving is the fraction of the 100 TB fact scan the "
+            "probe drops before the shuffle"
+        )
+    except Exception as exc:
+        print(f"bench: runtime filter A/B failed: {exc!r}", file=sys.stderr)
+        return out or None
     return out
 
 

@@ -150,6 +150,56 @@ def q03_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q3b — the runtime-bloom-filter join shape (TPC-H Q5 silhouette): a
+# SELECTIVE predicate on the orders leg of the fact⋈orders shuffle join.
+# This is the registered carrier for operators/scale.py
+# enable_runtime_bloom_filters: Catalyst's InjectRuntimeFilter (ON by
+# default in Spark 4, production thresholds 10 MB creation / 10 GB
+# application scan) builds a bloom filter over the filtered o_orderkey
+# set at runtime and pushes a might_contain(l_orderkey) predicate into
+# the lineitem scan — at 100 TB the non-matching ~80% of fact rows drop
+# BEFORE the shuffle. At bench SF the scan sits far below the 10 GB
+# application-side threshold, so injection is a deliberate no-op
+# (plan-pinned for scale in tests/test_scale.py::
+# test_q03b_runtime_filter_plan_shape, which lowers the thresholds and
+# asserts the fact-side might_contain probe on this exact registered
+# query; bench.py's runtime_filter block records the forced-injection
+# A/B wall times).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03b_filtered_multiway",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q03b_filtered_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(_rev()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q4 — left outer join + distribution histogram (TPC-H Q13 shape).
 # ---------------------------------------------------------------------------
 

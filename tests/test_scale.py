@@ -619,6 +619,49 @@ def test_runtime_bloom_filter_reaches_fact_side(spark, tmpdir):
                 spark.conf.set(k, v)
 
 
+def test_q03b_runtime_filter_plan_shape(spark):
+    """The REGISTERED carrier of the runtime-filter toolkit (VERDICT
+    r07 #7): q03b_filtered_multiway's selective orders predicate must
+    yield a might_contain(l_orderkey) probe on the lineitem (fact) side
+    once the production 10 GB application-side threshold is lowered to
+    admit the test scan — i.e. the exact query users run is the shape
+    InjectRuntimeFilter fires on at 100 TB. Results must be identical
+    with and without injection."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.operators.scale import (
+        enable_runtime_bloom_filters,
+    )
+
+    build = engine.QUERIES["q03b_filtered_multiway"]
+    baseline = [tuple(r) for r in build(spark, SF_DIR).collect()]
+    assert baseline  # selective predicate must not empty the result
+
+    prev = enable_runtime_bloom_filters(
+        spark, application_side_min_bytes=1, creation_side_max_bytes=64 * 1024 * 1024
+    )
+    prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    # orders must reach the fact join as a shuffle join: a broadcast
+    # join needs no bloom filter (the build side IS the filter)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = build(spark, SF_DIR)
+        plan = _formatted_plan(df)
+        assert "might_contain" in plan, plan[:2000]
+        probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
+        assert "l_orderkey" in probe_line, probe_line
+        assert [tuple(r) for r in df.collect()] == baseline
+    finally:
+        if prev_broadcast is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_compact_parquet_refuses_inplace_and_can_split(spark, tmpdir):
     """dst == src would truncate the source under the lazy read (must
     raise); a target count ABOVE the scan's split count must repartition
