@@ -114,13 +114,11 @@ def _concat_nonempty(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
     return pd.concat(chunks) if chunks else None
 
 
-def _detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    vals: list[float] = list(state.get[0]) if state.exists else []
-    rows = _concat_nonempty(pdfs)
-    if rows is None:
-        state.update((vals,))
-        yield pd.DataFrame({c: [] for c in ANOMALY_SCHEMA.fieldNames()})
-        return
+def _score_rows(source: str, vals: list[float], rows: pd.DataFrame) -> dict:
+    """Shared core of both stateful twins (applyInPandasWithState and
+    transformWithStateInPandas): advance the rolling deque over one
+    micro-batch's rows (mutating ``vals`` in place — the caller
+    persists it to state) and return the scored output columns."""
     # deterministic intra-batch order (SURVEY.md §7.3(2))
     rows = rows.sort_values(["ts", "event_id"])
     out = {c: [] for c in ANOMALY_SCHEMA.fieldNames()}
@@ -133,7 +131,7 @@ def _detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
             continue
         z, mad_score, a_type, severity, is_anom = _score_one(vals, x)
         out["event_id"].append(r.event_id)
-        out["source"].append(key[0])
+        out["source"].append(source)
         out["ts"].append(r.ts)
         out["value"].append(x)
         out["z_score"].append(z)
@@ -141,6 +139,17 @@ def _detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
         out["anomaly_type"].append(a_type)
         out["severity"].append(severity)
         out["is_anomaly"].append(is_anom)
+    return out
+
+
+def _detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    vals: list[float] = list(state.get[0]) if state.exists else []
+    rows = _concat_nonempty(pdfs)
+    if rows is None:
+        state.update((vals,))
+        yield pd.DataFrame({c: [] for c in ANOMALY_SCHEMA.fieldNames()})
+        return
+    out = _score_rows(key[0], vals, rows)
     state.update((vals,))
     yield pd.DataFrame(out)
 

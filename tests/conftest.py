@@ -7,6 +7,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from real_time_event_streaming_analytics_platform_spark.session import SessionFactory
 
+# Imported BEFORE any fixture builds the SparkSession: state_v2's
+# module-level ensure_protobuf() exports the protobuf-shim PYTHONPATH,
+# which only reaches the JVM's Python children (the state-v2 driver
+# worker, daemon-forked executor workers) if it's in the environment
+# when the JVM launches. See state_v2.py's module doc.
+from real_time_event_streaming_analytics_platform_spark.streaming import (  # noqa: E402,F401
+    state_v2 as _state_v2_shim,
+)
+
 # Default to sf0.01 — the driver's CORRECTNESS gate scale — so local green
 # predicts the gate. Set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for
 # a faster smoke loop while iterating.
