@@ -166,6 +166,131 @@ def test_fuzzed_window_functions_match_duckdb(spark, views):
     assert not failures, failures[:3]
 
 
+def test_fuzzed_window_frames_match_duckdb(spark, views):
+    """The window-surface sweep the basic window test avoids (VERDICT
+    r07 #6): ranking + analytic + offset functions with explicit
+    ROWS/RANGE frames over data that HAS NULL partition keys, NULL
+    order keys, and heavily duplicated order keys (ties), both engines
+    from identical SQL.
+
+    Determinism rules per function class (ties exist in the data, the
+    queries stay well-defined):
+    - rank family (RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST) and RANGE
+      frames: peers are treated as a group, so ordering by the
+      duplicated key alone is deterministic;
+    - row-position functions (ROW_NUMBER/NTILE/LEAD/LAG/FIRST_VALUE/
+      LAST_VALUE) and ROWS frames: the unique id joins the ORDER BY as
+      a total-order tiebreak — ties still stress the sort, the result
+      is unique;
+    - NULL ordering is explicit (NULLS FIRST/LAST) in every case: the
+      engines' defaults differ (Spark ASC=NULLS FIRST, DuckDB
+      ASC=NULLS LAST), and relying on a default is a bug this sweep
+      would otherwise mask;
+    - RANGE offset frames require a non-NULL numeric order key (the
+      NULL peer-group semantics for offset frames are underspecified
+      across engines), so those cases filter ok IS NOT NULL;
+    - window SUMs accumulate in DECIMAL and cast to DOUBLE at the end
+      (exact in both engines for this data), never float accumulation.
+    """
+    rng = random.Random(808808)
+    base = (
+        "SELECT o_orderkey AS id, "
+        "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS pk, "
+        "CASE WHEN o_orderkey % 13 = 0 THEN NULL "
+        "ELSE CAST(o_custkey % 17 AS INTEGER) END AS ok, "
+        "CAST(o_totalprice AS DECIMAL(18,6)) AS v "
+        "FROM orders"
+    )
+    # every entry is a template over {over}; window SUM accumulates in
+    # DECIMAL and casts OUTSIDE the OVER (exact in both engines)
+    rank_fns = [
+        "RANK() OVER ({over})",
+        "DENSE_RANK() OVER ({over})",
+        "PERCENT_RANK() OVER ({over})",
+        "CUME_DIST() OVER ({over})",
+    ]
+    row_fns = [
+        "ROW_NUMBER() OVER ({over})",
+        "NTILE(4) OVER ({over})",
+        "LEAD(id, 1, -1) OVER ({over})",
+        "LAG(id, 2, -1) OVER ({over})",
+        "FIRST_VALUE(id) OVER ({over})",
+        "LAST_VALUE(id) OVER ({over})",
+    ]
+    # every DECIMAL-valued window result casts to DOUBLE OUTSIDE the
+    # OVER: DuckDB's pandas bridge renders decimals as float, Spark
+    # keeps Decimal objects, and the compare is type-strict
+    agg_fns = [
+        "CAST(SUM(v) OVER ({over}) AS DOUBLE)",
+        "COUNT(*) OVER ({over})",
+        "CAST(MIN(v) OVER ({over}) AS DOUBLE)",
+        "CAST(MAX(v) OVER ({over}) AS DOUBLE)",
+        "COUNT(ok) OVER ({over})",
+    ]
+    rows_frames = [
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+    range_frames = [
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+    range_offset_frames = [
+        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN CURRENT ROW AND 5 FOLLOWING",
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+    ]
+    failures = []
+    for case in range(26):
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        where = ""
+        kind = rng.choice(["rank", "row", "rows_agg", "range_agg", "range_off"])
+        if kind == "rank":
+            tmpl = rng.choice(rank_fns)
+            over = f"PARTITION BY pk ORDER BY ok {direction} {nulls}"
+        elif kind == "row":
+            tmpl = rng.choice(row_fns)
+            frame = ""
+            if tmpl.startswith(("FIRST_VALUE", "LAST_VALUE")):
+                frame = " " + rng.choice(rows_frames)
+            over = (
+                f"PARTITION BY pk ORDER BY ok {direction} {nulls}, id ASC{frame}"
+            )
+        elif kind == "rows_agg":
+            tmpl = rng.choice(agg_fns)
+            over = (
+                f"PARTITION BY pk ORDER BY ok {direction} {nulls}, id ASC "
+                + rng.choice(rows_frames)
+            )
+        elif kind == "range_agg":
+            # RANGE + ties: the whole peer group enters the frame at
+            # once — deterministic without a tiebreak, and the shape
+            # where engines most often disagree
+            tmpl = rng.choice(agg_fns[:3])
+            over = f"PARTITION BY pk ORDER BY ok {direction} {nulls} " + rng.choice(
+                range_frames
+            )
+        else:
+            tmpl = rng.choice(agg_fns[:3])
+            where = " WHERE ok IS NOT NULL"
+            over = f"PARTITION BY pk ORDER BY ok {direction} " + rng.choice(
+                range_offset_frames
+            )
+        expr = tmpl.format(over=over)
+        sql = (
+            f"WITH t AS ({base}) "
+            f"SELECT id, pk, ok, {expr} AS w FROM t{where} "
+            f"ORDER BY id"
+        )
+        ok_, msg = compare(spark.sql(sql), views, sql)
+        if not ok_:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
+
+
 def test_fuzzed_grouping_family_match_duckdb(spark, views):
     """ROLLUP / CUBE / GROUPING SETS over random categorical key pairs
     — the multi-level aggregation family the handwritten q14 trio pins
