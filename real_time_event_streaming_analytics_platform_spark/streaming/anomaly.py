@@ -258,6 +258,33 @@ _COOLDOWN_STATE = StructType(
 )
 
 
+def _cooldown_rows(
+    source: str,
+    severity: str,
+    last: float | None,
+    suppressed: int,
+    rows: pd.DataFrame,
+) -> tuple[dict, float | None, int]:
+    """Shared core of both cooldown twins: advance the (last emission
+    epoch, suppressed tally) state over one micro-batch's rows and
+    return (output columns, new last, new suppressed)."""
+    rows = rows.sort_values(["ts", "event_id"])
+    out = {c: [] for c in _COOLDOWN_OUT.fieldNames()}
+    for r in rows.itertuples(index=False):
+        epoch = r.ts.timestamp()
+        if last is not None and (epoch - last) < COOLDOWN_SECONDS:
+            suppressed += 1
+            continue
+        out["source"].append(source)
+        out["severity"].append(severity)
+        out["event_id"].append(r.event_id)
+        out["ts"].append(r.ts)
+        out["suppressed_since_last"].append(suppressed)
+        suppressed = 0
+        last = epoch
+    return out, last, suppressed
+
+
 def _cooldown(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
         last, suppressed = state.get[0], int(state.get[1] or 0)
@@ -267,20 +294,7 @@ def _cooldown(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[
     if rows is None:
         yield pd.DataFrame({c: [] for c in _COOLDOWN_OUT.fieldNames()})
         return
-    rows = rows.sort_values(["ts", "event_id"])
-    out = {c: [] for c in _COOLDOWN_OUT.fieldNames()}
-    for r in rows.itertuples(index=False):
-        epoch = r.ts.timestamp()
-        if last is not None and (epoch - last) < COOLDOWN_SECONDS:
-            suppressed += 1
-            continue
-        out["source"].append(key[0])
-        out["severity"].append(key[1])
-        out["event_id"].append(r.event_id)
-        out["ts"].append(r.ts)
-        out["suppressed_since_last"].append(suppressed)
-        suppressed = 0
-        last = epoch
+    out, last, suppressed = _cooldown_rows(key[0], key[1], last, suppressed, rows)
     # `last` cannot be None here: a non-empty batch with no prior state
     # always emits its first row (no NaN sentinel needed — storing one
     # would make the cooldown comparison depend on NaN semantics).

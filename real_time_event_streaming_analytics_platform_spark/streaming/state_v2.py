@@ -129,8 +129,11 @@ else:  # keep the module importable so the blocker string is reachable
 
 from .anomaly import (  # noqa: E402  (needs the shim applied first)
     ANOMALY_SCHEMA,
+    _COOLDOWN_OUT,
+    _COOLDOWN_STATE,
     _STATE_SCHEMA,
     _concat_nonempty,
+    _cooldown_rows,
     _score_rows,
 )
 
@@ -169,6 +172,50 @@ class RollingAnomalyProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+class CooldownProcessor(StatefulProcessor):
+    """Per-(source, severity) cooldown dedup on the v2 state API —
+    the second stateful stage (reference services/alert-service/
+    main.py:186-202), same semantics as anomaly._cooldown via the
+    shared `_cooldown_rows` core. State is one ValueState carrying
+    (last emission epoch, running suppressed tally); the tally lives
+    in state, not a local, so output is batch-sizing-independent (the
+    S5 contract)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("cooldown", _COOLDOWN_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        stored = self._state.get() if self._state.exists() else None
+        last, suppressed = (
+            (stored[0], int(stored[1] or 0)) if stored else (None, 0)
+        )
+        pdf = _concat_nonempty(rows)
+        if pdf is None:
+            yield pd.DataFrame({c: [] for c in _COOLDOWN_OUT.fieldNames()})
+            return
+        out, last, suppressed = _cooldown_rows(key[0], key[1], last, suppressed, pdf)
+        self._state.update((last, suppressed))
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def cooldown_stream_v2(alerts: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of anomaly.cooldown_stream;
+    same session requirements as anomaly_stream_v2."""
+    if PROTOBUF_BLOCKER is not None:
+        raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")
+    return alerts.groupBy("source", "severity").transformWithStateInPandas(
+        statefulProcessor=CooldownProcessor(),
+        outputStructType=_COOLDOWN_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
 
 
 def anomaly_stream_v2(parsed: DataFrame) -> DataFrame:

@@ -20,8 +20,10 @@ from real_time_event_streaming_analytics_platform_spark.sources.fixtures import 
 )
 from real_time_event_streaming_analytics_platform_spark.streaming import state_v2
 from real_time_event_streaming_analytics_platform_spark.streaming.anomaly import (
+    COOLDOWN_SECONDS,
     anomaly_batch_oracle,
     anomaly_stream,
+    cooldown_stream,
 )
 from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
     parse_events,
@@ -100,3 +102,59 @@ def test_s4b_state_v2_parity(spark, tmpdir):
     assert len(got_v2) > 0
     assert _canon(got_v2) == _canon(got_v1)
     assert _canon(got_v2) == _canon(expect)
+
+
+def test_s5b_cooldown_v2_parity(spark, tmpdir):
+    """Cooldown dedup through the v2 runtime: same suppression
+    invariant as S5 (one notification per (source, severity) per
+    cooldown interval), plus exact row parity against the v1
+    applyInPandasWithState twin across multi-file micro-batches (the
+    suppressed tally must survive batch boundaries in v2 state)."""
+    events = generate_events(200, seed=31, interval_ms=30000)  # 30s apart
+    write_jsonl(events, f"{tmpdir}/in", n_files=4)
+
+    def alerts():
+        stream = parse_events(
+            read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+        )
+        return stream.select(
+            "source", F.col("status").alias("severity"), "event_id", "ts"
+        )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        got_v2 = run_available_now(
+            state_v2.cooldown_stream_v2(alerts()),
+            f"{tmpdir}/ck_v2",
+            output_mode="append",
+            name="s5b",
+        ).collect()
+        got_v1 = run_available_now(
+            cooldown_stream(alerts()),
+            f"{tmpdir}/ck_v1",
+            output_mode="append",
+            name="s5b_v1",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    def canon(rows):
+        return sorted(
+            (r["source"], r["severity"], r["event_id"], r["ts"], r["suppressed_since_last"])
+            for r in rows
+        )
+
+    assert len(got_v2) > 0
+    assert canon(got_v2) == canon(got_v1)
+    by_key = {}
+    for r in sorted(got_v2, key=lambda r: r["ts"]):
+        by_key.setdefault((r["source"], r["severity"]), []).append(r["ts"])
+    for key, times in by_key.items():
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
