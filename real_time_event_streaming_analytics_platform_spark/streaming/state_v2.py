@@ -232,3 +232,108 @@ def anomaly_stream_v2(parsed: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stale-source detection — event-time TIMERS, the capability the v1
+# API cannot express. applyInPandasWithState only wakes a key when
+# input for it arrives (or on a coarse whole-key GroupStateTimeout); a
+# "source went silent" alert needs the OPPOSITE trigger — emit when
+# input does NOT arrive. v2's registerTimer + handleExpiredTimer fires
+# the key when the WATERMARK passes the deadline, input or not.
+# ---------------------------------------------------------------------------
+
+#: silence threshold: a source with no events for this long (event
+#: time) is announced as stale
+STALE_GAP_SECONDS = 120
+
+from pyspark.sql.types import (  # noqa: E402
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STALE_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("last_seen", TimestampType()),
+        StructField("announced_at", TimestampType()),
+    ]
+)
+
+_LAST_SEEN_STATE = StructType([StructField("last_ms", LongType())])
+
+
+class StaleSourceDetector(StatefulProcessor):
+    """Announce (source, last_seen, deadline) once the event-time
+    watermark passes last_seen + STALE_GAP_SECONDS with no newer event.
+
+    Every input batch for a key slides its single deadline timer
+    forward (delete + re-register), so a timer only survives to expiry
+    if the source actually went silent; on expiry the state clears, so
+    a source that later resumes starts a fresh cycle (and re-announces
+    on its next silence)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._last = handle.getValueState("last_seen", _LAST_SEEN_STATE)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        pdf = _concat_nonempty(rows)
+        if pdf is None:
+            # yield nothing: a bare column-less empty frame defaults to
+            # float64 dtypes, which Arrow refuses to cast to timestamp
+            yield from ()
+            return
+        new_max_ms = int(pdf["ts"].max().timestamp() * 1000)
+        stored = self._last.get() if self._last.exists() else None
+        last_ms = max(stored[0], new_max_ms) if stored else new_max_ms
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + STALE_GAP_SECONDS * 1000)
+        self._last.update((last_ms,))
+        yield from ()
+
+    def handleExpiredTimer(
+        self, key, timerValues: "TimerValues", expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        stored = self._last.get() if self._last.exists() else None
+        if stored is None:
+            yield from ()
+            return
+        out = pd.DataFrame(
+            {
+                "source": [key[0]],
+                # naive UTC timestamps; the session timezone is UTC
+                "last_seen": [pd.Timestamp(stored[0], unit="ms")],
+                "announced_at": [
+                    pd.Timestamp(expiredTimerInfo.getExpiryTimeInMs(), unit="ms")
+                ],
+            }
+        )
+        self._last.clear()
+        yield out
+
+    def close(self) -> None:
+        pass
+
+
+def stale_source_stream(parsed: DataFrame) -> DataFrame:
+    """Event-time-timer detector over the parsed event stream; same
+    session requirements as anomaly_stream_v2, plus timeMode=eventTime
+    (timers fire when the watermark passes their deadline). The input
+    must already carry an event-time watermark on ``ts`` —
+    entries.parse_events applies the standard 10 s one (O2), and
+    redefining a watermark downstream is disallowed by Spark."""
+    if PROTOBUF_BLOCKER is not None:
+        raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")
+    return parsed.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=StaleSourceDetector(),
+        outputStructType=STALE_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

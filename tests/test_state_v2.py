@@ -158,3 +158,78 @@ def test_s5b_cooldown_v2_parity(spark, tmpdir):
     for key, times in by_key.items():
         for a, b in zip(times, times[1:]):
             assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
+
+
+def test_s24_event_time_timer_detects_stale_source(spark, tmpdir):
+    """Event-time timers: the capability v1 cannot express — a key must
+    fire WITHOUT input when the watermark passes its deadline.
+
+    Construction (all event time): sources A/B/C emit every 10 s;
+    B stops at t=300 s; the others continue to t=800 s across two
+    files. Batch 1 (ts ≤ 400) leaves B's deadline timer at 300+120=420;
+    batch 2 advances the watermark to ~790 with no further B events, so
+    exactly B fires. A and C slide their timers to 920, beyond the
+    final watermark — no emission. The construction makes every gap
+    decision land far from the watermark (±≥100 s), so the result is
+    insensitive to the exact per-batch watermark bookkeeping."""
+    import json
+    import os
+    from datetime import timedelta
+
+    from real_time_event_streaming_analytics_platform_spark.sources.fixtures import BASE_TS
+
+    def ev(source, sec, i):
+        ts = BASE_TS + timedelta(seconds=sec)
+        return {
+            "event_id": f"st-{source}-{i:06d}",
+            "source": source,
+            "timestamp": ts.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+            "attributes": {"user_id": "user_1", "metric": 1.0, "status": "ok"},
+        }
+
+    file1, file2, i = [], [], 0
+    for sec in range(0, 400, 10):
+        for source in ("web", "mobile", "device"):
+            if source == "mobile" and sec > 300:
+                continue
+            (file1 if sec < 400 else file2).append(ev(source, sec, i))
+            i += 1
+    for sec in range(400, 801, 10):
+        for source in ("web", "device"):
+            file2.append(ev(source, sec, i))
+            i += 1
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    for n, chunk in (("a.jsonl", file1), ("b.jsonl", file2)):
+        with open(f"{tmpdir}/in/{n}", "w") as f:
+            f.write("\n".join(json.dumps(e) for e in chunk))
+        os.utime(f"{tmpdir}/in/{n}", (1_600_000_000 + (n == "b.jsonl"),) * 2)
+
+    stream = parse_events(
+        read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        got = run_available_now(
+            state_v2.stale_source_stream(stream),
+            f"{tmpdir}/ck",
+            output_mode="append",
+            name="s24",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    assert len(got) == 1, got
+    row = got[0]
+    # collected timestamps are naive (session timezone UTC)
+    base_naive = BASE_TS.replace(tzinfo=None)
+    assert row["source"] == "mobile"
+    assert row["last_seen"] == base_naive + timedelta(seconds=300)
+    assert row["announced_at"] == base_naive + timedelta(
+        seconds=300 + state_v2.STALE_GAP_SECONDS
+    )
