@@ -174,6 +174,71 @@ class RollingAnomalyProcessor(StatefulProcessor):
         pass
 
 
+class WarmStartAnomalyProcessor(RollingAnomalyProcessor):
+    """RollingAnomalyProcessor bootstrapped from HISTORY: Spark calls
+    handleInitialState once per key in the first batch with that key's
+    row from the ``initialState`` GroupedData, BEFORE any input rows —
+    the operational restart story (redeploy the streaming job without
+    replaying the whole event log to rebuild rolling windows; the
+    reference's Flink twin restores from savepoints,
+    AnomalyDetectionJob.java:281-291). The initial frame carries one
+    row per source: (source, vals array) — the tail of each key's
+    metric history, exactly what anomaly_warmstart_frame builds."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        vals = [float(x) for x in initialState["vals"].iloc[0]]
+        self._state.update((vals,))
+
+
+def anomaly_warmstart_frame(history: DataFrame) -> DataFrame:
+    """Per-source initial state from historical parsed events: the last
+    ROLLING_WINDOW metric values in (ts, event_id) order — the exact
+    deque anomaly_stream would hold after processing that history.
+    One small row per key (few KB), shuffled once on the key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .anomaly import ROLLING_WINDOW
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        history.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= ROLLING_WINDOW)
+        .groupBy("source")
+        .agg(
+            F.collect_list(
+                F.struct("_rn", F.col("metric").cast("double").alias("metric"))
+            ).alias("_pairs")
+        )
+        .select(
+            "source",
+            # _rn descends with recency, so sorting _rn DESC yields
+            # oldest→newest — the deque order _score_rows expects
+            F.expr(
+                "transform(array_sort(_pairs, (a, b) -> b._rn - a._rn), p -> p.metric)"
+            ).alias("vals"),
+        )
+    )
+
+
+def anomaly_stream_v2_warmstart(parsed: DataFrame, history: DataFrame) -> DataFrame:
+    """anomaly_stream_v2 bootstrapped from a batch history frame; the
+    stream then continues the rolling windows exactly where the history
+    left off (pinned by test_s25: warm-start == full-replay tail)."""
+    if PROTOBUF_BLOCKER is not None:
+        raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")
+    init = anomaly_warmstart_frame(history).groupBy("source")
+    return parsed.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=WarmStartAnomalyProcessor(),
+        outputStructType=ANOMALY_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+        initialState=init,
+    )
+
+
 class CooldownProcessor(StatefulProcessor):
     """Per-(source, severity) cooldown dedup on the v2 state API —
     the second stateful stage (reference services/alert-service/

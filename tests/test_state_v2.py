@@ -160,6 +160,69 @@ def test_s5b_cooldown_v2_parity(spark, tmpdir):
             assert (b - a).total_seconds() >= COOLDOWN_SECONDS, (key, a, b)
 
 
+def test_s25_warmstart_initial_state_matches_full_replay(spark, tmpdir):
+    """initialState bootstrap: a stream warm-started from a batch
+    history frame must score the streamed rows EXACTLY as a stream
+    that replayed the whole history — the rolling deques continue where
+    the history left off (redeploy-without-replay, the savepoint-restore
+    story). Same 1500 events: full replay over 3 files vs history=first
+    500 (batch) + stream=last 1000 (2 files, 1 per trigger)."""
+    all_events = generate_events(1500, seed=21, interval_ms=300, outlier_rate=0.08)
+    write_jsonl(all_events, f"{tmpdir}/all", n_files=3)
+    write_jsonl(all_events[:500], f"{tmpdir}/hist", prefix="hist")
+    write_jsonl(all_events[500:], f"{tmpdir}/live", n_files=2, prefix="live")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        replay = run_available_now(
+            state_v2.anomaly_stream_v2(
+                parse_events(
+                    read_event_stream(spark, f"{tmpdir}/all", max_files_per_trigger=1),
+                    require_positive_metric=True,
+                )
+            ),
+            f"{tmpdir}/ck_replay",
+            output_mode="append",
+            name="s25_replay",
+        ).collect()
+
+        raw_hist = spark.read.text(f"{tmpdir}/hist").withColumnRenamed("value", "raw")
+        history = parse_events(raw_hist).where(F.col("metric") > 0)
+        warm = run_available_now(
+            state_v2.anomaly_stream_v2_warmstart(
+                parse_events(
+                    read_event_stream(spark, f"{tmpdir}/live", max_files_per_trigger=1),
+                    require_positive_metric=True,
+                ),
+                history,
+            ),
+            f"{tmpdir}/ck_warm",
+            output_mode="append",
+            name="s25_warm",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    streamed_ids = {r["event_id"] for r in warm}
+    replay_tail = [r for r in replay if r["event_id"] in streamed_ids]
+    assert len(warm) > 0
+    # every streamed event scored in the replay must also be scored
+    # warm (the bootstrap deque carries the history's MIN_EVENTS count)
+    replay_live_ids = {
+        r["event_id"]
+        for r in replay
+        if any(r["event_id"] == e["event_id"] for e in all_events[500:])
+    }
+    assert streamed_ids == replay_live_ids
+    assert _canon(warm) == _canon(replay_tail)
+
+
 def test_s24_event_time_timer_detects_stale_source(spark, tmpdir):
     """Event-time timers: the capability v1 cannot express — a key must
     fire WITHOUT input when the watermark passes its deadline.
