@@ -300,6 +300,66 @@ def anomaly_stream_v2(parsed: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact distinct-user cardinality — keyed MapState. The v1
+# API forces the whole per-key state through ONE value tuple, so a
+# growing set must be serialized and rewritten wholesale every batch;
+# MapState stores each member as its own state-store entry, so a batch
+# only writes the users it actually saw (RocksDB point writes). This
+# is the EXACT form of the cardinality surface; at 100 TB the engine's
+# answer is the mergeable HLL sketch family (functions/sketches.py
+# x11), and this operator is its per-key streaming exact twin for
+# keys whose user sets fit the store.
+# ---------------------------------------------------------------------------
+
+class DistinctUsersProcessor(StatefulProcessor):
+    """Per-source running exact distinct-user count. MapState maps
+    user_id → 1; per batch, only NEW users cost a state write, and the
+    running total rides a ValueState counter so emission never
+    iterates the full map."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._seen = handle.getMapState("seen", "user_id string", "one integer")
+        self._n = handle.getValueState("n", "n bigint")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        pdf = _concat_nonempty(rows)
+        if pdf is None:
+            yield from ()
+            return
+        stored = self._n.get() if self._n.exists() else None
+        n = int(stored[0]) if stored else 0
+        max_ts = pdf["ts"].max()
+        for user in pd.unique(pdf["user_id"].dropna()):
+            if not self._seen.containsKey((user,)):
+                self._seen.updateValue((user,), (1,))
+                n += 1
+        self._n.update((n,))
+        yield pd.DataFrame(
+            {"source": [key[0]], "asof": [max_ts], "distinct_users": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def distinct_users_stream(parsed: DataFrame) -> DataFrame:
+    """Running exact distinct-user count per source; one row per
+    (source, batch) with the max event time seen (`asof`) — take each
+    source's max-asof row for the current totals. Same session
+    requirements as anomaly_stream_v2."""
+    if PROTOBUF_BLOCKER is not None:
+        raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")
+    return parsed.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=DistinctUsersProcessor(),
+        outputStructType="source string, asof timestamp, distinct_users bigint",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stale-source detection — event-time TIMERS, the capability the v1
 # API cannot express. applyInPandasWithState only wakes a key when
 # input for it arrives (or on a coarse whole-key GroupStateTimeout); a

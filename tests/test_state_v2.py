@@ -223,6 +223,52 @@ def test_s25_warmstart_initial_state_matches_full_replay(spark, tmpdir):
     assert _canon(warm) == _canon(replay_tail)
 
 
+def test_s26_mapstate_distinct_users_matches_batch(spark, tmpdir):
+    """MapState: running exact distinct-user count per source emits one
+    row per (source, batch); each source's final row must equal batch
+    COUNT(DISTINCT user_id), and the per-source running counts must be
+    non-decreasing (new users only ever add)."""
+    events = generate_events(900, seed=51, interval_ms=400)
+    write_jsonl(events, f"{tmpdir}/in", n_files=3)
+
+    stream = parse_events(
+        read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        got = run_available_now(
+            state_v2.distinct_users_stream(stream),
+            f"{tmpdir}/ck",
+            output_mode="append",
+            name="s26",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    raw = spark.read.text(f"{tmpdir}/in").withColumnRenamed("value", "raw")
+    expect = {
+        r["source"]: r["d"]
+        for r in parse_events(raw)
+        .groupBy("source")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+
+    by_source = {}
+    for r in sorted(got, key=lambda r: r["asof"]):
+        by_source.setdefault(r["source"], []).append(r["distinct_users"])
+    assert set(by_source) == set(expect)
+    for source, counts in by_source.items():
+        assert counts == sorted(counts), (source, counts)  # non-decreasing
+        assert counts[-1] == expect[source], (source, counts[-1], expect[source])
+
+
 def test_s24_event_time_timer_detects_stale_source(spark, tmpdir):
     """Event-time timers: the capability v1 cannot express — a key must
     fire WITHOUT input when the watermark passes its deadline.
