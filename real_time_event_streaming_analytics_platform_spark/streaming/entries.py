@@ -125,13 +125,15 @@ def _parse_project(raw: DataFrame) -> DataFrame:
     return parsed
 
 
-def sliding_aggregates(parsed: DataFrame) -> DataFrame:
+def sliding_aggregates(
+    parsed: DataFrame, window: str = "1 minute", slide: str = "10 seconds"
+) -> DataFrame:
     """1-minute windows sliding by 10 s per source (O17-O19), producing
     the metrics_1min row shape (count/avg/error_rate/sum + approx
     p95/p99). Works identically as a batch plan — the S2 parity test
-    relies on that."""
+    relies on that (and the S27 fuzz sweep varies window/slide)."""
     return (
-        parsed.groupBy(F.window("ts", "1 minute", "10 seconds"), "source")
+        parsed.groupBy(F.window("ts", window, slide), "source")
         .agg(
             F.count("*").alias("count_events"),
             F.avg("metric").alias("avg_metric"),
