@@ -295,3 +295,75 @@ def x13_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_quantile_estimates(daily_metric_sketches(events)).orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set expressions (x14): the SET-ALGEBRA member of the
+# mergeable-sketch family. HLL (x11) answers |A| and |A∪B| only; a
+# Theta sketch retains a hash SAMPLE of the set, so INTERSECTION and
+# DIFFERENCE cardinalities compose too — "how many users does source A
+# share with source B", "how many are exclusive to A" — the
+# cross-source overlap accounting a training-corpus pipeline needs
+# (e.g. dedup-budget attribution between crawls). Exact answers at
+# 100 TB require shuffling full id sets per pair; per-source sketches
+# are a few KB each and every pairwise expression is evaluated on the
+# DRIVER-SIDE merged binaries (|sources|² tiny rows, no second scan).
+#
+# Reference parity: no theta surface in the reference (extension in the
+# x11/x12/x13 family); built on Spark 4's Apache DataSketches bindings
+# (theta_sketch_agg/theta_union/theta_intersection/theta_difference).
+# ---------------------------------------------------------------------------
+
+
+def source_user_theta(events: DataFrame) -> DataFrame:
+    """Per-event_type Theta sketch of user_id (map-side partial
+    sketching; the shuffle carries sketch binaries, not ids). The
+    events table's event_type plays the "source/crawl" role, matching
+    x11's grouping."""
+    return events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sketch")
+    )
+
+
+def theta_overlap_matrix(sketches: DataFrame) -> DataFrame:
+    """All ordered source pairs with estimated |A|, |B|, |A∪B|, |A∩B|,
+    |A\\B|. The pair join is a broadcast self-join over |sources| rows
+    of few-KB binaries — constant-size work regardless of event count."""
+    a = sketches.select(
+        F.col("event_type").alias("src_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("event_type").alias("src_b"), F.col("sketch").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.round(F.theta_sketch_estimate("sk_a")).cast("bigint").alias("users_a"),
+        F.round(F.theta_sketch_estimate("sk_b")).cast("bigint").alias("users_b"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+        ).cast("bigint").alias("users_union"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+        ).cast("bigint").alias("users_both"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))
+        ).cast("bigint").alias("users_only_a"),
+    )
+
+
+@query("x14_theta_overlap")
+def x14_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source user-set overlap via Theta sketches.
+
+    Rows-only at the driver (sketch estimates are not SQL-portable);
+    tests/test_sketches.py pins every pairwise estimate within
+    tolerance of the exact join-computed truth, the inclusion-
+    exclusion identity |A∪B| = |A| + |B| − |A∩B| on the estimates
+    themselves, and that daily-merged sketches (theta_union_agg) give
+    the same expression results as direct single-pass sketches."""
+    events = load(spark, sf_dir, "events")
+    return theta_overlap_matrix(source_user_theta(events)).orderBy(
+        "src_a", "src_b"
+    )

@@ -216,3 +216,107 @@ def test_kll_incremental_append_rank_accuracy(spark):
     rows = merge_quantile_estimates(stored.unionByName(increment)).collect()
     errs = _rank_errors(spark, rows)
     assert max(errs) <= 0.025, errs
+
+
+# --- x14: Theta-sketch set expressions -------------------------------------
+
+
+def test_theta_overlap_matches_exact_on_events(spark):
+    """Every pairwise estimate equals the join-computed exact truth at
+    this SF (the per-type user sets are far below the sketch's k=4096
+    retained hashes, so Theta operates in exact mode — which also pins
+    that union/intersection/difference wire through correctly)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        x14_theta_overlap,
+    )
+
+    got = {
+        (r.src_a, r.src_b): (
+            r.users_a, r.users_b, r.users_union, r.users_both, r.users_only_a
+        )
+        for r in x14_theta_overlap(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    sets = {
+        r.event_type: None for r in ev.select("event_type").distinct().collect()
+    }
+    for t in sets:
+        sets[t] = {
+            r.user_id
+            for r in ev.where(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+    expect_keys = {
+        (a, b) for a in sets for b in sets if a < b
+    }
+    assert set(got) == expect_keys
+    for (a, b), (na, nb, nu, ni, nd) in got.items():
+        sa, sb = sets[a], sets[b]
+        assert (na, nb, nu, ni, nd) == (
+            len(sa), len(sb), len(sa | sb), len(sa & sb), len(sa - sb)
+        ), (a, b)
+
+
+def test_theta_estimation_mode_tolerance_and_inclusion_exclusion(spark):
+    """Estimation mode (sets ≫ k): two 120k-id sets with a 40k overlap.
+    Each expression estimate lands within 5% of truth, and the
+    inclusion-exclusion identity holds within combined tolerance on the
+    ESTIMATES — the sketch algebra is self-consistent, not just
+    per-expression accurate."""
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        theta_overlap_matrix,
+    )
+
+    a = spark.range(0, 120_000).select(
+        F.lit("a").alias("event_type"), F.col("id").cast("string").alias("user_id")
+    )
+    b = spark.range(80_000, 200_000).select(
+        F.lit("b").alias("event_type"), F.col("id").cast("string").alias("user_id")
+    )
+    sk = (
+        a.unionAll(b)
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sketch"))
+    )
+    row = theta_overlap_matrix(sk).collect()[0]
+    truth = {
+        "users_a": 120_000,
+        "users_b": 120_000,
+        "users_union": 200_000,
+        "users_both": 40_000,
+        "users_only_a": 80_000,
+    }
+    for k, v in truth.items():
+        assert abs(row[k] - v) <= 0.05 * v, (k, row[k], v)
+    assert abs(
+        row["users_union"] - (row["users_a"] + row["users_b"] - row["users_both"])
+    ) <= 0.05 * row["users_union"]
+
+
+def test_theta_merged_daily_equals_direct(spark):
+    """theta_union_agg over per-day partial sketches must answer the
+    overlap expressions identically to direct single-pass sketches —
+    the materialize-then-merge shape (same property x11 pins for HLL)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.sketches import (
+        source_user_theta,
+        theta_overlap_matrix,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    direct = {
+        (r.src_a, r.src_b): tuple(r)[2:]
+        for r in theta_overlap_matrix(source_user_theta(events)).collect()
+    }
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.theta_sketch_agg("user_id").alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.theta_union_agg("sketch").alias("sketch")
+    )
+    via_merge = {
+        (r.src_a, r.src_b): tuple(r)[2:]
+        for r in theta_overlap_matrix(merged).collect()
+    }
+    assert direct == via_merge
