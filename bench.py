@@ -280,6 +280,7 @@ def main() -> None:
     headline = [
         "q01_pricing_summary",
         "q03_multiway_join",
+        "q03b_filtered_multiway",
         "q11_topk",
         "r4_sliding_window",
         "r8b_rolling_mad",
