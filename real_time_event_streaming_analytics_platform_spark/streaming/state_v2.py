@@ -360,6 +360,87 @@ def distinct_users_stream(parsed: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Burst escalation — keyed ListState. An alert stream where any single
+# alert is routine but k alerts within a trailing window demand
+# escalation (the paging-policy layer above cooldown dedup). State is
+# the LIST of in-window alert timestamps per source: appended as
+# alerts arrive, pruned as the window slides past — ListState stores
+# each element as its own state-store entry, matching the
+# append-mostly access pattern. Event-time based, so replays and batch
+# splits are deterministic (same contract as cooldown/S5).
+# ---------------------------------------------------------------------------
+
+#: escalate when this many alerts land within ESCALATION_WINDOW_SECONDS
+ESCALATION_K = 3
+ESCALATION_WINDOW_SECONDS = 600
+
+
+class BurstEscalationProcessor(StatefulProcessor):
+    """Per-source trailing-window alert counter: emits one escalation
+    row for EVERY alert whose arrival leaves ≥ K alerts inside the
+    trailing window (count includes the alert itself) — a pure
+    function of event times, so the batch oracle is a RANGE-frame
+    window count and output is independent of micro-batch sizing."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._recent = handle.getListState("recent", "epoch double")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        pdf = _concat_nonempty(rows)
+        if pdf is None:
+            yield from ()
+            return
+        recent = [t[0] for t in self._recent.get()] if self._recent.exists() else []
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = {"source": [], "event_id": [], "ts": [], "n_in_window": []}
+        for r in pdf.itertuples(index=False):
+            epoch = r.ts.timestamp()
+            recent.append(epoch)
+            # prune everything the trailing window slid past; the list
+            # is sorted (event-time processing order), so one scan.
+            # Boundary INCLUSIVE (keep epoch >= cur - W) to match the
+            # batch RANGE-frame oracle; the count is as-of arrival in
+            # (ts, event_id) order (with tied timestamps a RANGE frame
+            # counts the whole peer group — callers wanting tie-exact
+            # parity use distinct event times, as alerts in practice
+            # have)
+            cutoff = epoch - ESCALATION_WINDOW_SECONDS
+            while recent and recent[0] < cutoff:
+                recent.pop(0)
+            if len(recent) >= ESCALATION_K:
+                out["source"].append(key[0])
+                out["event_id"].append(r.event_id)
+                out["ts"].append(r.ts)
+                out["n_in_window"].append(len(recent))
+        self._recent.put([(t,) for t in recent])
+        if out["source"]:
+            yield pd.DataFrame(out)
+        else:
+            yield from ()
+
+    def close(self) -> None:
+        pass
+
+
+def burst_escalation_stream(alerts: DataFrame) -> DataFrame:
+    """ListState trailing-window escalation per source; same session
+    requirements as anomaly_stream_v2. Input: (source, event_id, ts)
+    alert rows."""
+    if PROTOBUF_BLOCKER is not None:
+        raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")
+    return alerts.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=BurstEscalationProcessor(),
+        outputStructType=(
+            "source string, event_id string, ts timestamp, n_in_window bigint"
+        ),
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stale-source detection — event-time TIMERS, the capability the v1
 # API cannot express. applyInPandasWithState only wakes a key when
 # input for it arrives (or on a coarse whole-key GroupStateTimeout); a

@@ -269,6 +269,62 @@ def test_s26_mapstate_distinct_users_matches_batch(spark, tmpdir):
         assert counts[-1] == expect[source], (source, counts[-1], expect[source])
 
 
+def test_s28_liststate_burst_escalation_matches_batch_oracle(spark, tmpdir):
+    """ListState: trailing-window burst escalation emits exactly the
+    alerts whose arrival leaves ≥ K alerts inside the window,
+    identical to the batch RANGE-frame oracle over the same files
+    (distinct event times per source, so frame peers = the row
+    itself), across multi-file micro-batches."""
+    events = generate_events(300, seed=61, interval_ms=20000)  # 20s apart
+    write_jsonl(events, f"{tmpdir}/in", n_files=3)
+
+    def alerts():
+        stream = parse_events(
+            read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+        )
+        return stream.select("source", "event_id", "ts")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        got = run_available_now(
+            state_v2.burst_escalation_stream(alerts()),
+            f"{tmpdir}/ck",
+            output_mode="append",
+            name="s28",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    from pyspark.sql import Window
+
+    raw = spark.read.text(f"{tmpdir}/in").withColumnRenamed("value", "raw")
+    batch = parse_events(raw).select("source", "event_id", "ts")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-state_v2.ESCALATION_WINDOW_SECONDS, 0)
+    )
+    expect = (
+        batch.withColumn("n_in_window", F.count("*").over(w))
+        .where(F.col("n_in_window") >= state_v2.ESCALATION_K)
+        .collect()
+    )
+
+    def canon(rows):
+        return sorted(
+            (r["source"], r["event_id"], r["ts"], r["n_in_window"]) for r in rows
+        )
+
+    assert len(got) > 0, "fixture produced no bursts — raise density"
+    assert canon(got) == canon(expect)
+
+
 def test_s24_event_time_timer_detects_stale_source(spark, tmpdir):
     """Event-time timers: the capability v1 cannot express — a key must
     fire WITHOUT input when the watermark passes its deadline.
