@@ -164,7 +164,10 @@ class RollingAnomalyProcessor(StatefulProcessor):
         pdf = _concat_nonempty(rows)
         if pdf is None:
             self._state.update((vals,))
-            yield pd.DataFrame({c: [] for c in ANOMALY_SCHEMA.fieldNames()})
+            # yield nothing: a bare column-less empty frame defaults to
+            # float64 dtypes, which Arrow refuses to cast to the ts
+            # TimestampType (same hazard StaleSourceDetector hit)
+            yield from ()
             return
         out = _score_rows(key[0], vals, pdf)
         self._state.update((vals,))
@@ -260,7 +263,8 @@ class CooldownProcessor(StatefulProcessor):
         )
         pdf = _concat_nonempty(rows)
         if pdf is None:
-            yield pd.DataFrame({c: [] for c in _COOLDOWN_OUT.fieldNames()})
+            # yield nothing (float64-dtype empty-frame Arrow hazard)
+            yield from ()
             return
         out, last, suppressed = _cooldown_rows(key[0], key[1], last, suppressed, pdf)
         self._state.update((last, suppressed))
