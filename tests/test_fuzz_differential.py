@@ -580,3 +580,113 @@ def test_fuzzed_subquery_family_match_duckdb(spark, views):
         if not ok:
             failures.append((case, kind, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_aggregate_modifiers_match_duckdb(spark, views):
+    """Aggregate-MODIFIER sweep: the aggregate surface the base sweep
+    (plain SUM/MIN/MAX/COUNT/DISTINCT/AVG) doesn't reach — FILTER
+    (WHERE ...) clauses, SUM(DISTINCT), BOOL_AND/BOOL_OR over
+    predicates, statistical aggregates (STDDEV_POP/VAR_SAMP/CORR/
+    COVAR_POP), and the ordered-set MEDIAN / PERCENTILE_CONT ...
+    WITHIN GROUP forms. Mirrors the rolling/stat shapes of reference
+    O20/O23 (`AnomalyDetectionJob.java` stddev + percentile logic) in
+    their plain-GROUP-BY form, both engines from identical SQL text.
+
+    Determinism: additive aggregates go through DECIMAL(18,6); the
+    float-producing stats are floor-rounded with a 1e-7 tie-break
+    epsilon AND restricted to low-magnitude columns. Both halves are
+    load-bearing: 2-decimal source data puts VAR_SAMP*1e4 EXACTLY on
+    the .5 rounding boundary for small groups ((d^2/2)*1e4 = k+0.5
+    when d has 2 decimals), so ~1e-15 cross-engine noise flips a bare
+    floor — the epsilon breaks the tie identically on both sides, and
+    the magnitude cap keeps the noise below the epsilon. Raw COVAR_POP
+    is replaced by a DECIMAL-exact cross-product sum (its numerator
+    core) because covariance magnitudes scale with the column product
+    and outgrow any fixed quantum. MODE and LISTAGG are deliberately
+    excluded: tie-breaking / dialect syntax diverge."""
+    rng = random.Random(31415926)
+    # corr pair / low-magnitude stat cols (noise << rounding quantum)
+    stat_pairs = {
+        "events": ("value", "user_id"),
+        "lineitem": ("l_quantity", "l_discount"),
+        "orders": ("o_totalprice", "o_custkey"),
+    }
+    stat_cols = {
+        "events": ["value"],
+        "lineitem": ["l_quantity", "l_discount"],
+        "orders": [],  # o_totalprice ~1e5: var*1e4 noise > quantum
+    }
+    failures = []
+    for case in range(26):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, _strs = _TABLES[table]
+        keys = rng.sample(cats, rng.randint(1, len(cats)))
+        a, b = stat_pairs[table]
+        aggs = ["COUNT(*) AS n"]
+        for i in range(rng.randint(2, 3)):
+            kind = rng.choice(
+                ["filter_sum", "filter_cnt", "sum_distinct", "bool",
+                 "stddev", "var", "median", "pctl", "corr", "covar"]
+            )
+            if kind in ("stddev", "var", "median", "pctl") and not stat_cols[table]:
+                kind = "corr"  # no low-magnitude stat col on this table
+            col = rng.choice(nums)
+            scol = rng.choice(stat_cols[table]) if stat_cols[table] else None
+            pred_col = rng.choice(nums)
+            thresh = round(rng.uniform(1, 100), 2)
+            if kind == "filter_sum":
+                aggs.append(
+                    f"CAST(SUM(CAST({col} AS DECIMAL(18,6))) "
+                    f"FILTER (WHERE {pred_col} > {thresh}) AS DOUBLE) AS a{i}"
+                )
+            elif kind == "filter_cnt":
+                aggs.append(
+                    f"COUNT(*) FILTER (WHERE {pred_col} <= {thresh}) AS a{i}"
+                )
+            elif kind == "sum_distinct":
+                aggs.append(
+                    f"CAST(SUM(DISTINCT CAST({col} AS DECIMAL(18,6))) AS DOUBLE) AS a{i}"
+                )
+            elif kind == "bool":
+                fn = rng.choice(["BOOL_AND", "BOOL_OR"])
+                aggs.append(f"{fn}({pred_col} > {thresh}) AS a{i}")
+            elif kind == "stddev":
+                aggs.append(
+                    f"floor(STDDEV_POP({scol}) * 10000 + 0.5 + 1e-7) / 10000 AS a{i}"
+                )
+            elif kind == "var":
+                aggs.append(
+                    f"floor(VAR_SAMP({scol}) * 10000 + 0.5 + 1e-7) / 10000 AS a{i}"
+                )
+            elif kind == "median":
+                aggs.append(
+                    f"floor(MEDIAN({scol}) * 10000 + 0.5 + 1e-7) / 10000 AS a{i}"
+                )
+            elif kind == "pctl":
+                q = rng.choice(["0.25", "0.5", "0.9"])
+                aggs.append(
+                    f"floor(PERCENTILE_CONT({q}) WITHIN GROUP (ORDER BY {scol}) "
+                    f"* 10000 + 0.5 + 1e-7) / 10000 AS a{i}"
+                )
+            elif kind == "corr":
+                aggs.append(
+                    f"floor(CORR({a}, {b}) * 10000 + 0.5 + 1e-7) / 10000 AS a{i}"
+                )
+            else:  # covar numerator core, DECIMAL-exact in both engines
+                aggs.append(
+                    f"CAST(SUM(CAST({a} AS DECIMAL(18,6)) "
+                    f"* CAST({b} AS DECIMAL(18,6))) AS DOUBLE) AS a{i}"
+                )
+        where = ""
+        if rng.random() < 0.5:
+            wcol = rng.choice(nums)
+            where = f" WHERE {wcol} {rng.choice(['>', '<='])} {round(rng.uniform(1, 100), 2)}"
+        key_list = ", ".join(keys)
+        sql = (
+            f"SELECT {key_list}, {', '.join(aggs)} FROM {table}{where} "
+            f"GROUP BY {key_list} ORDER BY {key_list}"
+        )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
