@@ -112,6 +112,10 @@ _DEMOTED = [
     "q36_cohort_retention",  # green r06+r07
     "q38_quality_checks",    # broadcast-FK plan re-verified r07
     "x10_curation_funnel",   # green r06+r07; promoted x5-x9 re-verify the family
+    # Keeper slot yielded mid-r08 to q40_merge_upsert (NEW — the
+    # low-shuffle MERGE/upsert; new queries always enter the window):
+    # q22 holds a green r07 row so freshness is preserved.
+    "q22_asof_prior_click",
 ]
 
 

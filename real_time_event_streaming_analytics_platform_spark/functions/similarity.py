@@ -796,3 +796,103 @@ def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) 
         .select("qid", "cid")
     )
     return rerank_exact(shortlist, emb)
+
+
+# ---------------------------------------------------------------------------
+# X15 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540, public): k-means-cluster the embedding corpus, then
+# prune near-duplicates ONLY within each cluster. The whole point of the
+# technique at 100 TB is replacing the O(n^2) all-pairs cosine scan with
+# k independent O((n/k)^2) per-cluster problems: nlist scales with the
+# corpus (the paper runs ~100k clusters over LAION) so per-cluster size
+# stays bounded, every cluster dedups in parallel with no cross-cluster
+# shuffle, and the quantizer fit stays a capped driver-side sample
+# (ivf_assignments — the same build the IVF ANN family uses).
+#
+# Within a cluster we run a deterministic greedy leader scan in vec_id
+# order: a member joins the kept set iff its cosine to every
+# previously-kept member is <= SEMDEDUP_THRESHOLD; otherwise it is
+# dropped and records which leader absorbed it. (The paper's
+# which-member-to-keep rule — farthest from centroid — is a tunable
+# policy choice; lowest-id is the deterministic variant so the result
+# is reproducible and oracle-testable. The DROP decision, cosine >
+# threshold within a cluster, is the paper's.) Per-cluster work is one
+# applyInPandas task: O(m * kept * dim) numpy dot products, no m x m
+# matrix materialized, so memory stays linear in cluster size.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """Per-cluster greedy near-dup pruning under FIXED cluster centers.
+
+    ``emb`` must carry (vec_id, embedding, nrm, cell) — i.e. the output
+    of ``assign_cells``. Returns one row per input vector:
+    (vec_id, cell, kept, dup_of, leader_sim) where dropped rows name
+    the kept leader that absorbed them and the cosine to it.
+    """
+    import numpy as np
+
+    out_schema = (
+        "vec_id long, cell int, kept boolean, dup_of long, leader_sim double"
+    )
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        kept_rows: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        sim_to = np.full(len(pdf), np.nan)
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = (M[kept_rows] @ M[i]) / (nrm[kept_rows] * nrm[i])
+                j = int(np.argmax(sims))
+                if sims[j] > threshold:
+                    dup_of[i] = ids[kept_rows[j]]
+                    sim_to[i] = sims[j]
+                    continue
+            kept[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(dtype=np.int32),
+                "kept": kept,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+                "leader_sim": sim_to,
+            }
+        )
+
+    return emb.groupBy("cell").applyInPandas(_dedup_cell, out_schema)
+
+
+@query("x15_semdedup")
+def x15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: cluster with the IVF coarse
+    quantizer, keep-or-drop each vector within its cluster, and report
+    the per-cluster funnel (members, kept, dropped, mean absorbed
+    similarity) — the summary a curation pipeline logs. Rows-only
+    (the greedy leader scan is not SQL-expressible); the keep/drop
+    semantics are pinned by tests/test_functions.py planted-duplicate
+    recall, kept-set validity, and determinism tests."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    assigned, _centers = ivf_assignments(emb)
+    marked = semdedup(assigned)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count("*").alias("members"),
+            F.sum(F.col("kept").cast("int")).alias("kept_n"),
+            F.sum((~F.col("kept")).cast("int")).alias("dropped_n"),
+            round2(F.avg(F.when(~F.col("kept"), F.col("leader_sim")))).alias(
+                "avg_dup_sim"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -768,3 +768,79 @@ def test_simhash_arrow_matches_aggregate_form(spark):
     fast = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
     ref = {r["doc_id"]: r["simhash"] for r in _simhash_agg_df(docs).collect()}
     assert fast == ref
+
+
+def test_x15_semdedup_drops_planted_near_dups(spark):
+    """SemDeDup planted-duplicate recall: perturbed copies of existing
+    vectors must be dropped, absorbed by their lowest-id original (the
+    deterministic leader policy), while the base corpus — synthetic
+    random embeddings with no real near-dups — survives intact."""
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        assign_cells,
+        ivf_assignments,
+        semdedup,
+        with_norm as _wn,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    # near-identical copies: tiny deterministic perturbation on one
+    # coordinate keeps cosine >~ 0.9999, far above the 0.9 threshold
+    dups = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(1e-3)).otherwise(0.0)
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    planted = _wn(emb.unionByName(dups))
+    assigned, centers = ivf_assignments(planted)
+    marked = semdedup(assigned).collect()
+    by_id = {r["vec_id"]: r for r in marked}
+    # every planted copy is dropped and names its original as leader
+    for i in range(8):
+        r = by_id[i + 100000]
+        assert not r["kept"], f"planted copy {i + 100000} survived"
+        assert r["dup_of"] == i, (i, r["dup_of"])
+        assert r["leader_sim"] > 0.99
+        assert by_id[i]["kept"], f"original {i} was dropped"
+    # copy and original land in the same cell (they must, to be compared)
+    for i in range(8):
+        assert by_id[i]["cell"] == by_id[i + 100000]["cell"]
+
+
+def test_x15_semdedup_kept_set_is_valid_and_deterministic(spark):
+    """Within every cluster the kept set contains no pair above the
+    threshold (greedy-scan invariant, verified brute-force), and two
+    runs produce identical decisions."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        SEMDEDUP_THRESHOLD,
+        ivf_assignments,
+        semdedup,
+        with_norm as _wn,
+    )
+
+    emb = _wn(load(spark, SF_DIR, "embeddings"))
+    assigned, _ = ivf_assignments(emb)
+    marked = semdedup(assigned)
+    kept = (
+        assigned.join(marked.where("kept").select("vec_id"), "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in kept:
+        by_cell.setdefault(r["cell"], []).append(r)
+    checked = 0
+    for rows in by_cell.values():
+        M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        nrm = np.array([r["nrm"] for r in rows])
+        S = (M @ M.T) / np.outer(nrm, nrm)
+        np.fill_diagonal(S, 0.0)
+        assert S.max(initial=0.0) <= SEMDEDUP_THRESHOLD + 1e-9
+        checked += len(rows)
+    assert checked > 0
+    # determinism: re-running the registered query yields identical rows
+    a = sorted(map(tuple, engine.QUERIES["x15_semdedup"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, engine.QUERIES["x15_semdedup"](spark, SF_DIR).collect()))
+    assert a == b
