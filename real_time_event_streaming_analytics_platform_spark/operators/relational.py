@@ -1698,3 +1698,83 @@ def q39_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.select("event_id", "event_type", share.alias("share"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — MERGE / upsert (SCD type-1 "last write wins") as a LOW-SHUFFLE
+# plan. The warehouse MERGE INTO (matched -> update, not-matched ->
+# insert) is usually planned as a full-outer join, which cannot
+# broadcast and forces both sides through a shuffle. But in the CDC
+# shape that actually occurs at 100 TB — a small changes batch against
+# a huge base — the scale-correct plan is:
+#   1. ONE scan of the base with a broadcast LEFT join against the
+#      changes (matched rows update in place, the rest pass through),
+#   2. inserts = changes LEFT ANTI the base KEYS (a column-pruned scan;
+#      with the base bucketed by the merge key this leg is co-located),
+#   3. UNION ALL.
+# No base shuffle, no full-outer. The changes batch here is derived
+# deterministically from orders (pending 'F'-status balance deltas;
+# custkey % 7 == 0 rows are shifted out of the key space to exercise
+# the insert path). Falls back conceptually to sort-merge on a bucketed
+# base when the changes batch is NOT small — documented, not needed at
+# any bench SF. DECIMAL delta accumulation + floor-rounding keep the
+# merged balance bit-identical to the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_merge_upsert",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 10000000
+                    ELSE o_custkey END AS k,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS delta
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           floor(CAST(CAST(c.c_acctbal AS DECIMAL(18,6)) + COALESCE(ch.delta, 0)
+                      AS DOUBLE) * 100 + 0.5) / 100 AS new_bal,
+           CASE WHEN ch.k IS NULL THEN 'keep' ELSE 'update' END AS action
+    FROM customer c LEFT JOIN ch ON c.c_custkey = ch.k
+    UNION ALL
+    SELECT ch.k AS c_custkey,
+           floor(CAST(ch.delta AS DOUBLE) * 100 + 0.5) / 100 AS new_bal,
+           'insert' AS action
+    FROM ch WHERE ch.k NOT IN (SELECT c_custkey FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def q40_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ch = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(
+            F.when(F.col("o_custkey") % 7 == 0, F.col("o_custkey") + 10000000)
+            .otherwise(F.col("o_custkey"))
+            .alias("k")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("delta"))
+    )
+    base = customer.select("c_custkey", "c_acctbal")
+    merged = base.join(F.broadcast(ch), base["c_custkey"] == ch["k"], "left").select(
+        "c_custkey",
+        round2(
+            (
+                F.col("c_acctbal").cast("decimal(18,6)")
+                + F.coalesce(F.col("delta"), F.lit(0).cast("decimal(18,6)"))
+            ).cast("double")
+        ).alias("new_bal"),
+        F.when(F.col("k").isNull(), F.lit("keep")).otherwise(F.lit("update")).alias(
+            "action"
+        ),
+    )
+    inserts = (
+        ch.join(base.select("c_custkey"), ch["k"] == F.col("c_custkey"), "left_anti")
+        .select(
+            F.col("k").alias("c_custkey"),
+            round2(F.col("delta").cast("double")).alias("new_bal"),
+            F.lit("insert").alias("action"),
+        )
+    )
+    return merged.unionByName(inserts).orderBy("c_custkey")
