@@ -116,6 +116,10 @@ _DEMOTED = [
     # low-shuffle MERGE/upsert; new queries always enter the window):
     # q22 holds a green r07 row so freshness is preserved.
     "q22_asof_prior_click",
+    # Keeper slot yielded mid-r08 to d3_substring_dup_spans (NEW —
+    # exact substring-duplication coverage): d2 holds a green r07 row,
+    # and d3 now represents the documents-dedup family in-window.
+    "d2_jaccard_scoring",
 ]
 
 

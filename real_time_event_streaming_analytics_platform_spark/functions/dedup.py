@@ -654,3 +654,120 @@ def x2c_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# D3 — exact substring-duplication coverage (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499, public). The paper removes verbatim substrings that
+# recur across documents; the suffix-array machinery it uses is a
+# single-machine construction, so the Spark-first shape is the shingle
+# inversion of the same question: every K-token window of every document
+# becomes a (shingle-key, doc, pos) posting, a count-distinct-docs per
+# key finds the keys occurring verbatim in >= 2 documents, and the
+# surviving postings are unioned per document into covered-token spans.
+#
+# At 100 TB this is two shuffles, both on content-derived keys and both
+# linear in corpus tokens: (1) group by the 8-byte xxhash64 of the
+# shingle — raw shingle strings never shuffle, only doc_id/pos/hash
+# postings; (2) regroup the surviving postings by doc_id for the span
+# union, which is a LEAST(K, pos - lag(pos)) running expression — no
+# interval list is ever materialized. Memory is O(1) per row at every
+# stage. (The oracle recomputes the same plan over raw shingle strings;
+# xxhash64 collisions are the only possible divergence — 2^-64 per pair,
+# none at any test SF.)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per shingle — the paper's dup threshold is ~50 BPE
+# tokens; 8 whitespace words is the scaled-down analog for the synthetic
+# corpus (planted dups are sentence-length).
+_WS = "[ \\t\\n\\r]+"  # explicit class: Java \s includes \x0B, RE2's doesn't
+
+
+@query(
+    "d3_substring_dup_spans",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i.gen AS pos,
+               array_to_string(w[i.gen + 1 : i.gen + {SPAN_K}], ' ') AS sh
+        FROM words, unnest(generate_series(0, len(w) - {SPAN_K})) AS i(gen)
+        WHERE len(w) >= {SPAN_K}
+    ),
+    dup AS (
+        SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT doc_id,
+               LEAST({SPAN_K},
+                     pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               ) AS c
+        FROM sh JOIN dup USING (sh)
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(COALESCE(c, {SPAN_K})) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS total_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(w.w) AS dup_ratio
+    FROM words w LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def d3_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-duplication coverage: the fraction of each
+    document's tokens covered by some K-token window that also occurs
+    verbatim in another document. The curation signal the substring-dedup
+    pass cuts on (docs above a dup_ratio threshold get their spans
+    clipped or are dropped)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), _WS).alias("w")
+    )
+    sh = words.where(F.size("w") >= SPAN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - SPAN_K),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, SPAN_K))),
+            )
+        ).alias("pos", "shk"),
+    )
+    dup = (
+        sh.groupBy("shk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shk")
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        sh.join(dup, "shk")
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(SPAN_K), F.col("pos") - F.lag("pos").over(wlag)
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("c", F.lit(SPAN_K))).alias("dup_tokens"))
+    )
+    return (
+        words.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("total_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.size("w")
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
