@@ -120,6 +120,13 @@ _DEMOTED = [
     # exact substring-duplication coverage): d2 holds a green r07 row,
     # and d3 now represents the documents-dedup family in-window.
     "d2_jaccard_scoring",
+    # Keeper slots yielded mid-r08 to x16_bm25_topk and
+    # x17_unigram_surprisal (NEW — retrieval + LM-score family): both
+    # yielding queries hold green r07 rows, and their families stay
+    # swept by the fuzz corpus (set ops) / remain locally
+    # oracle-checked every session (recursive CTE).
+    "q12_intersect_all",
+    "q30_recursive_hierarchy",
 ]
 
 

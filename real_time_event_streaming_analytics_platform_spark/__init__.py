@@ -19,6 +19,7 @@ from .operators import relational as _relational  # noqa: F401  Q-series
 from .functions import dedup as _dedup  # noqa: F401  north-star dedup
 from .functions import similarity as _similarity  # noqa: F401  ANN
 from .functions import text as _text  # noqa: F401  text analysis
+from .functions import retrieval as _retrieval  # noqa: F401  BM25 + LM score
 from .functions import multimodal as _multimodal  # noqa: F401
 from .functions import pipeline as _pipeline  # noqa: F401  corpus assembly
 from .functions import sketches as _sketches  # noqa: F401  mergeable HLL

@@ -1,0 +1,234 @@
+"""Lexical retrieval + statistical language-model scoring over the
+documents table — the two corpus-level text tools a training-data
+pipeline needs beyond per-document heuristics (functions/text.py):
+
+- BM25 top-k retrieval (Robertson & Spärck Jones / Lucene's positive-idf
+  variant — public): rank documents against a query set. Curation
+  pipelines use exactly this shape for targeted quality audits and for
+  retrieval-based decontamination sweeps (find the training docs that
+  score highest against a benchmark prompt).
+- Unigram-surprisal scoring (the CCNet-style statistical LM filter,
+  Wenzek et al. 2020, arXiv:1911.00359 — public, with the corpus's own
+  unigram distribution standing in for the external KenLM): documents
+  whose mean token surprisal is extreme on either end are boilerplate
+  (too predictable) or garbage (too surprising).
+
+Scale shape (both ops): tokenize once — explode to (doc_id, token)
+postings and aggregate; every stage is a linear content-keyed shuffle
+(term stats group by token, document stats group by doc_id). The query
+side of BM25 is a literal VALUES relation joined INTO the postings on
+the token key — at 100 TB the term join prunes the postings to query
+terms only (a broadcast semi-join over a few dozen terms), so scoring
+cost is proportional to matching postings, never corpus × queries.
+Corpus-level scalars (N, avgdl, total tokens) are single aggregate rows
+broadcast back with a cross join — the deliberate broadcast-scalar
+pattern used across the relational battery.
+
+The reference has no retrieval surface; this extends its text-analytics
+role (SURVEY.md LLM-pipeline section) the same way the dedup/ANN
+families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.registry import query
+
+# Tokenizer shared by both ops; the explicit character class keeps Java
+# regex (Spark) and RE2 (DuckDB oracle) semantics identical.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+_K1 = 1.2
+_B = 0.75
+_TOP_K = 10
+
+# Fixed literal query set over the synthetic corpus vocabulary. A
+# production run would load these from a driver-side benchmark/prompt
+# file; they are a broadcast-sized relation either way.
+_BM25_QUERIES = [
+    (1, "stream"), (1, "join"), (1, "window"),
+    (2, "hash"), (2, "table"), (2, "scan"),
+    (3, "batch"), (3, "merge"), (3, "vector"),
+]
+
+_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+def _round4(col):
+    """Cross-engine-deterministic ROUND(x, 4) (floor form, like
+    helpers.round2); scores here are finite and positive."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, t) postings: lowercase, split on non-alphanumerics."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+
+
+@query(
+    "x16_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    q(qid, term) AS (VALUES {_QUERY_VALUES}),
+    scored AS (
+        SELECT q.qid, tf.doc_id,
+               SUM(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+               ) AS s
+        FROM q
+        JOIN tf ON tf.t = q.term
+        JOIN df ON df.t = q.term
+        JOIN dl ON dl.doc_id = tf.doc_id, stats
+        GROUP BY q.qid, tf.doc_id
+    ),
+    ranked AS (
+        SELECT qid, doc_id, floor(s * 10000 + 0.5) / 10000 AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY floor(s * 10000 + 0.5) / 10000 DESC, doc_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT qid, rnk, doc_id, score FROM ranked
+    WHERE rnk <= {_TOP_K} ORDER BY qid, rnk
+    """,
+)
+def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents per query. Ties break on the quantized
+    score then doc_id, so both engines produce the identical ranking."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
+    # Fold the corpus-sized df table down to the query terms FIRST (a
+    # broadcast of the few-row query relation), so what reaches the huge
+    # postings table is a ≤len(queries)-row broadcast — the postings are
+    # pruned map-side and never shuffle on the term key.
+    qdf = df_.join(F.broadcast(q), df_["t"] == q["term"]).select(
+        "qid", "term", "df"
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf
+        * F.col("tf") * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), tf["t"] == F.col("term"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        _round4(F.col("s")).desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "qid",
+            F.row_number().over(w).alias("rnk"),
+            "doc_id",
+            _round4(F.col("s")).alias("score"),
+        )
+        .where(F.col("rnk") <= _TOP_K)
+        .orderBy("qid", "rnk")
+    )
+
+
+@query(
+    "x17_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT count(*) AS n FROM tok),
+    per_doc AS (
+        SELECT tok.doc_id, count(*) AS n_tokens,
+               SUM(ln(CAST(tot.n AS DOUBLE) / cnt.c)) / count(*) AS nll
+        FROM tok JOIN cnt USING (t), tot
+        GROUP BY tok.doc_id
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               floor(nll * 10000 + 0.5) / 10000 AS avg_surprisal
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, avg_surprisal,
+           NTILE(4) OVER (ORDER BY avg_surprisal, doc_id) AS quartile
+    FROM q ORDER BY doc_id
+    """,
+)
+def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal (−ln p̂(t), nats) per document under the
+    corpus's own unigram distribution, plus the corpus quartile — the
+    CCNet head/middle/tail split cuts on exactly this ordering (its
+    external KenLM replaced by the self-estimated unigram model).
+
+    The global NTILE is the oracle-exact form; at 100 TB the quartile
+    column comes from approxQuantile cut points joined back broadcast
+    (no global sort) — same substitution the percentile family
+    documents (operators/reference.py R6 vs its approx twin)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    # cnt is vocabulary-sized: small enough for AQE to auto-broadcast at
+    # test SFs, but NOT hinted — at 100 TB the vocabulary outgrows a
+    # broadcast and the correct plan is the content-keyed shuffle join.
+    per_doc = (
+        tok.join(cnt, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum(F.log(F.col("n").cast("double") / F.col("c")))
+                / F.count("*")
+            ).alias("nll"),
+        )
+    )
+    w = Window.orderBy(F.col("avg_surprisal"), F.col("doc_id"))
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            _round4(F.col("nll")).alias("avg_surprisal"),
+        )
+        .select("*", F.ntile(4).over(w).alias("quartile"))
+        .orderBy("doc_id")
+    )
