@@ -690,3 +690,63 @@ def test_fuzzed_aggregate_modifiers_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_order_limit_match_duckdb(spark, views):
+    """ORDER BY / LIMIT / OFFSET sweep with EXPLICIT NULLS FIRST/LAST.
+
+    Sort-boundary semantics are the one family where the engines'
+    DEFAULTS genuinely diverge (Spark: NULLS FIRST for ASC / LAST for
+    DESC; DuckDB: NULLS LAST everywhere) — every handwritten top-k
+    query (q11, q31) therefore pins explicit null ordering, and this
+    sweep fuzzes that convention: derived null-bearing sort keys (via
+    NULLIF over modulo-compressed values, planting both NULLs and
+    heavy ties), random direction x null-placement per key, and a
+    LIMIT/OFFSET window cut into the tied region. The trailing
+    unique-key tiebreak makes the selected subset deterministic, so
+    the order-insensitive compare is exact: any divergence in null
+    placement or offset arithmetic changes WHICH rows survive the
+    LIMIT, not just their order."""
+    rng = random.Random(271828)
+    uniq = {
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+    }
+    failures = []
+    for case in range(16):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        key = uniq[table]
+        sort_terms, proj = [], []
+        for i in range(rng.randint(1, 2)):
+            if rng.random() < 0.7:
+                n = rng.choice(nums)
+                mod = rng.choice([3, 5, 11])
+                null_at = rng.randint(0, mod - 1)
+                # FLOOR before the integer cast: CAST(DOUBLE AS BIGINT)
+                # truncates toward zero in Spark but rounds half-away
+                # in DuckDB — FLOOR is the dialect-portable form (found
+                # by this sweep's first run, case 3)
+                proj.append(
+                    f"NULLIF(CAST(FLOOR({n}) AS BIGINT) % {mod}, {null_at}) AS s{i}"
+                )
+            else:
+                s = rng.choice(strs)
+                proj.append(
+                    f"NULLIF(SUBSTR(CAST({s} AS STRING), 1, 2), 'cl') AS s{i}"
+                )
+            direction = rng.choice(["ASC", "DESC"])
+            nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+            sort_terms.append(f"s{i} {direction} {nulls}")
+        limit = rng.randint(5, 40)
+        offset = rng.choice([0, 0, rng.randint(1, 25)])
+        tail = f"LIMIT {limit}" + (f" OFFSET {offset}" if offset else "")
+        sql = (
+            f"SELECT {key}, {', '.join(proj)} FROM {table} "
+            f"ORDER BY {', '.join(sort_terms)}, {key} {tail}"
+        )
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
