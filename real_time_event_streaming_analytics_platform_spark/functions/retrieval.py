@@ -121,17 +121,23 @@ def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score then doc_id, so both engines produce the identical ranking."""
     docs = load(spark, sf_dir, "documents")
     tok = tokens(docs)
-    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    # Query terms are literals, so the prune is a map-side isin BELOW
+    # the (doc_id, t) aggregation: only query-term postings ever enter
+    # the tf/df shuffles — corpus-sized token traffic is confined to
+    # the per-doc length branch (an unavoidable groupBy doc_id; at
+    # 100 TB dl is the precomputed doc-stats table a pipeline keeps).
+    terms = sorted({t for _, t in _BM25_QUERIES})
+    tf = (
+        tok.where(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
     q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
-    # Fold the corpus-sized df table down to the query terms FIRST (a
-    # broadcast of the few-row query relation), so what reaches the huge
-    # postings table is a ≤len(queries)-row broadcast — the postings are
-    # pruned map-side and never shuffle on the term key.
     qdf = df_.join(F.broadcast(q), df_["t"] == q["term"]).select(
         "qid", "term", "df"
     )
@@ -206,7 +212,8 @@ def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = tokens(docs)
     cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
-    tot = tok.agg(F.count("*").alias("n"))
+    # total-token scalar derives from cnt (one less tokenize pass)
+    tot = cnt.agg(F.sum("c").alias("n"))
     # cnt is vocabulary-sized: small enough for AQE to auto-broadcast at
     # test SFs, but NOT hinted — at 100 TB the vocabulary outgrows a
     # broadcast and the correct plan is the content-keyed shuffle join.
