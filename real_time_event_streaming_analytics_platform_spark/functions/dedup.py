@@ -725,18 +725,23 @@ def d3_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in another document. The curation signal the substring-dedup
     pass cuts on (docs above a dup_ratio threshold get their spans
     clipped or are dropped)."""
+    return substring_dup_spans(load(spark, sf_dir, "documents"))
+
+
+def substring_dup_spans(docs: DataFrame, span_k: int = SPAN_K) -> DataFrame:
+    """The d3 plan over any (doc_id, text) frame; see the block comment
+    above for the two-shuffle scale shape."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), _WS).alias("w")
     )
-    sh = words.where(F.size("w") >= SPAN_K).select(
+    sh = words.where(F.size("w") >= span_k).select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.size("w") - SPAN_K),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, SPAN_K))),
+                F.sequence(F.lit(0), F.size("w") - span_k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, span_k))),
             )
         ).alias("pos", "shk"),
     )
@@ -752,11 +757,11 @@ def d3_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.least(
-                F.lit(SPAN_K), F.col("pos") - F.lag("pos").over(wlag)
+                F.lit(span_k), F.col("pos") - F.lag("pos").over(wlag)
             ).alias("c"),
         )
         .groupBy("doc_id")
-        .agg(F.sum(F.coalesce("c", F.lit(SPAN_K))).alias("dup_tokens"))
+        .agg(F.sum(F.coalesce("c", F.lit(span_k))).alias("dup_tokens"))
     )
     return (
         words.join(per_doc, "doc_id", "left")

@@ -844,3 +844,32 @@ def test_x15_semdedup_kept_set_is_valid_and_deterministic(spark):
     a = sorted(map(tuple, engine.QUERIES["x15_semdedup"](spark, SF_DIR).collect()))
     b = sorted(map(tuple, engine.QUERIES["x15_semdedup"](spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_d3_substring_dup_span_union_arithmetic(spark):
+    """Planted verbatim run: two docs share a 10-token substring (and
+    nothing else), a third is fully unique, a fourth is shorter than
+    the shingle width. The shared run yields 3 overlapping 8-token
+    shingles whose interval union must count exactly 10 tokens in EACH
+    sharing doc — pinning the LEAST(K, pos - lag(pos)) span-union
+    arithmetic — while unique and short docs report zero coverage."""
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        substring_dup_spans,
+    )
+
+    run = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, "a0 a1 a2 a3 a4 " + run + " a5 a6 a7"),
+            (1, "b0 b1 " + run + " b2 b3 b4 b5 b6"),
+            (2, " ".join(f"c{i}" for i in range(20))),
+            (3, "d0 d1 d2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dup_spans(docs).collect()}
+    assert rows[0]["total_tokens"] == 18 and rows[0]["dup_tokens"] == 10
+    assert rows[1]["total_tokens"] == 17 and rows[1]["dup_tokens"] == 10
+    assert rows[2]["dup_tokens"] == 0
+    assert rows[3]["total_tokens"] == 3 and rows[3]["dup_tokens"] == 0
+    assert abs(rows[0]["dup_ratio"] - 10 / 18) < 1e-12
