@@ -536,6 +536,11 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             "t2_quality_score",
             "x2_minhash_near_dup",
             "x3c_ann_ivf",
+            # r08 text-path additions: the shingle-posting (d3) and
+            # postings-prune (x16) shapes — both claimed linear in
+            # corpus tokens; the factor is the evidence
+            "d3_substring_dup_spans",
+            "x16_bm25_topk",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}
