@@ -127,6 +127,11 @@ _DEMOTED = [
     # oracle-checked every session (recursive CTE).
     "q12_intersect_all",
     "q30_recursive_hierarchy",
+    # Keeper slot yielded mid-r08 to x18_chunk_overlap (NEW — the
+    # overlapping token-window chunker; new queries always enter the
+    # window): q21 holds a green r07 row, and x18 itself exercises the
+    # same sequence/explode/slice array surface in-window.
+    "q21_array_explode",
 ]
 
 

@@ -683,3 +683,98 @@ def x10_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X18 — overlapping token-window chunking: split each document into
+# fixed-size token windows with a stride smaller than the window, the
+# standard RAG-indexing / long-context-pretraining chunk layout (every
+# token belongs to >= 1 chunk; boundary context is preserved by the
+# overlap). Per-document work only: tokenize once, explode the chunk
+# starts, slice the bound word array — a Generate+Project that fuses
+# under whole-stage codegen with NO shuffle until the final
+# presentation sort. At 100 TB this is a pure map stage: chunks inherit
+# the scan's partitioning, and the md5 chunk ids give downstream
+# dedup/indexing a fixed-width join key instead of chunk text.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # window W
+CHUNK_STRIDE = 24  # stride S < W -> (W - S)-token overlap between chunks
+
+
+@query(
+    "x18_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w != '') AS words
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, words, len(words) AS n,
+               UNNEST(generate_series(0,
+                   CASE WHEN len(words) <= {CHUNK_TOKENS} THEN 0
+                        ELSE CAST(FLOOR((len(words) - {CHUNK_TOKENS}
+                                         + {CHUNK_STRIDE} - 1) * 1.0
+                                        / {CHUNK_STRIDE}) AS BIGINT)
+                   END)) AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS},
+                      n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+               words[chunk_idx * {CHUNK_STRIDE} + 1 :
+                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+               ' ')) AS chunk_hash
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def x18_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunker over ``documents``.
+
+    Chunk k covers tokens [k*S + 1, k*S + W] (1-based), k = 0 ..
+    ceil((n - W) / S) (a single chunk when n <= W); the last chunk may
+    be shorter. Emits (doc_id, chunk_idx, start_tok, n_tok, chunk_hash)
+    where chunk_hash = md5 of the space-joined chunk words — the
+    fixed-width identity downstream chunk-level dedup (t7) and ANN
+    indexing key on. Reference analog: the reference's services chunk
+    payloads per record before indexing; here the chunker is expressed
+    as sequence+explode+slice so Catalyst fuses it into the scan stage.
+    """
+    from .._shingle import WORDS_EXPR, _parallelize
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    docs = _parallelize(load(spark, sf_dir, "documents"))
+    bound = docs.withColumn("_words", F.expr(WORDS_EXPR)).withColumn(
+        "_n", F.expr("size(_words)")
+    )
+    # sequence(0, K): K = 0 for short docs; integer ceil via (+S-1)/S.
+    ks = F.expr(
+        f"""
+        sequence(0, CASE WHEN _n <= {W} THEN 0L
+                         ELSE CAST(floor((_n - {W} + {S} - 1) * 1.0
+                                         / {S}) AS BIGINT) END)
+        """
+    )
+    return (
+        bound.select(
+            "doc_id", "_words", "_n", F.explode(ks).alias("chunk_idx")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * S + 1).cast("bigint").alias("start_tok"),
+            F.least(F.lit(W), F.col("_n") - F.col("chunk_idx") * S)
+            .cast("bigint")
+            .alias("n_tok"),
+            F.md5(
+                F.expr(f"concat_ws(' ', slice(_words, chunk_idx * {S} + 1, {W}))")
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
