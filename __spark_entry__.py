@@ -132,6 +132,11 @@ _DEMOTED = [
     # window): q21 holds a green r07 row, and x18 itself exercises the
     # same sequence/explode/slice array surface in-window.
     "q21_array_explode",
+    # Keeper slot yielded mid-r08 to x19_bigram_surprisal (NEW — the
+    # context-sensitive LM filter): q15 holds a green r07 row and the
+    # correlated-subquery family stays swept by the 24-case subquery
+    # fuzz corpus.
+    "q15_correlated_subquery",
 ]
 
 

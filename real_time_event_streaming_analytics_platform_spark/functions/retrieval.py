@@ -239,3 +239,100 @@ def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.ntile(4).over(w).alias("quartile"))
         .orderBy("doc_id")
     )
+
+
+# Add-k smoothing constant for the bigram model; 0.5 is the Jeffreys
+# prior, the standard choice when the model is self-estimated.
+_BIGRAM_K = 0.5
+
+_WORDS_SQL = f"filter(split(lower(trim(text)), '{_TOKEN_SPLIT}'), w -> w != '')"
+
+
+@query(
+    "x19_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}'),
+                           w -> w != '') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    cc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1),
+    voc AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(ws) AS t FROM toks)),
+    per_doc AS (
+        SELECT p.doc_id, count(*) AS n_bigrams,
+               SUM(ln((CAST(cc.c1 AS DOUBLE) + {_BIGRAM_K} * voc.v)
+                      / (CAST(bc.c2 AS DOUBLE) + {_BIGRAM_K}))) / count(*) AS nll
+        FROM pairs p JOIN bc USING (w1, w2) JOIN cc USING (w1), voc
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           floor(nll * 10000 + 0.5) / 10000 AS avg_surprisal
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram surprisal per document: −ln P̂(w2|w1) averaged over a
+    document's adjacent token pairs, with add-k (k=0.5) smoothing over
+    the corpus's own bigram counts — the context-sensitive upgrade of
+    x17's unigram filter. A document of individually-common tokens in
+    an improbable ORDER (shuffled boilerplate, spam keyword salads)
+    scores high here while passing the unigram screen.
+
+    Scale shape: pair postings come from one transform(sequence)+explode
+    over the bound word array (a Generate the scan stage absorbs);
+    bigram counts group by (w1, w2) and context counts by w1 — linear
+    content-keyed shuffles, like x16/x17's postings. The count joins are
+    deliberately NOT broadcast-hinted: the bigram table scales with
+    corpus vocabulary² and outgrows a broadcast at 100 TB, so the
+    shuffle join IS the scale plan (AQE may still broadcast at test
+    SFs). The vocabulary size V is a single scalar (broadcast cross
+    join, the battery's broadcast-scalar pattern). Docs with < 2 tokens
+    have no bigrams and are excluded by both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
+    pairs = (
+        bound.where(F.expr("size(_ws) >= 2"))
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(_ws) - 1),"
+                " i -> struct(_ws[i-1] AS w1, _ws[i] AS w2)))"
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    voc = (
+        bound.select(F.explode("_ws").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    surprisal = F.log(
+        (F.col("c1").cast("double") + _BIGRAM_K * F.col("v"))
+        / (F.col("c2").cast("double") + _BIGRAM_K)
+    )
+    return (
+        pairs.join(bc, ["w1", "w2"])
+        .join(cc, ["w1"])
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum(surprisal) / F.count("*")).alias("nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            _round4(F.col("nll")).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

@@ -179,3 +179,23 @@ def test_q38_customer_fk_side_is_broadcast(spark, sf_dir):
 
     bcast_joins = re.findall(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
     assert any("o_custkey" in l for l, r in bcast_joins), bcast_joins
+
+
+def test_x19_flags_scrambled_token_order(spark, tmpdir):
+    """x19's whole point vs the unigram filter (x17): a document built
+    from individually-common tokens in an IMPROBABLE ORDER must score
+    higher than the naturally-ordered docs that dominate the corpus.
+    Ten docs repeat the bigram pattern a→b→c→d; the salad doc uses the
+    exact same unigram profile but an order whose bigrams are unique to
+    it, so every one of its pairs has count 1 + smoothing."""
+    natural = "a b c d " * 8
+    salad = "a c b d " * 8  # same tokens/counts, bigrams ac/cb/bd rare
+    rows = [(i, natural, "en", "s", len(natural)) for i in range(10)]
+    rows.append((99, salad, "en", "s", len(salad)))
+    rows.append((100, "solo", "en", "s", 4))  # 1 token -> no bigrams
+    sf = _write_documents(spark, tmpdir, rows)
+    out = {r.doc_id: r for r in QUERIES["x19_bigram_surprisal"](spark, sf).collect()}
+    assert 100 not in out  # <2 tokens excluded by both engines
+    assert out[99].n_bigrams == 31  # 32 tokens -> n-1 pairs
+    worst_natural = max(out[i].avg_surprisal for i in range(10))
+    assert out[99].avg_surprisal > worst_natural
