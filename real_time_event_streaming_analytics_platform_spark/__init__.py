@@ -24,6 +24,7 @@ from .functions import multimodal as _multimodal  # noqa: F401
 from .functions import pipeline as _pipeline  # noqa: F401  corpus assembly
 from .functions import sketches as _sketches  # noqa: F401  mergeable HLL
 from .functions import quality as _quality  # noqa: F401  data-quality checks
+from .functions import vocab as _vocab  # noqa: F401  BPE vocab induction
 from .streaming import entries as _streaming_entries  # noqa: F401
 
 __all__ = ["SessionFactory", "get_spark", "QUERIES", "ORACLE"]
