@@ -750,3 +750,60 @@ def test_fuzzed_order_limit_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_regexp_functions_match_duckdb(spark, views):
+    """Regexp sweep: the text/dedup/retrieval family rides on regex
+    splitting and extraction, where the engines use DIFFERENT regex
+    machines (Spark: java.util.regex; DuckDB: RE2) — this sweep pins
+    the shared-semantics subset those operators must stay inside.
+    Portability constraints baked into the generator: no lookaround or
+    backreferences (RE2 lacks them), and every regexp_replace pattern
+    is ANCHORED (^ or $) so at most one match exists — DuckDB replaces
+    only the FIRST match by default while Spark replaces ALL, so
+    unanchored replace over identical SQL text is a known divergence,
+    not a target. regexp_extract group indices are always explicit
+    (idx 0 = whole match, both engines; no-match yields '' in both)."""
+    rng = random.Random(16180)
+    uniq = {
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+    }
+    classes = ["[0-9]+", "[a-z]+", "[a-z0-9]+", "[^a-z]+", "[aeiou]"]
+    failures = []
+    for case in range(16):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        key = uniq[table]
+        exprs = []
+        for i in range(rng.randint(2, 3)):
+            s = rng.choice(strs)
+            src = f"CAST({s} AS STRING)"
+            kind = rng.choice(["extract", "extract_grp", "replace", "len_sub"])
+            cls = rng.choice(classes)
+            if kind == "extract":
+                exprs.append(f"regexp_extract({src}, '{cls}', 0) AS e{i}")
+            elif kind == "extract_grp":
+                # two adjacent capture groups; explicit group index
+                g = rng.randint(1, 2)
+                exprs.append(
+                    f"regexp_extract({src}, '([a-z]+)([^a-z]*)', {g}) AS e{i}"
+                )
+            elif kind == "replace":
+                anchor = rng.choice(["^", "$"])
+                pat = f"^{cls}" if anchor == "^" else f"{cls}$"
+                exprs.append(
+                    f"regexp_replace({src}, '{pat}', '#') AS e{i}"
+                )
+            else:
+                # regex-derived length arithmetic: composes extract
+                # with the scalar surface
+                exprs.append(
+                    f"LENGTH(regexp_extract({src}, '{cls}', 0)) AS e{i}"
+                )
+        sql = f"SELECT {key}, {', '.join(exprs)} FROM {table} ORDER BY {key}"
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
