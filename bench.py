@@ -541,6 +541,10 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             # corpus tokens; the factor is the evidence
             "d3_substring_dup_spans",
             "x16_bm25_topk",
+            # bigram LM: pair postings are linear in corpus tokens but
+            # the count tables grow with OBSERVED vocabulary² — the
+            # factor shows which term dominates at this corpus shape
+            "x19_bigram_surprisal",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}
