@@ -137,6 +137,11 @@ _DEMOTED = [
     # correlated-subquery family stays swept by the 24-case subquery
     # fuzz corpus.
     "q15_correlated_subquery",
+    # Keeper slot yielded mid-r08 to q41_stat_aggregates (NEW — the
+    # corr/covar/regr/skew/kurt statistical family): q09b holds a green
+    # r07 row and the analytic-function family is now swept by the
+    # 26-case window-frame fuzz corpus.
+    "q09b_analytic_funcs",
 ]
 
 

@@ -32,9 +32,11 @@ from .helpers import (
     davg,
     dsum,
     fmt_ts,
+    quant6,
     round2,
     sql_davg,
     sql_dsum,
+    sql_quant6,
     sql_round2,
 )
 
@@ -1778,3 +1780,81 @@ def q40_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.unionByName(inserts).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q41 — statistical aggregate surface: correlation, covariance, linear
+# regression (slope/intercept/r2/count), spread, and distribution shape
+# (skewness/kurtosis) per group. The reference's alert/read services
+# compute mean/stddev bands in SQL (services/alert-service/main.py:338-344);
+# this is the rest of the SQL-standard statistical family a cold-store
+# analyst would reach for on the same table.
+#
+# All of these are single-pass mergeable moment aggregates: each is a
+# partial-final plan over (n, Σx, Σxy, Σx², Σx³, Σx⁴) map-side combines,
+# so the one shuffle carries 3 groups × a dozen doubles — the plan is
+# scale-free in the fact-table size.
+#
+# Cross-engine definition bridge: Spark's skewness/kurtosis are the
+# POPULATION moments (g1 = m3/m2^1.5, excess g2 = m4/m2² − 3) while
+# DuckDB's are the bias-corrected SAMPLE statistics (G1, G2). The query
+# converts Spark's g to sample G explicitly:
+#     G1 = g1 · sqrt(n(n−1)) / (n−2)
+#     G2 = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6)
+# so both engines emit the same estimator. O(1)-magnitude outputs
+# (corr, r2, skewness, kurtosis) quantize at 1e-6; large-magnitude ones
+# (covariance, variance, stddev, slope, intercept) at 1e-2 —
+# quantization absorbs the merge-order ULP noise of parallel moment
+# accumulation (helpers.py scheme).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_stat_aggregates",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_quant6('corr(l_quantity, l_extendedprice)')} AS corr_qty_price,
+           {sql_round2('covar_samp(l_quantity, l_extendedprice)')} AS covar_s,
+           {sql_round2('covar_pop(l_quantity, l_extendedprice)')} AS covar_p,
+           {sql_round2('stddev_samp(l_extendedprice)')} AS sd_price,
+           {sql_round2('var_samp(l_extendedprice)')} AS var_price,
+           {sql_quant6('skewness(l_extendedprice)')} AS skew_price,
+           {sql_quant6('kurtosis(l_extendedprice)')} AS kurt_price,
+           {sql_round2('regr_slope(l_extendedprice, l_quantity)')} AS slope,
+           {sql_round2('regr_intercept(l_extendedprice, l_quantity)')} AS intercept,
+           {sql_quant6('regr_r2(l_extendedprice, l_quantity)')} AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q41_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    n = F.count("l_extendedprice")
+    g1 = F.skewness("l_extendedprice")
+    g2 = F.kurtosis("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            quant6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            round2(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_s"),
+            round2(F.covar_pop("l_quantity", "l_extendedprice")).alias("covar_p"),
+            round2(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+            round2(F.var_samp("l_extendedprice")).alias("var_price"),
+            # population -> sample bias correction (see block comment)
+            quant6(g1 * F.sqrt(n * (n - 1)) / (n - 2)).alias("skew_price"),
+            quant6(
+                (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+            ).alias("kurt_price"),
+            round2(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+            round2(F.regr_intercept("l_extendedprice", "l_quantity")).alias(
+                "intercept"
+            ),
+            quant6(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
