@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.helpers import round2
 from ..plans.registry import query
 
 N_MERGES = 8
@@ -124,4 +125,62 @@ def x20_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_merges(spark, word_freq(docs))
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_freq bigint"
+    )
+
+
+def encode_words(words: DataFrame, merges) -> DataFrame:
+    """Apply a trained merge list to every DISTINCT word — the encode
+    side of the tokenizer. Merges apply in rank order, each as the same
+    greedy left-to-right fold the trainer used, so a training-corpus
+    word encodes to exactly the trainer's final symbol state.
+
+    Scale shape: this job is VOCABULARY-sized (the corpus never sees
+    the merge folds). Returns (word, toks array, n_toks)."""
+    syms = _initial_symbols(words.select("word").withColumn("freq", F.lit(1)))
+    for m in merges:
+        a, b = m[1], m[2]
+        syms = syms.select("word", "freq", F.expr(_merge_expr(a, b)).alias("syms"))
+    return syms.select(
+        "word", F.col("syms").alias("toks"), F.size("syms").alias("n_toks")
+    )
+
+
+@query("x22_bpe_encode")
+def x22_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the corpus's own induced BPE vocabulary
+    — the apply step that turns x20's merge table into per-document
+    token statistics (the pretraining-cost estimator: BPE token counts,
+    not whitespace counts, are what a token budget is denominated in).
+
+    Plan: ONE corpus pass explodes words; the merge folds run on the
+    DISTINCT word table only; a word-keyed shuffle join carries each
+    word's encoded length back to the corpus (deliberately NOT
+    broadcast-hinted — the word vocabulary outgrows broadcast at
+    100 TB, same doctrine as x19's count joins); one groupBy rolls up
+    per-document totals. Rows-only (the induction is iterative);
+    encode parity vs a pure-Python replay is pinned in
+    tests/test_vocab_bpe.py."""
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_merges(spark, word_freq(docs))
+    words = docs.select(
+        "doc_id", F.explode(F.expr(_WORDS_SQL)).alias("word")
+    )
+    enc = encode_words(words.select("word").distinct(), merges)
+    return (
+        words.join(enc.select("word", "n_toks"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_word_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            round2(
+                F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
     )

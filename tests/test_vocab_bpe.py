@@ -91,3 +91,61 @@ def test_x20_stops_when_no_pairs_remain(spark):
     merges = bpe_merges(spark, wf, 5)
     assert merges == _reference_bpe({"a": 3}, 5)
     assert len(merges) == 1  # (a, </w>) then nothing left
+
+
+def _reference_encode(word: str, merges) -> tuple[str, ...]:
+    """Apply the merge list in rank order with the same greedy scan."""
+    s = list(word) + [END_MARK]
+    for m in merges:
+        a, b = m[1], m[2]
+        acc = []
+        for tok in s:
+            if acc and acc[-1] == a and tok == b:
+                acc[-1] = a + b
+            else:
+                acc.append(tok)
+        s = acc
+    return tuple(s)
+
+
+def test_x22_encode_matches_reference_tokenization(spark):
+    """encode_words must emit, per distinct word, exactly the token
+    sequence the rank-order greedy replay produces — and every emitted
+    token must be a trained merge product, a single char, or the end
+    marker (no partial merges leak)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.vocab import (
+        encode_words,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    wf = word_freq(docs)
+    merges = bpe_merges(spark, wf, N_MERGES)
+    words = wf.select("word").orderBy(F.xxhash64("word")).limit(60)
+    got = {r["word"]: tuple(r["toks"]) for r in encode_words(words, merges).collect()}
+    legal = {m[3] for m in merges} | {END_MARK}
+    for w in got:
+        assert got[w] == _reference_encode(w, merges), w
+        assert all(t in legal or len(t) == 1 for t in got[w]), (w, got[w])
+
+
+def test_x22_doc_totals_match_reference(spark):
+    """The registered per-document rollup: n_bpe_tokens must equal the
+    sum of reference-encoded word lengths over the doc's words."""
+    import re
+
+    docs = load(spark, SF_DIR, "documents")
+    merges = bpe_merges(spark, word_freq(docs), N_MERGES)
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in QUERIES["x22_bpe_encode"](spark, SF_DIR).collect()
+    }
+    sample = docs.select("doc_id", "text").orderBy("doc_id").limit(25).collect()
+    cache: dict[str, int] = {}
+    for r in sample:
+        words = [w for w in re.split(r"[^a-z0-9]+", r["text"].lower().strip()) if w]
+        for w in words:
+            if w not in cache:
+                cache[w] = len(_reference_encode(w, merges))
+        n_words, n_toks = rows[r["doc_id"]]
+        assert n_words == len(words), r["doc_id"]
+        assert n_toks == sum(cache[w] for w in words), r["doc_id"]
