@@ -807,3 +807,114 @@ def test_fuzzed_regexp_functions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_array_functions_match_duckdb(spark, views):
+    """Array / higher-order-function sweep: the dedup/retrieval/vocab
+    operators (d3 shingles, x16 postings, x18 chunker, x20/x22 BPE
+    folds) all ride on split → transform/filter/aggregate pipelines.
+    The two engines name these differently (Spark transform/filter/
+    aggregate/size vs DuckDB list_transform/list_filter/list_sum/len),
+    so this sweep generates PAIRED dialect texts from one template —
+    same shape, mapped function names — and compares results. Mapped
+    divergences baked into the generator: DuckDB list_sum returns NULL
+    on empty lists (Spark's fold returns the init) → COALESCE on the
+    duck side; list_distinct does not preserve first-occurrence order
+    (Spark array_distinct does) → distinct only under count or sort;
+    out-of-range indexing uses try_element_at (Spark ANSI mode throws)
+    vs list_extract (NULL in DuckDB)."""
+    import random as _random
+
+    load(spark, SF_DIR, "documents").createOrReplaceTempView("documents")
+    rng = _random.Random(31415)
+    srcs = {
+        "events": ("event_id", ["props", "event_type"], "value"),
+        "documents": ("doc_id", ["text", "source"], "n_chars"),
+    }
+
+    def base(col):
+        s = f"lower(CAST({col} AS STRING))"
+        return (
+            f"filter(split({s}, '[^a-z0-9]+'), x -> x != '')",
+            f"list_filter(string_split_regex({s}, '[^a-z0-9]+'), x -> x != '')",
+        )
+
+    def gen_op(i, A_s, A_d, num):
+        kind = rng.choice(
+            ["len_fold", "long_words", "sorted_join", "distinct_n",
+             "contains", "head_join", "elem", "seq_sum", "rev_join", "max_len"]
+        )
+        if kind == "len_fold":
+            return (
+                f"aggregate(transform({A_s}, x -> length(x)), 0L,"
+                f" (acc, x) -> acc + x) AS e{i}",
+                f"COALESCE(CAST(list_sum(list_transform({A_d},"
+                f" x -> length(x))) AS BIGINT), 0) AS e{i}",
+            )
+        if kind == "long_words":
+            c = rng.randint(2, 6)
+            return (
+                f"size(filter({A_s}, x -> length(x) >= {c})) AS e{i}",
+                f"len(list_filter({A_d}, x -> length(x) >= {c})) AS e{i}",
+            )
+        if kind == "sorted_join":
+            return (
+                f"array_join(array_sort({A_s}), '-') AS e{i}",
+                f"array_to_string(list_sort({A_d}, 'ASC'), '-') AS e{i}",
+            )
+        if kind == "distinct_n":
+            return (
+                f"size(array_distinct({A_s})) AS e{i}",
+                f"len(list_distinct({A_d})) AS e{i}",
+            )
+        if kind == "contains":
+            w = rng.choice(["a", "the", "data", "click", "0"])
+            return (
+                f"array_contains({A_s}, '{w}') AS e{i}",
+                f"list_contains({A_d}, '{w}') AS e{i}",
+            )
+        if kind == "head_join":
+            k = rng.randint(1, 4)
+            return (
+                f"array_join(slice({A_s}, 1, {k}), '.') AS e{i}",
+                f"array_to_string(list_slice({A_d}, 1, {k}), '.') AS e{i}",
+            )
+        if kind == "elem":
+            j = rng.randint(1, 5)
+            return (
+                f"try_element_at({A_s}, {j}) AS e{i}",
+                f"list_extract({A_d}, {j}) AS e{i}",
+            )
+        if kind == "seq_sum":
+            n = f"CAST(FLOOR(abs({num})) AS BIGINT) % 7 + 1"
+            return (
+                f"aggregate(sequence(1, {n}), 0L, (acc, x) -> acc + x) AS e{i}",
+                f"COALESCE(CAST(list_sum(generate_series(1, {n})) AS BIGINT), 0)"
+                f" AS e{i}",
+            )
+        if kind == "rev_join":
+            return (
+                f"array_join(reverse({A_s}), '|') AS e{i}",
+                f"array_to_string(list_reverse({A_d}), '|') AS e{i}",
+            )
+        return (
+            f"array_max(transform({A_s}, x -> length(x))) AS e{i}",
+            f"list_max(list_transform({A_d}, x -> length(x))) AS e{i}",
+        )
+
+    failures = []
+    for case in range(18):
+        table = rng.choice(sorted(srcs))
+        key, cols, num = srcs[table]
+        s_exprs, d_exprs = [], []
+        for i in range(rng.randint(2, 3)):
+            A_s, A_d = base(rng.choice(cols))
+            es, ed = gen_op(i, A_s, A_d, num)
+            s_exprs.append(es)
+            d_exprs.append(ed)
+        s_sql = f"SELECT {key}, {', '.join(s_exprs)} FROM {table} ORDER BY {key}"
+        d_sql = f"SELECT {key}, {', '.join(d_exprs)} FROM {table} ORDER BY {key}"
+        ok, msg = compare(spark.sql(s_sql), views, d_sql)
+        if not ok:
+            failures.append((case, s_sql, msg))
+    assert not failures, failures[:3]
