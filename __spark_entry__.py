@@ -142,6 +142,11 @@ _DEMOTED = [
     # r07 row and the analytic-function family is now swept by the
     # 26-case window-frame fuzz corpus.
     "q09b_analytic_funcs",
+    # Keeper slot yielded mid-r08 to d4_canonical_representative (NEW —
+    # quality-ranked keeper selection over normalized-form dedup
+    # groups): r13b holds a green r07 row and the JSON family's r13
+    # twin is also green r07.
+    "r13b_variant_json",
 ]
 
 

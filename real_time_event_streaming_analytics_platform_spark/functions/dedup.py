@@ -776,3 +776,66 @@ def substring_dup_spans(docs: DataFrame, span_k: int = SPAN_K) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D4 — canonical-representative selection over NORMALIZED-form dedup
+# groups. d1 keeps MIN(doc_id) per exact byte-identical group; real
+# corpora mostly duplicate up to case/punctuation/whitespace jitter, so
+# the group key here is md5 over the casefolded, punctuation-collapsed
+# text, and the keeper is QUALITY-ranked — the variant with the most
+# raw content (n_chars DESC), doc_id ASC as the deterministic tie-break
+# — instead of whichever id happens to be smallest.
+#
+# Scale shape: the projection keeps only (group_key, doc_id, n_chars)
+# before the window shuffle — the 16-byte hash is the shuffle key and
+# the TEXT never moves (column pruning drops it at the scan). One
+# shuffle, one window pass; identical to the d1 plan cost.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d4_canonical_representative",
+    oracle="""
+    SELECT group_key, keeper, keeper_chars, members FROM (
+        SELECT group_key, doc_id AS keeper, n_chars AS keeper_chars,
+               ROW_NUMBER() OVER (PARTITION BY group_key
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY group_key) AS members
+        FROM (
+            SELECT doc_id, n_chars,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                       AS group_key
+            FROM documents
+        )
+    ) WHERE rn = 1 ORDER BY group_key
+    """,
+)
+def d4_canonical_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_representatives(load(spark, sf_dir, "documents"))
+
+
+def canonical_representatives(docs: DataFrame) -> DataFrame:
+    """Core of d4 over any (doc_id, text, n_chars) frame."""
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+        ).alias("group_key"),
+    )
+    w = Window.partitionBy("group_key").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("members", F.count(F.lit(1)).over(Window.partitionBy("group_key")))
+        .where(F.col("rn") == 1)
+        .select(
+            "group_key",
+            F.col("doc_id").alias("keeper"),
+            F.col("n_chars").alias("keeper_chars"),
+            "members",
+        )
+        .orderBy("group_key")
+    )

@@ -873,3 +873,37 @@ def test_d3_substring_dup_span_union_arithmetic(spark):
     assert rows[2]["dup_tokens"] == 0
     assert rows[3]["total_tokens"] == 3 and rows[3]["dup_tokens"] == 0
     assert abs(rows[0]["dup_ratio"] - 10 / 18) < 1e-12
+
+
+def test_d4_keeper_is_quality_ranked_not_min_id(spark):
+    """Planted normalized-form variants: three docs identical up to
+    case/punctuation/whitespace must group together, and the keeper
+    must be the LONGEST variant (n_chars DESC), not the smallest
+    doc_id — the exact distinction between d4 and d1. Ties on n_chars
+    fall back to doc_id ASC."""
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        canonical_representatives,
+    )
+
+    variants = [
+        (10, "Hello, World!"),            # 13 chars
+        (11, "hello world"),              # 11 chars
+        (12, "HELLO --- WORLD ...!!"),    # 21 chars -> keeper
+        (20, "something else"),           # singleton
+        (30, "tie a"),                    # 5 chars, tie group
+        (31, "tie.a"),                    # 5 chars -> keeper by doc_id
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in variants],
+        "doc_id long, text string, n_chars int",
+    )
+    rows = {r["group_key"]: r for r in canonical_representatives(docs).collect()}
+    assert len(rows) == 3
+    by_members = sorted(rows.values(), key=lambda r: -r["members"])
+    trio = by_members[0]
+    assert trio["members"] == 3 and trio["keeper"] == 12
+    assert trio["keeper_chars"] == 21
+    tie = next(r for r in rows.values() if r["members"] == 2)
+    assert tie["keeper"] == 30  # equal n_chars -> lowest doc_id
+    single = next(r for r in rows.values() if r["members"] == 1)
+    assert single["keeper"] == 20
