@@ -545,6 +545,10 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             # the count tables grow with OBSERVED vocabulary² — the
             # factor shows which term dominates at this corpus shape
             "x19_bigram_surprisal",
+            # distributed k-means: per-iteration shuffle is k×dim
+            # partials per partition (corpus-size-free); the factor is
+            # the evidence the scan is the only corpus-sized term
+            "x21_kmeans_clusters",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}
