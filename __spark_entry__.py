@@ -147,6 +147,11 @@ _DEMOTED = [
     # groups): r13b holds a green r07 row and the JSON family's r13
     # twin is also green r07.
     "r13b_variant_json",
+    # Keeper slot yielded mid-r08 to x23_weighted_priority_sample (NEW
+    # — sequential-Poisson weighted sampling): r15 holds a green r07
+    # row and the cooldown family's stateful twin stays pinned by
+    # S5/S5b parity every session.
+    "r15_cooldown_dedup",
 ]
 
 

@@ -1858,3 +1858,55 @@ def q41_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q42 (registered as x23) — quality-weighted corpus subsampling via
+# SEQUENTIAL POISSON / PRIORITY sampling (Ohlsson 1998; Duffield et al.
+# 2007): each row gets priority u/w where u is a deterministic uniform
+# and w its weight; the k SMALLEST priorities form a weighted-without-
+# replacement sample with inclusion probability ∝ w. The LLM-pipeline
+# use: subsample a corpus proportional to document quality/length
+# without an RNG — reruns, backfills, and engines all agree.
+#
+# Determinism is ARITHMETIC, not seeded: u is built from six md5
+# nibbles as a sum of dyadic rationals (every term and the sum are
+# exact doubles) and the priority is ONE IEEE division — no ln()/exp()
+# whose last-ulp libm differences could flip ranks between engines
+# (the reason this is priority sampling, not Efraimidis-Spirakis
+# u^(1/w) reservoir keys). Plan shape: the priority is a scan-local
+# projection and the global k-smallest executes as per-partition top-k
+# + a k-row driver merge (TakeOrderedAndProject) — no global sort at
+# 100 TB.
+# ---------------------------------------------------------------------------
+
+# E-notation literals: Spark SQL parses `16.0` as DECIMAL but `16E0`
+# as DOUBLE; DuckDB treats both as DOUBLE — E-notation keeps the whole
+# expression in exact-dyadic double arithmetic on both engines.
+_NIBBLES = " + ".join(
+    f"(POSITION(substr(md5(CAST(doc_id AS {{S}})), {i}, 1) IN "
+    f"'0123456789abcdef') - 1) / {16 ** i}E0"
+    for i in range(1, 7)
+)
+_PRIORITY = f"(({_NIBBLES} + 1E0 / 16777216) / GREATEST(n_chars, 1))"
+
+
+@query(
+    "x23_weighted_priority_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars, {_PRIORITY.replace('{S}', 'VARCHAR')} AS priority
+    FROM documents
+    ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def x23_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr(_PRIORITY.replace("{S}", "STRING")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

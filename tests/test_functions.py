@@ -907,3 +907,37 @@ def test_d4_keeper_is_quality_ranked_not_min_id(spark):
     assert tie["keeper"] == 30  # equal n_chars -> lowest doc_id
     single = next(r for r in rows.values() if r["members"] == 1)
     assert single["keeper"] == 20
+
+
+def test_x23_priority_sample_is_weighted_and_replayable(spark):
+    """Sequential-Poisson selection must (a) equal a pure-Python replay
+    of the md5-nibble/weight arithmetic bit for bit — the no-libm
+    determinism claim — and (b) actually be WEIGHTED: the selected
+    docs' mean n_chars exceeds the corpus mean (inclusion ∝ length)."""
+    import hashlib
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+
+    def pri(doc_id, n_chars):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        u = (
+            sum("0123456789abcdef".index(h[i]) / 16 ** (i + 1) for i in range(6))
+            + 1 / 16777216
+        )
+        return u / max(n_chars, 1)
+
+    ref = sorted((pri(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in docs)[:100]
+    got = sorted(
+        (r["priority"], r["doc_id"])
+        for r in engine.QUERIES["x23_weighted_priority_sample"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == ref  # bitwise: dyadic u + one IEEE division
+    chars = {r["doc_id"]: r["n_chars"] for r in docs}
+    corpus_mean = sum(chars.values()) / len(chars)
+    sel_mean = sum(chars[d] for _, d in got) / len(got)
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
