@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.helpers import round2
 from ..plans.registry import query
 from .._shingle import NUM_HASHES, BANDS, ROWS_PER_BAND, signature_df
 
@@ -838,4 +839,73 @@ def canonical_representatives(docs: DataFrame) -> DataFrame:
             "members",
         )
         .orderBy("group_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X24 — cross-source contamination matrix: for every DIRECTED source
+# pair (a, b), the fraction of a's distinct K-token shingles that also
+# appear in b. The corpus-audit complement of x8's benchmark
+# decontamination — catching train/eval splits or vendor feeds that
+# leak each other's text at the n-gram level (Lee et al. 2022 report
+# cross-split leakage in C4/RealNews).
+#
+# Scale shape: the corpus-sized work is d3's shingle Generate, reduced
+# immediately to DISTINCT (source, shingle-hash) — only 8-byte hashes
+# shuffle, never shingle text. The shk self-join's per-key blowup is
+# bounded by n_sources² (a handful), and the final matrix is
+# n_sources² rows. Rows-only registration (the 50 driver-oracle slots
+# are full this round); an equivalent DuckDB differential runs every
+# session in tests/test_functions.py, plus a planted-leak fixture pin.
+# ---------------------------------------------------------------------------
+
+
+@query("x24_cross_source_contamination")
+def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_source_contamination(load(spark, sf_dir, "documents"))
+
+
+def cross_source_contamination(
+    docs: DataFrame, span_k: int = SPAN_K
+) -> DataFrame:
+    """(src_a, src_b, overlap_shingles, total_a, contamination) for every
+    directed pair with any overlap; contamination = overlap/total_a
+    (NOT symmetric — the denominators differ)."""
+    words = docs.select("source", F.split(F.trim(F.col("text")), _WS).alias("w"))
+    sh = (
+        words.where(F.size("w") >= span_k)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - span_k),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("w", i + 1, span_k))
+                    ),
+                )
+            ).alias("shk"),
+        )
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("total_a"))
+    a = sh.select(F.col("source").alias("src_a"), "shk")
+    b = sh.select(F.col("source").alias("src_b"), "shk")
+    pairs = (
+        a.join(b, "shk")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("overlap_shingles"))
+    )
+    return (
+        pairs.join(totals.withColumnRenamed("source", "src_a"), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            "overlap_shingles",
+            "total_a",
+            round2(
+                F.col("overlap_shingles").cast("double") / F.col("total_a")
+            ).alias("contamination"),
+        )
+        .orderBy("src_a", "src_b")
     )

@@ -941,3 +941,92 @@ def test_x23_priority_sample_is_weighted_and_replayable(spark):
     corpus_mean = sum(chars.values()) / len(chars)
     sel_mean = sum(chars[d] for _, d in got) / len(got)
     assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+
+
+def test_x24_contamination_matches_duckdb_recompute(spark):
+    """x24 is rows-only at the driver (oracle slots are full this
+    round) but oracle-GRADE locally: DuckDB recomputes the directed
+    contamination matrix over raw shingle STRINGS (no xxhash64) and
+    every (src_a, src_b, overlap, total, ratio) row must agree — same
+    no-collision assumption d3's oracle makes."""
+    import duckdb
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        SPAN_K,
+    )
+
+    rows = sorted(
+        tuple(r)
+        for r in engine.QUERIES["x24_cross_source_contamination"](
+            spark, SF_DIR
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    k = SPAN_K
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+        WITH w AS (
+            SELECT source,
+                   string_split_regex(trim(text), '[ \t\n\r]+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - {k} + 1),
+                       i -> array_to_string(list_slice(w, i, i + {k} - 1), ' ')
+                   )) AS shingle
+            FROM w WHERE len(w) >= {k}
+        ),
+        totals AS (SELECT source, COUNT(*) AS total_a FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS overlap_shingles
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.source <> b.source GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, overlap_shingles, total_a,
+               floor(CAST(overlap_shingles AS DOUBLE) / total_a * 100 + 0.5)
+                   / 100 AS contamination
+        FROM pairs JOIN totals ON totals.source = pairs.src_a
+        ORDER BY src_a, src_b
+        """).fetchall()
+    )
+    assert rows == orows
+
+
+def test_x24_planted_leak_ratio(spark):
+    """Planted leak: source 'a' has 20 shingle-window tokens, 12 of
+    whose 8-token shingles also appear verbatim in source 'b'; 'c' is
+    clean. The directed ratios must hit the exact arithmetic and 'c'
+    must not appear."""
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        cross_source_contamination,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(19))  # 19 tokens -> 12 shingles
+    docs = spark.createDataFrame(
+        [
+            (1, "a", leak + " xa0 xa1 xa2"),       # 22 tokens -> 15 shingles
+            (2, "b", "yb0 yb1 " + leak),           # 21 tokens -> 14 shingles
+            (3, "c", " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in cross_source_contamination(docs).collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "a")}
+    ab, ba = got[("a", "b")], got[("b", "a")]
+    assert ab["overlap_shingles"] == 12 and ab["total_a"] == 15
+    assert ba["overlap_shingles"] == 12 and ba["total_a"] == 14
+    assert ab["contamination"] == 0.8
+    assert ba["contamination"] == round(12 / 14 * 100) / 100 or (
+        abs(ba["contamination"] - 0.86) < 1e-9
+    )
