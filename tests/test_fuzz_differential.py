@@ -918,3 +918,131 @@ def test_fuzzed_array_functions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, s_sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_string_functions_match_duckdb(spark, views):
+    """String-scalar sweep: concat/substr/trim/pad/case-mapping/
+    replace/position/repeat/reverse/left-right compositions over real
+    string columns. Portability constraints baked in: SUBSTR always
+    gets explicit positive start+length (negative starts differ);
+    LPAD/RPAD get explicit pad strings (DuckDB has no default);
+    POSITION uses the SQL-standard `IN` form both engines parse;
+    TRIM is the plain whitespace form (the BTRIM character-set form
+    differs in name)."""
+    rng = random.Random(424243)
+    uniq = {
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+    }
+    failures = []
+    for case in range(16):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        key = uniq[table]
+        exprs = []
+        for i in range(rng.randint(2, 4)):
+            s = f"CAST({rng.choice(strs)} AS STRING)"
+            kind = rng.choice(
+                ["concat", "substr", "pad", "casemap", "replace",
+                 "position", "repeat", "reverse", "leftright", "trimlen"]
+            )
+            if kind == "concat":
+                exprs.append(f"CONCAT({s}, '_', UPPER({s})) AS e{i}")
+            elif kind == "substr":
+                a, b = rng.randint(1, 3), rng.randint(1, 6)
+                exprs.append(f"SUBSTR({s}, {a}, {b}) AS e{i}")
+            elif kind == "pad":
+                n = rng.randint(4, 12)
+                fn = rng.choice(["LPAD", "RPAD"])
+                exprs.append(f"{fn}({s}, {n}, '*') AS e{i}")
+            elif kind == "casemap":
+                fn = rng.choice(["UPPER", "LOWER"])
+                exprs.append(f"{fn}({s}) AS e{i}")
+            elif kind == "replace":
+                c = rng.choice(["a", "e", "o", "1"])
+                exprs.append(f"REPLACE({s}, '{c}', '@') AS e{i}")
+            elif kind == "position":
+                c = rng.choice(["a", "ck", "x"])
+                exprs.append(f"POSITION('{c}' IN {s}) AS e{i}")
+            elif kind == "repeat":
+                exprs.append(f"REPEAT(SUBSTR({s}, 1, 2), {rng.randint(1, 3)}) AS e{i}")
+            elif kind == "reverse":
+                exprs.append(f"REVERSE({s}) AS e{i}")
+            elif kind == "leftright":
+                fn = rng.choice(["LEFT", "RIGHT"])
+                exprs.append(f"{fn}({s}, {rng.randint(1, 4)}) AS e{i}")
+            else:
+                exprs.append(f"LENGTH(TRIM(CONCAT(' ', {s}, '  '))) AS e{i}")
+        sql = f"SELECT {key}, {', '.join(exprs)} FROM {table} ORDER BY {key}"
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
+
+
+def test_fuzzed_conditional_expressions_match_duckdb(spark, views):
+    """Conditional-expression sweep: searched/simple CASE, COALESCE
+    chains, NULLIF-planted nulls, LEAST/GREATEST over mixed columns —
+    the branching surface every severity/rule/bucketing operator rides
+    on (R13/R14, q19, the alert rules). Numeric branches stay integer
+    (CAST(FLOOR(x) AS BIGINT)) so no float rounding enters; every
+    branch list ends with an ELSE so both engines type the expression
+    identically."""
+    rng = random.Random(8675309)
+    uniq = {
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+    }
+    failures = []
+    for case in range(16):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        key = uniq[table]
+        exprs = []
+        for i in range(rng.randint(2, 3)):
+            n = f"CAST(FLOOR({rng.choice(nums)}) AS BIGINT)"
+            s = f"CAST({rng.choice(strs)} AS STRING)"
+            kind = rng.choice(
+                ["searched_case", "simple_case", "coalesce", "nullif_chain",
+                 "least_greatest", "nested"]
+            )
+            if kind == "searched_case":
+                c1, c2 = sorted(rng.sample(range(1, 60), 2))
+                exprs.append(
+                    f"CASE WHEN {n} < {c1} THEN 'lo' WHEN {n} < {c2} THEN 'mid'"
+                    f" ELSE 'hi' END AS e{i}"
+                )
+            elif kind == "simple_case":
+                m = rng.choice([2, 3, 5])
+                exprs.append(
+                    f"CASE {n} % {m} WHEN 0 THEN 'z' WHEN 1 THEN 'one'"
+                    f" ELSE 'rest' END AS e{i}"
+                )
+            elif kind == "coalesce":
+                m = rng.choice([3, 7])
+                v = rng.randint(0, m - 1)
+                exprs.append(
+                    f"COALESCE(NULLIF({n} % {m}, {v}), NULLIF({n} % 2, 0),"
+                    f" -1) AS e{i}"
+                )
+            elif kind == "nullif_chain":
+                exprs.append(
+                    f"NULLIF(SUBSTR({s}, 1, 1), 'c') IS NULL AS e{i}"
+                )
+            elif kind == "least_greatest":
+                fn = rng.choice(["LEAST", "GREATEST"])
+                c = rng.randint(1, 40)
+                exprs.append(f"{fn}({n} % 50, {c}, 25) AS e{i}")
+            else:
+                c = rng.randint(2, 20)
+                exprs.append(
+                    f"CASE WHEN COALESCE(NULLIF({n} % {c}, 0), {c}) > {c // 2}"
+                    f" THEN LENGTH({s}) ELSE -LENGTH({s}) END AS e{i}"
+                )
+        sql = f"SELECT {key}, {', '.join(exprs)} FROM {table} ORDER BY {key}"
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]
