@@ -1046,3 +1046,67 @@ def test_fuzzed_conditional_expressions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_numeric_casts_match_duckdb(spark, views):
+    """Numeric/cast-boundary sweep: integer division, modulo (incl.
+    NEGATIVE dividends — both engines keep the dividend's sign),
+    FLOOR/CEIL-then-cast, ABS/SIGN, and exact DECIMAL(18,6) arithmetic
+    round-trips. Portability constraints baked in: raw doubles never
+    cast straight to integers (CAST(DOUBLE AS BIGINT) truncates toward
+    zero in Spark but rounds half-away in DuckDB — the divergence the
+    ORDER-BY sweep found); division of integers uses explicit DOUBLE
+    casts (DuckDB `/` on integers is float division, Spark's is not);
+    no overflow is provoked (ANSI Spark throws where DuckDB wraps to
+    HUGEINT — an intentional non-goal)."""
+    rng = random.Random(99991)
+    uniq = {
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+    }
+    failures = []
+    for case in range(16):
+        table = rng.choice(sorted(_TABLES))
+        cats, nums, strs = _TABLES[table]
+        key = uniq[table]
+        exprs = []
+        for i in range(rng.randint(2, 4)):
+            n = f"CAST(FLOOR({rng.choice(nums)}) AS BIGINT)"
+            kind = rng.choice(
+                ["int_div", "neg_mod", "floor_ceil", "abs_sign",
+                 "decimal_rt", "double_div"]
+            )
+            if kind == "int_div":
+                d = rng.choice([3, 7, 11])
+                exprs.append(f"CAST(FLOOR({n} / {d}.0) AS BIGINT) AS e{i}")
+            elif kind == "neg_mod":
+                d = rng.choice([3, 5, 7])
+                exprs.append(f"(42 - {n}) % {d} AS e{i}")
+            elif kind == "floor_ceil":
+                fn = rng.choice(["FLOOR", "CEIL"])
+                x = rng.choice(nums)
+                exprs.append(f"CAST({fn}({x} / 3E0) AS BIGINT) AS e{i}")
+            elif kind == "abs_sign":
+                # SIGN returns DOUBLE in Spark, input-typed in DuckDB —
+                # the explicit BIGINT cast is the portable form (found
+                # by this sweep's first run, case 4)
+                exprs.append(
+                    f"ABS(21 - {n}) + CAST(SIGN(21 - {n}) AS BIGINT) AS e{i}"
+                )
+            elif kind == "decimal_rt":
+                x = rng.choice(nums)
+                exprs.append(
+                    f"CAST(CAST({x} AS DECIMAL(18,6)) * 3 AS DOUBLE) AS e{i}"
+                )
+            else:
+                x, y = rng.sample(nums, 2) if len(nums) >= 2 else (nums[0], nums[0])
+                exprs.append(
+                    f"CAST({x} AS DOUBLE) / (CAST(ABS({y}) AS DOUBLE) + 1E0)"
+                    f" AS e{i}"
+                )
+        sql = f"SELECT {key}, {', '.join(exprs)} FROM {table} ORDER BY {key}"
+        ok, msg = compare(spark.sql(sql), views, sql)
+        if not ok:
+            failures.append((case, sql, msg))
+    assert not failures, failures[:3]

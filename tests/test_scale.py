@@ -692,3 +692,39 @@ def test_compact_parquet_refuses_inplace_and_can_split(spark, tmpdir):
     assert n_out >= 2
     assert len(glob.glob(f"{tmpdir}/split/*.parquet")) == n_out
     assert spark.read.parquet(f"{tmpdir}/split").count() == 500_000
+
+
+def test_q41_is_single_shuffle_moment_aggregate(spark):
+    """q41's whole statistical family must stay a partial-final
+    HashAggregate with exactly ONE data shuffle (plus the 3-row
+    presentation sort's range exchange): no ObjectHashAggregate (a
+    value-buffering aggregate would break the scale-free claim) and a
+    3-column pruned scan."""
+    import re
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["q41_stat_aggregates"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan, plan[:1500]
+    assert "HashAggregate" in plan
+    # the executed AQE string prints Final AND Initial sections — count
+    # distinct shuffle stages in the FINAL plan only: one hash exchange
+    # for the aggregate, one range exchange for the 3-row sort
+    final = plan.split("== Initial Plan ==")[0]
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+    assert len(stages) <= 2, final[:2000]
+    assert "l_quantity" in plan and "l_extendedprice" in plan
+
+
+def test_x23_priority_sample_avoids_global_sort(spark):
+    """x23's k-smallest must execute as TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge) — a global Sort+Limit
+    would shuffle the full corpus at 100 TB."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["x23_weighted_priority_sample"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Exchange" not in plan, plan[:1500]
