@@ -38,120 +38,93 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness rows for the FIRST 50 queries() entries
 # only; more queries have oracles than slots, so some must yield.
 #
-# Round-8 rotation (per VERDICT r07 next-round #5, the standing
-# alternation): the 36 queries demoted in r07 are all promoted back —
-# each holds a green r06 row that would otherwise go two rounds stale —
-# and 36 queries that earned green r07 rows yield their slots. Kept
-# in-window from the r07 set (14):
-#   - r3 (the entry() flagship) and r4 (the reference's core
-#     sliding-window shape): standing flagships, never rotate;
-#   - q39_group_share: its zero-total division guard landed this round
-#     (ADVICE r07) — the plan change must re-verify against the oracle
-#     in the same round it lands;
-#   - q03_multiway_join: its sibling q03b_filtered_multiway is NEW
-#     this round (VERDICT r07 #7, the runtime-bloom-filter carrier) —
-#     new queries hold zero green rows and always enter the window;
-#     q03 stays alongside it so the unfiltered twin re-verifies in the
-#     same round. q26c_stratified_sample (green r06+r07) yields its
-#     keeper slot to q03b;
-#   - r13b, r15, q09b, q12_intersect_all, q15, q21, q22, q30, d2:
-#     one keeper per family whose siblings all rotate out together
-#     (VARIANT parsing, cooldown dedup, analytic funcs, bag-semantics
-#     set ops, correlated subqueries, arrays, as-of join, recursive
-#     CTE, Jaccard scoring) so no family leaves the window entirely.
-# Window = 36 promoted + 13 kept + q03b = 50 of the 87 oracle-backed
-# queries.
-# Net effect: after r08 every oracle-backed query holds a green driver
-# row from r07 or r08 — maximum achievable freshness with 87 oracles
+# Round-9 rotation (per VERDICT r08 next-round #1, the standing
+# alternation): the 46 queries demoted in r08 are all promoted back —
+# each holds a green r07 row that would otherwise go two rounds stale —
+# and the queries that earned green r08 rows yield their slots. The
+# only r08-green query kept in-window is t5_pii_scrub: its PII surface
+# is extended this round (IPv4/IPv6, SSN, Luhn credit-card — VERDICT
+# r08 #6), and a changed plan re-verifies against the oracle in the
+# same round it lands. The freed slots go to this round's NEW
+# oracle-backed queries (new queries hold zero green rows and always
+# enter the window): x24_cross_source_contamination (promoted from
+# rows-only per VERDICT r08 #2), x25_dsir_resample, and
+# t6b_gopher_rules.
+# Net effect: after r09 every oracle-backed query holds a green driver
+# row from r08 or r09 — maximum achievable freshness with 99 oracles
 # and 50 slots. The invariant is machine-asserted by
 # tests/test_coverage_counts.py::test_rotation_freshness (every oracle
-# key is either in the first-50 window or green in the latest
-# CORRECTNESS file). Every demoted query remains fully registered and
-# oracle-checked locally each session (tests/test_oracle_queries.py).
+# key is either in the first-50 window or green in the union of the
+# two latest CORRECTNESS files). Every demoted query remains fully
+# registered and oracle-checked locally each session
+# (tests/test_oracle_queries.py).
 _DEMOTED = [
-    # R-series ops that earned green r07 rows; promoted r8/r11 plus
-    # kept r13b/r15 hold the serving/rolling families in-window.
-    "r1_project_filter",
-    "r2_keyed_agg",
-    "r5_percentile_cont",
-    "r6_percentile_rank",
-    "r7_rolling_zscore",
-    "r8b_rolling_mad",
-    "r9_alerts_scan",
-    "r10_conditional_agg",
-    "r12_relative_time",
-    "r13_json_extract",
-    "r14_severity_case",
-    "r16_alertmanager_ingest",
-    "q01_pricing_summary",
-    # Join flavors green r07; returning q02/q04-q06/q08 + kept q03/q22
-    # keep the join family in-window.
-    "q07_theta_self_join",
-    "q09_ranking_window",    # ranking: returning q10/q11 re-verify; q09b kept
-    # Set ops green r07; returning q12_union + kept q12_intersect_all
-    # re-verify the family.
-    "q12_union_all",
-    "q12_intersect",
-    "q12_except",
-    "q12_except_all",
-    "q14b_cube",             # grouping family: returning q14_rollup re-verifies
-    "q14c_grouping_sets",
-    "q16_string_funcs",      # scalar families green r07; kept q15/q21 hold
-    "q17_in_between",        # the subquery/array ends of the battery
-    "q18_having",
-    "q19_null_handling",
-    "q20b_date_diff_buckets",  # returning q20_date_shift re-verifies dates
-    "q23_sessionization",    # green r06+r07
-    "q26b_hash_sample",      # sampling: both green r07; rows-only q26
-    "q26c_stratified_sample",  # stays locally oracle-checked each session
-    "q28_unpivot",           # returning q27_pivot re-verifies pivot/unpivot
-    "q29_gapfill_series",    # green r06+r07
-    "q31_lateral_topk",      # green r06+r07
-    "q34_funnel",            # green r06+r07
-    "q35_scd2",              # green r06+r07
-    "q36_cohort_retention",  # green r06+r07
-    "q38_quality_checks",    # broadcast-FK plan re-verified r07
-    "x10_curation_funnel",   # green r06+r07; promoted x5-x9 re-verify the family
-    # Keeper slot yielded mid-r08 to q40_merge_upsert (NEW — the
-    # low-shuffle MERGE/upsert; new queries always enter the window):
-    # q22 holds a green r07 row so freshness is preserved.
-    "q22_asof_prior_click",
-    # Keeper slot yielded mid-r08 to d3_substring_dup_spans (NEW —
-    # exact substring-duplication coverage): d2 holds a green r07 row,
-    # and d3 now represents the documents-dedup family in-window.
-    "d2_jaccard_scoring",
-    # Keeper slots yielded mid-r08 to x16_bm25_topk and
-    # x17_unigram_surprisal (NEW — retrieval + LM-score family): both
-    # yielding queries hold green r07 rows, and their families stay
-    # swept by the fuzz corpus (set ops) / remain locally
-    # oracle-checked every session (recursive CTE).
-    "q12_intersect_all",
-    "q30_recursive_hierarchy",
-    # Keeper slot yielded mid-r08 to x18_chunk_overlap (NEW — the
-    # overlapping token-window chunker; new queries always enter the
-    # window): q21 holds a green r07 row, and x18 itself exercises the
-    # same sequence/explode/slice array surface in-window.
-    "q21_array_explode",
-    # Keeper slot yielded mid-r08 to x19_bigram_surprisal (NEW — the
-    # context-sensitive LM filter): q15 holds a green r07 row and the
-    # correlated-subquery family stays swept by the 24-case subquery
-    # fuzz corpus.
-    "q15_correlated_subquery",
-    # Keeper slot yielded mid-r08 to q41_stat_aggregates (NEW — the
-    # corr/covar/regr/skew/kurt statistical family): q09b holds a green
-    # r07 row and the analytic-function family is now swept by the
-    # 26-case window-frame fuzz corpus.
-    "q09b_analytic_funcs",
-    # Keeper slot yielded mid-r08 to d4_canonical_representative (NEW —
-    # quality-ranked keeper selection over normalized-form dedup
-    # groups): r13b holds a green r07 row and the JSON family's r13
-    # twin is also green r07.
-    "r13b_variant_json",
-    # Keeper slot yielded mid-r08 to x23_weighted_priority_sample (NEW
-    # — sequential-Poisson weighted sampling): r15 holds a green r07
-    # row and the cooldown family's stateful twin stays pinned by
-    # S5/S5b parity every session.
-    "r15_cooldown_dedup",
+    # Flagships r3/r4 sit this round out — both green r08; entry()
+    # still smoke-runs r3 every driver pass regardless of the window.
+    "r3_series_minute",
+    "r4_sliding_window",
+    # Serving/rolling reference ops green r08; the promoted r-series
+    # siblings (r1/r2/r5-r7, r8b, r9, r10, r12-r16) hold the family.
+    "r8_rolling_median",
+    "r11_kpi_latest_per_key",
+    # Join flavors green r08; promoted q07/q22 keep joins in-window.
+    "q02_join_segment",
+    "q03_multiway_join",
+    "q03b_filtered_multiway",
+    "q04_orders_histogram",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q08_broadcast_join",
+    # Windows/ranking green r08; promoted q09/q09b re-verify.
+    "q10_analytic_window",
+    "q11_topk",
+    "q33_time_range_window",
+    "q41_stat_aggregates",
+    # Set ops / grouping green r08; promoted five set-op variants and
+    # q14b/q14c re-verify those families.
+    "q12_union",
+    "q13_count_distinct",
+    "q14_rollup",
+    "q27_pivot",
+    # Scalar/date/EWMA/share/merge green r08; promoted q16-q20b and
+    # q28-q39 relatives return.
+    "q20_date_shift",
+    "q32_ewma_trend",
+    "q39_group_share",
+    "q40_merge_upsert",
+    "q37_profile",
+    # Sampling green r08; promoted q26b/q26c re-verify the family and
+    # x23's dyadic-priority machinery is reused by new x25_dsir.
+    "x23_weighted_priority_sample",
+    # Dedup/documents green r08; promoted d2 + new x24 hold the family.
+    "q24_dedup_exact",
+    "d1_dedup_docs_exact",
+    "d3_substring_dup_spans",
+    "d4_canonical_representative",
+    "t7_chunk_dedup",
+    "t8_fuzzy_dedup",
+    # Text/retrieval/LM-score green r08; t5 stays (extended this
+    # round) and new t6b_gopher_rules carries the quality family.
+    "q25_text_stats",
+    "q25b_top_tokens",
+    "t1_lang_id",
+    "t2_quality_score",
+    "t3_token_counts",
+    "t6_repetition",
+    "t9_bm25_search",
+    "x16_bm25_topk",
+    "x17_unigram_surprisal",
+    "x19_bigram_surprisal",
+    # ANN / multimodal / pipeline green r08; promoted x10 funnel
+    # re-verifies the pipeline family end-to-end.
+    "x3_cosine_topk",
+    "x4_multimodal_roundtrip",
+    "x5_train_split",
+    "x6_sequence_pack",
+    "x7_embedding_quantize",
+    "x8_decontaminate",
+    "x9_source_mixing",
+    "x18_chunk_overlap",
 ]
 
 
