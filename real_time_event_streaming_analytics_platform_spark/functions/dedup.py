@@ -845,22 +845,60 @@ def canonical_representatives(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X24 — cross-source contamination matrix: for every DIRECTED source
 # pair (a, b), the fraction of a's distinct K-token shingles that also
-# appear in b. The corpus-audit complement of x8's benchmark
-# decontamination — catching train/eval splits or vendor feeds that
-# leak each other's text at the n-gram level (Lee et al. 2022 report
-# cross-split leakage in C4/RealNews).
+# appear in b — zero-overlap pairs included, so a consumer can
+# distinguish "clean pair" from "pair not present" (ADVICE r08). The
+# corpus-audit complement of x8's benchmark decontamination — catching
+# train/eval splits or vendor feeds that leak each other's text at the
+# n-gram level (Lee et al. 2022 report cross-split leakage in
+# C4/RealNews).
 #
 # Scale shape: the corpus-sized work is d3's shingle Generate, reduced
 # immediately to DISTINCT (source, shingle-hash) — only 8-byte hashes
 # shuffle, never shingle text. The shk self-join's per-key blowup is
-# bounded by n_sources² (a handful), and the final matrix is
-# n_sources² rows. Rows-only registration (the 50 driver-oracle slots
-# are full this round); an equivalent DuckDB differential runs every
-# session in tests/test_functions.py, plus a planted-leak fixture pin.
+# bounded by n_sources² (a handful), the full pair grid is an
+# n_sources-row aggregate theta-joined against itself (broadcast
+# nested-loop over rows-not-bytes), and the final matrix is n_sources²
+# rows. Oracle-backed (promoted from rows-only per VERDICT r08 #2);
+# the DuckDB twin recomputes over raw shingle strings — xxhash64
+# collisions are the only possible divergence, 2^-64 per pair.
 # ---------------------------------------------------------------------------
 
 
-@query("x24_cross_source_contamination")
+@query(
+    "x24_cross_source_contamination",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, string_split_regex(trim(text), '{_WS}') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               array_to_string(w[i.gen + 1 : i.gen + {SPAN_K}], ' ') AS sh
+        FROM words, unnest(generate_series(0, len(w) - {SPAN_K})) AS i(gen)
+        WHERE len(w) >= {SPAN_K}
+    ),
+    totals AS (SELECT source, COUNT(*) AS total_a FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS overlap_shingles
+        FROM sh a JOIN sh b USING (sh)
+        WHERE a.source <> b.source
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT ta.source AS src_a, tb.source AS src_b, ta.total_a
+        FROM totals ta JOIN totals tb ON ta.source <> tb.source
+    )
+    SELECT g.src_a, g.src_b,
+           COALESCE(p.overlap_shingles, 0) AS overlap_shingles,
+           g.total_a,
+           floor(CAST(COALESCE(p.overlap_shingles, 0) AS DOUBLE)
+                 / g.total_a * 100 + 0.5) / 100 AS contamination
+    FROM grid g
+    LEFT JOIN pairs p ON g.src_a = p.src_a AND g.src_b = p.src_b
+    ORDER BY g.src_a, g.src_b
+    """,
+)
 def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_contamination(load(spark, sf_dir, "documents"))
 
@@ -869,8 +907,9 @@ def cross_source_contamination(
     docs: DataFrame, span_k: int = SPAN_K
 ) -> DataFrame:
     """(src_a, src_b, overlap_shingles, total_a, contamination) for every
-    directed pair with any overlap; contamination = overlap/total_a
-    (NOT symmetric — the denominators differ)."""
+    directed source pair (zero-overlap pairs emit 0 rows explicitly);
+    contamination = overlap/total_a (NOT symmetric — the denominators
+    differ)."""
     words = docs.select("source", F.split(F.trim(F.col("text")), _WS).alias("w"))
     sh = (
         words.where(F.size("w") >= span_k)
@@ -896,16 +935,19 @@ def cross_source_contamination(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("overlap_shingles"))
     )
+    grid = totals.select(F.col("source").alias("src_a"), "total_a").join(
+        F.broadcast(totals.select(F.col("source").alias("src_b"))),
+        F.col("src_a") != F.col("src_b"),
+    )
+    ov = F.coalesce(F.col("overlap_shingles"), F.lit(0).cast("long"))
     return (
-        pairs.join(totals.withColumnRenamed("source", "src_a"), "src_a")
+        grid.join(pairs, ["src_a", "src_b"], "left")
         .select(
             "src_a",
             "src_b",
-            "overlap_shingles",
+            ov.alias("overlap_shingles"),
             "total_a",
-            round2(
-                F.col("overlap_shingles").cast("double") / F.col("total_a")
-            ).alias("contamination"),
+            round2(ov.cast("double") / F.col("total_a")).alias("contamination"),
         )
         .orderBy("src_a", "src_b")
     )

@@ -1785,10 +1785,11 @@ def q40_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q41 — statistical aggregate surface: correlation, covariance, linear
 # regression (slope/intercept/r2/count), spread, and distribution shape
-# (skewness/kurtosis) per group. The reference's alert/read services
-# compute mean/stddev bands in SQL (services/alert-service/main.py:338-344);
-# this is the rest of the SQL-standard statistical family a cold-store
-# analyst would reach for on the same table.
+# (skewness/kurtosis) per group. The reference's anomaly-detection job
+# computes mean/stddev z-score bands over rolling per-key state
+# (streaming-jobs/anomaly-detection/.../AnomalyDetectionJob.java:209-215,
+# 313-315); this is the rest of the SQL-standard statistical family a
+# cold-store analyst would reach for on the same table.
 #
 # All of these are single-pass mergeable moment aggregates: each is a
 # partial-final plan over (n, Σx, Σxy, Σx², Σx³, Σx⁴) map-side combines,

@@ -944,11 +944,13 @@ def test_x23_priority_sample_is_weighted_and_replayable(spark):
 
 
 def test_x24_contamination_matches_duckdb_recompute(spark):
-    """x24 is rows-only at the driver (oracle slots are full this
-    round) but oracle-GRADE locally: DuckDB recomputes the directed
-    contamination matrix over raw shingle STRINGS (no xxhash64) and
-    every (src_a, src_b, overlap, total, ratio) row must agree — same
-    no-collision assumption d3's oracle makes."""
+    """Independent DuckDB recompute of the directed contamination
+    matrix over raw shingle STRINGS (no xxhash64), written with a
+    DIFFERENT slicing idiom (list_transform/list_slice) than the
+    registered oracle's array-subscript form — every (src_a, src_b,
+    overlap, total, ratio) row, including the explicit zero-overlap
+    grid rows, must agree. Same no-collision assumption d3's oracle
+    makes."""
     import duckdb
 
     import real_time_event_streaming_analytics_platform_spark as engine
@@ -989,12 +991,19 @@ def test_x24_contamination_matches_duckdb_recompute(spark):
                    COUNT(*) AS overlap_shingles
             FROM sh a JOIN sh b USING (shingle)
             WHERE a.source <> b.source GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT ta.source AS src_a, tb.source AS src_b, ta.total_a
+            FROM totals ta JOIN totals tb ON ta.source <> tb.source
         )
-        SELECT src_a, src_b, overlap_shingles, total_a,
-               floor(CAST(overlap_shingles AS DOUBLE) / total_a * 100 + 0.5)
-                   / 100 AS contamination
-        FROM pairs JOIN totals ON totals.source = pairs.src_a
-        ORDER BY src_a, src_b
+        SELECT g.src_a, g.src_b,
+               COALESCE(p.overlap_shingles, 0) AS overlap_shingles,
+               g.total_a,
+               floor(CAST(COALESCE(p.overlap_shingles, 0) AS DOUBLE)
+                     / g.total_a * 100 + 0.5) / 100 AS contamination
+        FROM grid g
+        LEFT JOIN pairs p ON g.src_a = p.src_a AND g.src_b = p.src_b
+        ORDER BY g.src_a, g.src_b
         """).fetchall()
     )
     assert rows == orows
@@ -1003,8 +1012,9 @@ def test_x24_contamination_matches_duckdb_recompute(spark):
 def test_x24_planted_leak_ratio(spark):
     """Planted leak: source 'a' has 20 shingle-window tokens, 12 of
     whose 8-token shingles also appear verbatim in source 'b'; 'c' is
-    clean. The directed ratios must hit the exact arithmetic and 'c'
-    must not appear."""
+    clean. The directed ratios must hit the exact arithmetic, and 'c'
+    appears only in explicit zero-contamination grid rows (so a
+    consumer can tell 'clean pair' from 'pair missing')."""
     from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
         cross_source_contamination,
     )
@@ -1022,11 +1032,16 @@ def test_x24_planted_leak_ratio(spark):
         (r["src_a"], r["src_b"]): r
         for r in cross_source_contamination(docs).collect()
     }
-    assert set(got) == {("a", "b"), ("b", "a")}
+    assert set(got) == {
+        (a, b) for a in "abc" for b in "abc" if a != b
+    }
     ab, ba = got[("a", "b")], got[("b", "a")]
     assert ab["overlap_shingles"] == 12 and ab["total_a"] == 15
     assert ba["overlap_shingles"] == 12 and ba["total_a"] == 14
     assert ab["contamination"] == 0.8
-    assert ba["contamination"] == round(12 / 14 * 100) / 100 or (
-        abs(ba["contamination"] - 0.86) < 1e-9
-    )
+    # floor(12/14*100 + 0.5)/100 == 0.86 exactly (85.71… + 0.5 floors to 86)
+    assert abs(ba["contamination"] - 0.86) < 1e-9
+    for pair in [("a", "c"), ("c", "a"), ("b", "c"), ("c", "b")]:
+        assert got[pair]["overlap_shingles"] == 0
+        assert got[pair]["contamination"] == 0.0
+    assert got[("c", "a")]["total_a"] == 30 - 8 + 1  # 23 distinct shingles
