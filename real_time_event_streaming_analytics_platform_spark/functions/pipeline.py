@@ -778,3 +778,192 @@ def x18_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# X25 — DSIR importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"). Estimate hashed
+# n-gram bag-of-words models for a TARGET distribution (here: the
+# lang='en' slice, standing in for a curated target like Wikipedia)
+# and the RAW corpus, score every document with its log importance
+# weight log w(d) = Σ_gram ln(p̂_target(bucket)/p̂_raw(bucket)), then
+# draw a weighted-without-replacement sample by ranking the Gumbel-ish
+# key ln(u) − log w(d) — the log-space form of x23's priority sampling
+# (priority u/w; ln is monotone, so the k smallest keys are exactly
+# the k smallest priorities). Reference analog: the reference has no
+# data-curation stage; this extends its filter family (O10/O11,
+# services/read-api main.py query predicates) to distribution-level
+# selection, the standard LLM-curation resampling step.
+#
+# Cross-engine determinism: grams are bucketed by exact INTEGER
+# arithmetic over four md5 nibbles (both engines hash identical UTF-8
+# and agree bit-for-bit), the uniform u is the same dyadic-rational
+# md5-nibble construction x23 uses, and smoothing constants are dyadic
+# (0.25, 256 = 0.25·1024) so every pre-ln value is bitwise identical
+# in Spark and DuckDB. The ln() calls and the per-doc float sum carry
+# last-ulp libm/order noise, absorbed by the 1e-4 output quantization
+# (the x17 surprisal discipline); ties on the quantized key break by
+# doc_id.
+#
+# Scale shape: ONE corpus scan → per-(doc, bucket) counts (the only
+# corpus-sized shuffle, on (doc_id, bucket)); bucket statistics and
+# the ln-ratio table are B=1024 rows, derived from the already-reduced
+# counts and broadcast back; the per-doc reduce reuses the same
+# aggregate; the final k-smallest executes as per-partition top-k +
+# k-row driver merge (TakeOrderedAndProject), no global sort. B is a
+# constant, so nothing here grows with corpus size except the two
+# linear passes.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+_DSIR_SMOOTH = 0.25  # dyadic Laplace smoothing; a·B = 256 exactly
+DSIR_SAMPLE_K = 100
+_DSIR_TARGET_LANG = "en"
+
+# Hashed-n-gram bucket: exact integer arithmetic over the first four
+# md5 nibbles (0..65535) mod B — POSITION() is 1-based in both engines.
+def _bucket_sql(g: str) -> str:
+    terms = " + ".join(
+        f"(POSITION(substr(md5({g}), {i}, 1) IN '0123456789abcdef') - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    return f"(({terms}) % {DSIR_BUCKETS})"
+
+
+# Dyadic uniform in (0, 1]: six md5 nibbles as exact negative powers of
+# 16 (the x23 construction — every term and the sum are exact doubles).
+def _uniform_sql(key: str) -> str:
+    nibs = " + ".join(
+        f"(POSITION(substr(md5({key}), {i}, 1) IN '0123456789abcdef') - 1)"
+        f" / {16 ** i}E0"
+        for i in range(1, 7)
+    )
+    return f"({nibs} + 1E0 / 16777216)"
+
+
+def _round4(col):
+    """Cross-engine ROUND(x, 4), floor form (helpers.round2 discipline);
+    inputs here are finite (u > 0, smoothed ratios > 0)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: "F.Column",
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = _DSIR_SMOOTH,
+) -> DataFrame:
+    """(doc_id, logw) — per-document DSIR log importance weight of the
+    rows satisfying ``target`` against the whole of ``docs``, under
+    hashed unigram+bigram bag-of-words models with add-``smooth``
+    bucket smoothing. Docs with no tokens get logw = 0 (weight 1)."""
+    from .._shingle import WORDS_EXPR, _parallelize
+
+    bound = _parallelize(docs).select(
+        "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
+    )
+    # unigrams ∪ bigrams; sequence(1, 0) DESCENDS in Spark, so the
+    # bigram arm must be guarded for 0/1-word docs.
+    grams = bound.select(
+        "doc_id",
+        "_t",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(_w) >= 2
+                     THEN concat(_w, transform(sequence(1, size(_w) - 1),
+                                               i -> concat(_w[i-1], ' ', _w[i])))
+                     ELSE _w END
+                """
+            )
+        ).alias("g"),
+    )
+    dbc = (
+        grams.select("doc_id", "_t", F.expr(_bucket_sql("g")).alias("b"))
+        .groupBy("doc_id", "_t", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bstats = dbc.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+    )
+    tot = bstats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    ab = F.lit(float(smooth) * buckets)
+    lnr = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + F.lit(smooth)) * (F.col("nr") + ab))
+            / ((F.col("cr") + F.lit(smooth)) * (F.col("nt") + ab))
+        ).alias("lnr"),
+    )
+    return (
+        dbc.join(F.broadcast(lnr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lnr")).alias("logw"))
+    )
+
+
+@query(
+    "x25_dsir_resample",
+    oracle=f"""
+    WITH docsrc AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w != '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, g FROM (
+            SELECT doc_id, lang,
+                   unnest(list_concat(w,
+                       list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1]))) AS g
+            FROM docsrc)
+    ),
+    dbc AS (
+        SELECT doc_id, lang, {_bucket_sql('g')} AS b, count(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    bstats AS (
+        SELECT b, CAST(SUM(cnt) AS BIGINT) AS cr,
+               CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN cnt
+                             ELSE 0 END) AS BIGINT) AS ct
+        FROM dbc GROUP BY b
+    ),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+                   CAST(SUM(ct) AS BIGINT) AS nt FROM bstats),
+    lnr AS (
+        SELECT b, ln(((ct + 25E-2) * (nr + 256E0))
+                     / ((cr + 25E-2) * (nt + 256E0))) AS lnr
+        FROM bstats, tot
+    ),
+    perdoc AS (
+        SELECT doc_id, SUM(cnt * lnr) AS logw
+        FROM dbc JOIN lnr USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           floor(COALESCE(p.logw, 0E0) * 10000 + 0.5) / 10000 AS logw,
+           floor((ln({_uniform_sql('CAST(d.doc_id AS VARCHAR)')})
+                  - COALESCE(p.logw, 0E0)) * 10000 + 0.5) / 10000 AS skey
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY skey, doc_id LIMIT {DSIR_SAMPLE_K}
+    """,
+)
+def x25_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    logw = dsir_log_weights(docs, F.col("lang") == _DSIR_TARGET_LANG)
+    lw = F.coalesce(F.col("logw"), F.lit(0.0))
+    u = F.expr(_uniform_sql("CAST(doc_id AS STRING)"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(logw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            _round4(lw).alias("logw"),
+            _round4(F.log(u) - lw).alias("skey"),
+        )
+        .orderBy("skey", "doc_id")
+        .limit(DSIR_SAMPLE_K)
+    )

@@ -1045,3 +1045,144 @@ def test_x24_planted_leak_ratio(spark):
         assert got[pair]["overlap_shingles"] == 0
         assert got[pair]["contamination"] == 0.0
     assert got[("c", "a")]["total_a"] == 30 - 8 + 1  # 23 distinct shingles
+
+
+# ---------------------------------------------------------------------------
+# X25 — DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def test_x25_dsir_upweights_target_like_docs(spark):
+    """Planted-distribution recovery: target docs share a distinctive
+    vocabulary; raw-only docs use a disjoint one. Every held-out doc
+    written in the target vocabulary must outscore every raw-vocabulary
+    doc — the importance weight recovers distribution membership even
+    though the held-out docs are NOT in the target slice."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        dsir_log_weights,
+    )
+
+    t_words = "alpha beta gamma delta epsilon zeta".split()
+    r_words = "rock sand clay silt loam peat".split()
+    rows = []
+    # target slice: lang='en', target vocabulary
+    for i in range(20):
+        rows.append((i, "en", " ".join(t_words[(i + j) % 6] for j in range(12))))
+    # raw background: other lang, raw vocabulary
+    for i in range(20, 40):
+        rows.append((i, "de", " ".join(r_words[(i + j) % 6] for j in range(12))))
+    # held-out probes: NOT lang='en', one target-voc, one raw-voc
+    rows.append((100, "fr", " ".join(t_words) + " " + " ".join(t_words)))
+    rows.append((101, "fr", " ".join(r_words) + " " + " ".join(r_words)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert w[100] > w[101], (w[100], w[101])
+    # every target-voc doc beats every raw-voc doc
+    assert min(w[i] for i in range(20)) > max(w[i] for i in range(20, 40))
+
+
+def test_x25_resample_is_deterministic_and_target_enriched(spark):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    from .conftest import SF_DIR
+
+    q = engine.QUERIES["x25_dsir_resample"]
+    a = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    assert a == b
+    assert len(a) == 100
+    # corpus is ~44% en; DSIR targeting en must enrich well past that
+    n_en = sum(1 for r in a if r[1] == "en")
+    assert n_en >= 60, n_en
+
+
+# ---------------------------------------------------------------------------
+# T6b — Gopher rule battery (Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+
+def _gopher(spark, rows):
+    from real_time_event_streaming_analytics_platform_spark.functions.text import (
+        gopher_rules,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+
+
+def test_t6b_planted_violations_fire_the_right_rules(spark):
+    base = " ".join(f"w{i} unique token stream alpha beta" for i in range(12))
+    line10 = "one two three four five six seven eight nine ten"
+    rows = [
+        # 0: clean long doc — enough words, varied
+        (0, " ".join(f"word{i} mix var{i * 7 % 13} text" for i in range(40))),
+        # 1: duplicate lines — the same 10-word window repeated 6x + filler
+        (1, " ".join([line10] * 6) + " " + base),
+        # 2: top-2-gram domination — one bigram repeated through the doc
+        (2, " ".join(["spam ham"] * 40) + " " + base),
+        # 3: symbol-heavy — '#' every other word
+        (3, " ".join("# word" for _ in range(30)) + " " + base),
+        # 4: bullet lines
+        (4, "\n".join(f"- item number {i} in the list" for i in range(20))
+            + "\n" + base),
+        # 5: ellipsis line endings
+        (5, "\n".join(f"trailing thought number {i} goes on ..." for i in range(20))
+            + "\n" + base),
+        # 6: numeric soup — no alphabetic words
+        (6, " ".join(str(i * 37) for i in range(80))),
+    ]
+    g = _gopher(spark, rows)
+    assert not g[0]["gopher_flagged"], g[0]
+    assert g[1]["dup_line_frac"] > 0.3 and g[1]["gopher_flagged"]
+    assert g[1]["dup_line_char_frac"] > 0.2
+    assert g[2]["top2_char_frac"] > 0.2 and g[2]["gopher_flagged"]
+    assert g[3]["symbol_ratio"] > 0.1 and g[3]["gopher_flagged"]
+    assert g[4]["bullet_line_frac"] > 0.9 and g[4]["gopher_flagged"]
+    assert g[5]["ellipsis_line_frac"] > 0.3 and g[5]["gopher_flagged"]
+    assert g[6]["alpha_word_frac"] < 0.8 and g[6]["gopher_flagged"]
+
+
+def test_t6b_edge_cases_do_not_divide_by_zero(spark):
+    g = _gopher(spark, [(0, ""), (1, "   "), (2, "one"), (3, "a b")])
+    for d in g.values():
+        for k, v in d.items():
+            if isinstance(v, float):
+                assert v == v and abs(v) < 1e9  # finite, no NaN
+    # sub-50-word docs trip the word-count bound — all flagged
+    assert all(d["gopher_flagged"] for d in g.values())
+
+
+def test_t5_extended_pii_classes_detect_and_redact(spark):
+    """IPv4/IPv6/SSN/credit-card (Luhn-validated) extension: each class
+    counts and redacts; a 16-digit string failing Luhn is NOT a credit
+    card; clock strings are NOT IPv6."""
+    import hashlib
+
+    from real_time_event_streaming_analytics_platform_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (2, "addr 2001:0db8:85a3:0000:0000:8a2e:2e03:7334 up at 12:34:56"),
+            (3, "ssn 123-45-6789 on file"),
+            (4, "pay 4111 1111 1111 1111 now"),          # Luhn-valid Visa test
+            (5, "fake card 4111 1111 1111 1112 ignored"),  # fails Luhn
+            (6, "card 4012-8888-8888-1881 and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert rows[1]["n_ip4"] == 2 and rows[1]["n_ip6"] == 0
+    assert rows[2]["n_ip6"] == 1 and rows[2]["n_ip4"] == 0  # clock not an IP
+    assert rows[3]["n_ssn"] == 1 and rows[3]["n_phones"] == 0
+    assert rows[4]["n_cc"] == 1
+    assert rows[5]["n_cc"] == 0  # Luhn rejects
+    assert rows[6]["n_cc"] == 1 and rows[6]["n_ip4"] == 1
+    assert rows[4]["clean_digest"] == hashlib.md5(b"pay <CC> now").hexdigest()
+    assert rows[1]["clean_digest"] == hashlib.md5(
+        b"server at <IP> and <IP> responded"
+    ).hexdigest()
+    assert rows[3]["clean_digest"] == hashlib.md5(b"ssn <SSN> on file").hexdigest()
