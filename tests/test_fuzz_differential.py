@@ -1110,3 +1110,118 @@ def test_fuzzed_numeric_casts_match_duckdb(spark, views):
         if not ok:
             failures.append((case, sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_json_functions_match_duckdb(spark, views):
+    """JSON-function sweep (VERDICT r08 #7): the r13/r13b flatteners and
+    the streaming DLQ ride on JSON path extraction, which had no fuzz
+    coverage. Each case builds a nested JSON document per event row —
+    identically in both dialects, from integer-only fields so number
+    rendering can't diverge — truncates it to MALFORMED on every 7th
+    row, then extracts through paired ops: get_json_object ↔
+    json_extract_string (scalar paths, missing keys, out-of-range array
+    indexes), raw-subtree extraction (both engines minify identically),
+    json_array_length, sorted json_object_keys ↔ json_keys, typed
+    try_cast coercion (Spark 4 ANSI CAST throws on 'click'→BIGINT;
+    TRY forms are the portable pair), and Spark 4 VARIANT
+    (try_parse_json + try_variant_get) against the same TRY_CAST twin.
+    DuckDB json_* functions ERROR on malformed input where Spark
+    returns NULL, so every duck-side op is guarded with json_valid —
+    that guard asymmetry is itself a pinned finding of this sweep."""
+    import random as _random
+
+    rng = _random.Random(271828)
+
+    j_spark = (
+        "CONCAT('{\"id\": ', CAST(event_id AS STRING),"
+        " ', \"u\": {\"uid\": ', CAST(user_id AS STRING),"
+        " ', \"ty\": \"', event_type,"
+        " '\"}, \"vals\": [', CAST(event_id % 5 AS STRING),"
+        " ', ', CAST(user_id % 3 AS STRING),"
+        " '], \"props\": ', props,"
+        " ', \"flag\": ', CAST(user_id % 2 = 0 AS STRING), '}')"
+    )
+    j_duck = (
+        "CONCAT('{\"id\": ', CAST(event_id AS VARCHAR),"
+        " ', \"u\": {\"uid\": ', CAST(user_id AS VARCHAR),"
+        " ', \"ty\": \"', event_type,"
+        " '\"}, \"vals\": [', CAST(event_id % 5 AS VARCHAR),"
+        " ', ', CAST(user_id % 3 AS VARCHAR),"
+        " '], \"props\": ', props,"
+        " ', \"flag\": ', CAST(user_id % 2 = 0 AS VARCHAR), '}')"
+    )
+    trunc = "CASE WHEN event_id % 7 = 0 THEN substr({j}, 1, length({j}) - 3) ELSE {j} END"
+
+    num_paths = ["$.id", "$.u.uid", "$.vals[0]", "$.vals[1]", "$.props.k"]
+    str_paths = ["$.u.ty", "$.flag", "$.nope", "$.u.zz", "$.vals[7]"] + num_paths
+    obj_paths = ["$.u", "$.vals", "$.props"]
+
+    def guard(expr):
+        return f"CASE WHEN json_valid(j) THEN {expr} END"
+
+    def gen_op(i):
+        kind = rng.choice(
+            ["scalar", "typed", "raw", "arrlen", "keys", "variant_i", "variant_s"]
+        )
+        if kind == "scalar":
+            p = rng.choice(str_paths)
+            return (
+                f"get_json_object(j, '{p}') AS e{i}",
+                f"{guard(f'''json_extract_string(j, '{p}')''')} AS e{i}",
+            )
+        if kind == "typed":
+            p = rng.choice(num_paths)
+            return (
+                f"try_cast(get_json_object(j, '{p}') AS BIGINT) AS e{i}",
+                f"{guard(f'''TRY_CAST(json_extract_string(j, '{p}') AS BIGINT)''')} AS e{i}",
+            )
+        if kind == "raw":
+            p = rng.choice(obj_paths)
+            return (
+                f"get_json_object(j, '{p}') AS e{i}",
+                f"{guard(f'''CAST(json_extract(j, '{p}') AS VARCHAR)''')} AS e{i}",
+            )
+        if kind == "arrlen":
+            return (
+                f"CAST(json_array_length(get_json_object(j, '$.vals')) AS BIGINT) AS e{i}",
+                f"{guard('''CAST(json_array_length(j, '$.vals') AS BIGINT)''')} AS e{i}",
+            )
+        if kind == "keys":
+            p = rng.choice(["$.u", "$.props"])
+            return (
+                f"array_join(array_sort(json_object_keys(get_json_object(j, '{p}'))), ',') AS e{i}",
+                f"{guard(f'''array_to_string(list_sort(json_keys(j, '{p}'), 'ASC'), ',')''')} AS e{i}",
+            )
+        if kind == "variant_i":
+            p = rng.choice(num_paths)
+            return (
+                f"try_variant_get(try_parse_json(j), '{p}', 'bigint') AS e{i}",
+                f"{guard(f'''TRY_CAST(json_extract_string(j, '{p}') AS BIGINT)''')} AS e{i}",
+            )
+        p = rng.choice(["$.u.ty", "$.nope"])
+        return (
+            f"try_variant_get(try_parse_json(j), '{p}', 'string') AS e{i}",
+            f"{guard(f'''json_extract_string(j, '{p}')''')} AS e{i}",
+        )
+
+    failures = []
+    for case in range(18):
+        s_exprs, d_exprs = [], []
+        for i in range(rng.randint(2, 3)):
+            es, ed = gen_op(i)
+            s_exprs.append(es)
+            d_exprs.append(ed)
+        s_sql = (
+            f"SELECT event_id, {', '.join(s_exprs)} FROM "
+            f"(SELECT event_id, {trunc.format(j=j_spark)} AS j FROM events) "
+            f"ORDER BY event_id"
+        )
+        d_sql = (
+            f"SELECT event_id, {', '.join(d_exprs)} FROM "
+            f"(SELECT event_id, {trunc.format(j=j_duck)} AS j FROM events) "
+            f"ORDER BY event_id"
+        )
+        ok, msg = compare(spark.sql(s_sql), views, d_sql)
+        if not ok:
+            failures.append((case, s_sql, msg))
+    assert not failures, failures[:3]
