@@ -549,6 +549,18 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             # partials per partition (corpus-size-free); the factor is
             # the evidence the scan is the only corpus-sized term
             "x21_kmeans_clusters",
+            # r09 additions (VERDICT r08 #8 + the round's new ops):
+            # x22 = corpus word-table join of the BPE encoder; x24 =
+            # shingle self-join whose per-key blowup is claimed bounded
+            # by n_sources²; q40 = MERGE; x25 = DSIR's one (doc, bucket)
+            # shuffle + B-row broadcast; x26 = IRLS fit whose
+            # per-iteration partial is claimed B²-bounded and
+            # corpus-size-free — each factor is the claim's evidence
+            "x22_bpe_encode",
+            "x24_cross_source_contamination",
+            "q40_merge_upsert",
+            "x25_dsir_resample",
+            "x26_quality_classifier",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}

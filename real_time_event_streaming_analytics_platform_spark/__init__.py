@@ -26,6 +26,7 @@ from .functions import sketches as _sketches  # noqa: F401  mergeable HLL
 from .functions import quality as _quality  # noqa: F401  data-quality checks
 from .functions import vocab as _vocab  # noqa: F401  BPE vocab induction
 from .functions import clustering as _clustering  # noqa: F401  k-means
+from .functions import classifier as _classifier  # noqa: F401  quality LR
 from .streaming import entries as _streaming_entries  # noqa: F401
 
 __all__ = ["SessionFactory", "get_spark", "QUERIES", "ORACLE"]

@@ -617,9 +617,19 @@ _QUAL_MIN_TOKENS = 20  # regex tokens; drops ~10% of the synthetic corpus
     """,
 )
 def x10_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel(load(spark, sf_dir, "documents"))
+
+
+def curation_funnel(docs: DataFrame, model_keep: DataFrame | None = None) -> DataFrame:
+    """The x10 funnel DAG over an arbitrary docs frame; ``model_keep``
+    (an optional (doc_id) keep-list, e.g. classifier.quality_keep's
+    output) inserts a model-filter stage after the heuristic quality
+    gate — the survivorship chain becomes qual → model → dedup → clean
+    → mix and the output gains an ``n_model`` column. With
+    ``model_keep=None`` the plan and columns are exactly the registered
+    x10 oracle's."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
     corpus = docs.where(~F.expr(_BENCH_PRED))
 
     # Contamination is a per-doc property (overlap with the FIXED
@@ -667,14 +677,26 @@ def x10_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contam, "doc_id", "left")
         .withColumn("clean", F.col("_contam").isNull())
     )
-    kept = F.col("qual") & F.col("keep1") & F.col("clean")
+    gate = F.col("qual")
+    extra = []
+    if model_keep is not None:
+        flagged = flagged.join(
+            model_keep.select("doc_id").withColumn("_mk", F.lit(True)),
+            "doc_id",
+            "left",
+        ).withColumn("model", F.col("_mk").isNotNull())
+        gate = gate & F.col("model")
+        as_int0 = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+        extra = [F.sum(as_int0(gate)).alias("n_model")]
+    kept = gate & F.col("keep1") & F.col("clean")
     as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
     return (
         flagged.groupBy("source")
         .agg(
             F.count("*").alias("n_raw"),
             F.sum(as_int(F.col("qual"))).alias("n_quality"),
-            F.sum(as_int(F.col("qual") & F.col("keep1"))).alias("n_dedup"),
+            *extra,
+            F.sum(as_int(gate & F.col("keep1"))).alias("n_dedup"),
             F.sum(as_int(kept)).alias("n_clean"),
             F.sum(as_int(kept & F.col("mix"))).alias("n_kept"),
             F.sum(F.when(kept & F.col("mix"), F.col("ws_tokens")).otherwise(0))
@@ -848,6 +870,18 @@ def _round4(col):
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 
+# unigrams ∪ bigrams over a bound `_w` words column; sequence(1, 0)
+# DESCENDS in Spark, so the bigram arm is guarded for 0/1-word docs.
+# Shared with the x26 quality classifier (functions/classifier.py) so
+# both models read the identical feature space.
+GRAMS_SQL_W = """
+CASE WHEN size(_w) >= 2
+     THEN concat(_w, transform(sequence(1, size(_w) - 1),
+                               i -> concat(_w[i-1], ' ', _w[i])))
+     ELSE _w END
+"""
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target: "F.Column",
@@ -863,21 +897,8 @@ def dsir_log_weights(
     bound = _parallelize(docs).select(
         "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
     )
-    # unigrams ∪ bigrams; sequence(1, 0) DESCENDS in Spark, so the
-    # bigram arm must be guarded for 0/1-word docs.
     grams = bound.select(
-        "doc_id",
-        "_t",
-        F.explode(
-            F.expr(
-                """
-                CASE WHEN size(_w) >= 2
-                     THEN concat(_w, transform(sequence(1, size(_w) - 1),
-                                               i -> concat(_w[i-1], ' ', _w[i])))
-                     ELSE _w END
-                """
-            )
-        ).alias("g"),
+        "doc_id", "_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g")
     )
     dbc = (
         grams.select("doc_id", "_t", F.expr(_bucket_sql("g")).alias("b"))
