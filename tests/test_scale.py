@@ -728,3 +728,70 @@ def test_x23_priority_sample_avoids_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_t6b_gopher_rules_plan_has_no_data_shuffle(spark):
+    """t6b is claimed pure per-row column expressions: the executed plan
+    must contain NO aggregate and no exchange beyond the presentation
+    sort's single range exchange — at 100 TB the operator is a map
+    stage over the scan."""
+    import re
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["t6b_gopher_rules"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "HashAggregate" not in final, final[:1500]
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+    assert len(stages) <= 1, final[:2000]  # ORDER BY doc_id only
+
+
+def test_x25_dsir_plan_shape(spark):
+    """x25's k-smallest must execute as TakeOrderedAndProject (never a
+    global Sort+Limit), the B-row ln-ratio table must come back via
+    BroadcastExchange, and nothing in the plan may be a cartesian
+    product — the corpus-sized work is the single (doc, bucket)
+    aggregate shuffle."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["x25_dsir_resample"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_t5_pii_plan_is_map_only(spark):
+    """The extended PII scrub (email/phone/ip4/ip6/ssn/Luhn-cc) must
+    stay a map stage: regex counting, candidate filtering, and the
+    Luhn aggregate all run inside per-row expressions — no aggregate,
+    no join, one presentation-sort exchange."""
+    import re
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["t5_pii_scrub"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "HashAggregate" not in final, final[:1500]
+    assert "Join" not in final, final[:1500]
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+    assert len(stages) <= 1, final[:2000]
+
+
+def test_x24_grid_join_is_broadcast_not_cartesian(spark):
+    """x24's full-pair grid is an n_sources-row aggregate theta-joined
+    against itself: it must appear as BroadcastNestedLoopJoin over the
+    tiny totals frame, never CartesianProduct, and the corpus-sized
+    shingle join must stay a hash join on the shingle key."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["x24_cross_source_contamination"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan
