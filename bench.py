@@ -526,6 +526,27 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
                 "label",
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
         )
+        # orders + customer for the relational subset entries (q40):
+        # keys remapped per replica so FK relationships hold WITHIN each
+        # replica and the join fan-out grows with the data, not per-key
+        big = F.col("_rep").cast("bigint")
+        (
+            load(spark, sf_dir, "orders")
+            .select("*", rep)
+            .withColumn("o_orderkey", F.col("o_orderkey") + big * F.lit(10**12))
+            .withColumn("o_custkey", F.col("o_custkey") + big * F.lit(10**9))
+            .drop("_rep")
+            .write.mode("overwrite")
+            .parquet(f"{d}/orders.parquet")
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .select("*", rep)
+            .withColumn("c_custkey", F.col("c_custkey") + big * F.lit(10**9))
+            .drop("_rep")
+            .write.mode("overwrite")
+            .parquet(f"{d}/customer.parquet")
+        )
         spark.catalog.clearCache()
 
         subset = [

@@ -205,11 +205,25 @@ def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet head/middle/tail split cuts on exactly this ordering (its
     external KenLM replaced by the self-estimated unigram model).
 
-    The global NTILE is the oracle-exact form; at 100 TB the quartile
-    column comes from approxQuantile cut points joined back broadcast
-    (no global sort) — same substitution the percentile family
-    documents (operators/reference.py R6 vs its approx twin)."""
-    docs = load(spark, sf_dir, "documents")
+    The global NTILE is the oracle-exact form; x17b is the 100 TB
+    twin — approxQuantile cut points applied as a broadcast when-chain
+    (no global sort)."""
+    per_doc = _surprisal_per_doc(load(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("avg_surprisal"), F.col("doc_id"))
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            _round4(F.col("nll")).alias("avg_surprisal"),
+        )
+        .select("*", F.ntile(4).over(w).alias("quartile"))
+        .orderBy("doc_id")
+    )
+
+
+def _surprisal_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, nll) — the shared per-document mean unigram
+    surprisal frame behind x17 (exact NTILE) and x17b (approx cuts)."""
     tok = tokens(docs)
     cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
     # total-token scalar derives from cnt (one less tokenize pass)
@@ -217,7 +231,7 @@ def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cnt is vocabulary-sized: small enough for AQE to auto-broadcast at
     # test SFs, but NOT hinted — at 100 TB the vocabulary outgrows a
     # broadcast and the correct plan is the content-keyed shuffle join.
-    per_doc = (
+    return (
         tok.join(cnt, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
@@ -229,16 +243,43 @@ def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    w = Window.orderBy(F.col("avg_surprisal"), F.col("doc_id"))
-    return (
-        per_doc.select(
+
+
+@query("x17b_surprisal_quartile_approx")
+def x17b_surprisal_quartile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x17's quartile column WITHOUT the global sort: the three cut
+    points come from approxQuantile (Greenwald-Khanna, relative error
+    1e-3) over the per-doc surprisal frame — a driver-side 3-float
+    result — and the quartile is a broadcast when-chain over them.
+
+    This is the 100 TB plan: x17's oracle-exact NTILE funnels every row
+    through ONE range-sorted window; here the per-doc frame is computed
+    once (persisted for the two passes), the sketch pass reduces
+    per-partition GK summaries, and the labeling pass is a map stage.
+    Same substitution the percentile family documents (R6 exact
+    nearest-rank vs r6b approx). Rows-only: the quartile boundary can
+    differ from NTILE at the sketch's rank-error margin on boundary
+    docs; the agreement rate and the no-window plan shape are pinned in
+    tests/test_functions.py / tests/test_scale.py."""
+    from ..plans.registry import track_persist
+
+    per_doc = track_persist(
+        _surprisal_per_doc(load(spark, sf_dir, "documents")).select(
             "doc_id",
             "n_tokens",
             _round4(F.col("nll")).alias("avg_surprisal"),
         )
-        .select("*", F.ntile(4).over(w).alias("quartile"))
-        .orderBy("doc_id")
     )
+    c1, c2, c3 = per_doc.stat.approxQuantile(
+        "avg_surprisal", [0.25, 0.5, 0.75], 1e-3
+    )
+    s = F.col("avg_surprisal")
+    quartile = (
+        F.when(s <= c1, 1).when(s <= c2, 2).when(s <= c3, 3).otherwise(4)
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "avg_surprisal", quartile.cast("int").alias("quartile")
+    ).orderBy("doc_id")
 
 
 # Add-k smoothing constant for the bigram model; 0.5 is the Jeffreys

@@ -1186,3 +1186,26 @@ def test_t5_extended_pii_classes_detect_and_redact(spark):
         b"server at <IP> and <IP> responded"
     ).hexdigest()
     assert rows[3]["clean_digest"] == hashlib.md5(b"ssn <SSN> on file").hexdigest()
+
+
+def test_x17b_approx_quartile_agrees_with_exact_ntile(spark):
+    """The sketch-cut quartile must agree with x17's global-sort NTILE
+    on ≥90% of documents (disagreements are confined to NTILE's
+    forced-equal-bucket splits of value ties and the GK rank-error
+    margin at the three boundaries), and its plan must contain no
+    Window — that is the point of the twin."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    exact = {
+        r["doc_id"]: r["quartile"]
+        for r in engine.QUERIES["x17_unigram_surprisal"](spark, SF_DIR).collect()
+    }
+    approx_df = engine.QUERIES["x17b_surprisal_quartile_approx"](spark, SF_DIR)
+    approx = {r["doc_id"]: r["quartile"] for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree >= 0.9, agree
+    # quartiles are populated and ordered by value
+    assert set(approx.values()) == {1, 2, 3, 4}
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
