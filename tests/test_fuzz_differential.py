@@ -1225,3 +1225,89 @@ def test_fuzzed_json_functions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, s_sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_map_struct_functions_match_duckdb(spark, views):
+    """Map/struct-construction sweep: the sink formatters and r13/r31
+    shapes build nested records, but no fuzz coverage existed for the
+    MAP/STRUCT surface. Paired-dialect templates over real columns:
+    map build + key lookup (Spark try_element_at returns value-or-NULL;
+    DuckDB map_extract returns a LIST — empty when missing — so the
+    duck twin is list_extract(map_extract(..), 1)), map_keys /
+    map_values / map_entries renderings (sorted before joining — map
+    iteration order is not contractual in either engine), map
+    cardinality (size ↔ cardinality), struct field access
+    (named_struct ↔ struct_pack), and whole-struct equality."""
+    import random as _random
+
+    rng = _random.Random(161803)
+
+    m_spark = (
+        "map('t', event_type, 'u', CAST(user_id AS STRING),"
+        " 'v', CAST(CAST(FLOOR(value) AS BIGINT) AS STRING))"
+    )
+    m_duck = (
+        "MAP(['t', 'u', 'v'], [event_type, CAST(user_id AS VARCHAR),"
+        " CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)])"
+    )
+    s_spark = "named_struct('a', user_id % 5, 'b', event_type)"
+    s_duck = "struct_pack(a := user_id % 5, b := event_type)"
+
+    def gen_op(i):
+        kind = rng.choice(
+            ["lookup", "keys", "vals", "entries", "size", "field", "eq"]
+        )
+        if kind == "lookup":
+            k = rng.choice(["t", "u", "v", "zz"])
+            return (
+                f"try_element_at({m_spark}, '{k}') AS e{i}",
+                f"list_extract(map_extract({m_duck}, '{k}'), 1) AS e{i}",
+            )
+        if kind == "keys":
+            return (
+                f"array_join(array_sort(map_keys({m_spark})), ',') AS e{i}",
+                f"array_to_string(list_sort(map_keys({m_duck}), 'ASC'), ',') AS e{i}",
+            )
+        if kind == "vals":
+            return (
+                f"array_join(array_sort(map_values({m_spark})), ',') AS e{i}",
+                f"array_to_string(list_sort(map_values({m_duck}), 'ASC'), ',') AS e{i}",
+            )
+        if kind == "entries":
+            return (
+                f"array_join(array_sort(transform(map_entries({m_spark}),"
+                f" p -> concat(p.key, '=', p.value))), '|') AS e{i}",
+                f"array_to_string(list_sort(list_transform(map_entries({m_duck}),"
+                f" p -> p.key || '=' || p.value), 'ASC'), '|') AS e{i}",
+            )
+        if kind == "size":
+            return (
+                f"CAST(size({m_spark}) AS BIGINT) AS e{i}",
+                f"CAST(cardinality({m_duck}) AS BIGINT) AS e{i}",
+            )
+        if kind == "field":
+            f_ = rng.choice(["a", "b"])
+            cast = "CAST({x} AS STRING)" if f_ == "a" else "{x}"
+            dcast = "CAST({x} AS VARCHAR)" if f_ == "a" else "{x}"
+            return (
+                f"{cast.format(x=f'({s_spark}).{f_}')} AS e{i}",
+                f"{dcast.format(x=f'({s_duck}).{f_}')} AS e{i}",
+            )
+        return (
+            f"({s_spark}) = named_struct('a', CAST(2 AS BIGINT), 'b', 'click') AS e{i}",
+            f"({s_duck}) = struct_pack(a := CAST(2 AS BIGINT), b := 'click') AS e{i}",
+        )
+
+    failures = []
+    for case in range(14):
+        s_exprs, d_exprs = [], []
+        for i in range(rng.randint(2, 3)):
+            es, ed = gen_op(i)
+            s_exprs.append(es)
+            d_exprs.append(ed)
+        s_sql = f"SELECT event_id, {', '.join(s_exprs)} FROM events ORDER BY event_id"
+        d_sql = f"SELECT event_id, {', '.join(d_exprs)} FROM events ORDER BY event_id"
+        ok, msg = compare(spark.sql(s_sql), views, d_sql)
+        if not ok:
+            failures.append((case, s_sql, msg))
+    assert not failures, failures[:3]
