@@ -582,6 +582,10 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             "q40_merge_upsert",
             "x25_dsir_resample",
             "x26_quality_classifier",
+            # x19b exists to beat x19's vocabulary² factor: the capped
+            # model's tables stop growing with the corpus, so its
+            # factor vs x19's is the mitigation's direct evidence
+            "x19b_bigram_surprisal_capped",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}

@@ -377,3 +377,103 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X19b — bigram surprisal under a CAPPED vocabulary: the production
+# mitigation for x19's one superlinear term. x19's count tables grow
+# with observed-vocabulary² (measured 10× scale factor ~7); every
+# deployed n-gram LM instead fixes a top-V vocabulary and folds the
+# tail into '<unk>' (KenLM/CCNet practice), which bounds the bigram
+# table at (V+1)² — a CONSTANT — so at 100 TB the model tables stop
+# growing with the corpus and only the linear token pass remains.
+#
+# Vocabulary selection is deterministic (count DESC, token ASC —
+# executed as a V-row TakeOrderedAndProject) and V is a constant, so
+# the vocab frame is broadcast BY CONSTRUCTION — the membership joins
+# that map each pair side to kept/'<unk>' never shuffle the corpus.
+# Rows-only this round (the 50 driver-oracle slots are full; new
+# oracles must enter the window — the x24 r08 path); an equivalent
+# DuckDB differential runs every session in tests/test_functions.py,
+# promotable next rotation.
+# ---------------------------------------------------------------------------
+
+X19B_VOCAB = 4096  # top-V kept tokens; production would use 2^15-2^16
+_UNK = "<unk>"
+
+
+def bigram_surprisal_capped(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> DataFrame:
+    """(doc_id, n_bigrams, oov_rate, avg_surprisal): mean −ln P̂(m2|m1)
+    per doc over vocabulary-mapped adjacent pairs, add-k smoothed with
+    the FIXED model vocabulary (V+1 incl. '<unk>')."""
+    bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
+    pairs = (
+        bound.where(F.expr("size(_ws) >= 2"))
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(_ws) - 1),"
+                " i -> struct(_ws[i-1] AS w1, _ws[i] AS w2)))"
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+    cnt = (
+        bound.select(F.explode("_ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), "t")
+        .limit(vocab_size)
+        .select("t", F.lit(True).alias("_kept"))
+    )
+    mapped = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("t").alias("w1"), F.col("_kept").alias("_k1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("t").alias("w2"), F.col("_kept").alias("_k2"))),
+            "w2",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_k1"), F.col("w1")).otherwise(F.lit(_UNK)).alias("m1"),
+            F.when(F.col("_k2"), F.col("w2")).otherwise(F.lit(_UNK)).alias("m2"),
+        )
+    )
+    bc = mapped.groupBy("m1", "m2").agg(F.count("*").alias("c2"))
+    cc = bc.groupBy("m1").agg(F.sum("c2").alias("c1"))
+    v_model = float(vocab_size + 1)  # fixed constant — no corpus job
+    surprisal = F.log(
+        (F.col("c1").cast("double") + _BIGRAM_K * F.lit(v_model))
+        / (F.col("c2").cast("double") + _BIGRAM_K)
+    )
+    return (
+        mapped.join(bc, ["m1", "m2"])
+        .join(cc, ["m1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.when((F.col("m1") == _UNK) | (F.col("m2") == _UNK), 1).otherwise(0))
+                / F.count("*")
+            ).alias("_oov"),
+            (F.sum(surprisal) / F.count("*")).alias("nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            _round4(F.col("_oov")).alias("oov_rate"),
+            _round4(F.col("nll")).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("x19b_bigram_surprisal_capped")
+def x19b_bigram_surprisal_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_surprisal_capped(load(spark, sf_dir, "documents"))
