@@ -951,3 +951,85 @@ def cross_source_contamination(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# D3b — substring-duplication REMOVAL: the action counterpart of d3's
+# coverage stats. Lee et al. 2022 deduplicate by keeping ONE verbatim
+# occurrence of each duplicated substring and excising the rest; here
+# the canonical occurrence of a duplicated K-token window is the
+# lexicographically first (doc_id, pos) posting, every other
+# occurrence's window is removed from its document, and the output
+# carries counts + a digest of the cleaned text (digest-only — the
+# cleaned text never shuffles, the t5 discipline).
+#
+# Scale shape: d3's two content-keyed linear shuffles, plus one
+# groupBy(doc_id) that collects each document's REMOVABLE window
+# positions (bounded by the doc's own token count) and one join back to
+# the words frame. Span excision is then a per-row filter-with-index
+# over the bound word array — no interval list ever crosses a shuffle
+# except the doc's own positions. The canonical-occurrence key packs
+# (doc_id, pos) into one BIGINT (doc_id·10⁶ + pos; positions are
+# doc-bounded, well under 10⁶) so min() resolves the lexicographic
+# first without a struct ordering.
+#
+# Rows-only this round (driver oracle slots full — the x24/x19b
+# promotion path); the DuckDB differential in tests/test_functions.py
+# recomputes the whole pipeline over raw shingle strings, and planted
+# fixtures pin keeper-side retention vs duplicate-side excision.
+# ---------------------------------------------------------------------------
+
+
+@query("d3b_substring_dedup_clip")
+def d3b_substring_dedup_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup_clip(load(spark, sf_dir, "documents"))
+
+
+def substring_dedup_clip(docs: DataFrame, span_k: int = SPAN_K) -> DataFrame:
+    """(doc_id, total_tokens, removed_tokens, clean_digest): excise
+    every duplicated K-token window except its canonical (first
+    (doc_id, pos)) occurrence; digest the space-rejoined survivor
+    tokens."""
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), _WS).alias("w")
+    )
+    sh = words.where(F.size("w") >= span_k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - span_k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, span_k))),
+            )
+        ).alias("pos", "shk"),
+    )
+    dup = (
+        sh.groupBy("shk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shk")
+    )
+    surviving = sh.join(dup, "shk").withColumn(
+        "ck", F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    )
+    canon = surviving.groupBy("shk").agg(F.min("ck").alias("canon_ck"))
+    removable = (
+        surviving.join(canon, "shk")
+        .where(F.col("ck") != F.col("canon_ck"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+    )
+    kept = F.expr(
+        f"CASE WHEN ps IS NULL THEN w ELSE "
+        f"filter(w, (t, i) -> size(filter(ps, p -> i >= p AND i < p + {span_k})) = 0) "
+        f"END"
+    )
+    return (
+        words.join(removable, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("total_tokens"),
+            (F.size("w") - F.size(kept)).cast("long").alias("removed_tokens"),
+            F.md5(F.concat_ws(" ", kept)).alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )

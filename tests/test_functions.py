@@ -1305,3 +1305,93 @@ def test_x19b_vocab_is_bounded_and_default_matches_registry(spark):
     # capped model only changes the smoothing denominator)
     assert all(r["oov_rate"] == 0.0 for r in rows)
     assert _UNK == "<unk>"
+
+
+def test_d3b_clip_keeps_canonical_and_excises_duplicates(spark):
+    """Planted verbatim dup: the lexicographically-first occurrence
+    keeps its text intact; every later occurrence loses exactly the
+    shared window's tokens; an unduplicated doc is untouched."""
+    import hashlib
+
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        substring_dedup_clip,
+    )
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
+        (2, f"iota kappa {shared} lam mu nu xi omicron"),
+        (3, "totally unique words nothing here repeats at all ever once"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup_clip(docs).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["clean_digest"] == hashlib.md5(rows[0][1].encode()).hexdigest()
+    assert out[2]["removed_tokens"] == 8
+    cleaned2 = "iota kappa lam mu nu xi omicron"
+    assert out[2]["clean_digest"] == hashlib.md5(cleaned2.encode()).hexdigest()
+    assert out[3]["removed_tokens"] == 0
+
+
+def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
+    """DuckDB recomputes the clip pipeline over raw shingle STRINGS
+    (no xxhash64) — every (doc_id, counts, digest) row must agree —
+    and per doc the clipped mass never exceeds d3's coverage (canonical
+    copies are retained)."""
+    import duckdb
+
+    from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
+        SPAN_K,
+        _WS,
+        substring_dedup_clip,
+        substring_dup_spans,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = [tuple(r) for r in substring_dedup_clip(docs).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(f"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i.gen AS pos,
+                   array_to_string(w[i.gen + 1 : i.gen + {SPAN_K}], ' ') AS sh
+            FROM words, unnest(generate_series(0, len(w) - {SPAN_K})) AS i(gen)
+            WHERE len(w) >= {SPAN_K}
+        ),
+        dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        surv AS (
+            SELECT doc_id, pos, sh.sh, doc_id * 1000000 + pos AS ck
+            FROM sh JOIN dup USING (sh)
+        ),
+        canon AS (SELECT sh, min(ck) AS canon_ck FROM surv GROUP BY sh),
+        rem AS (
+            SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+            FROM surv JOIN canon USING (sh)
+            WHERE ck != canon_ck GROUP BY doc_id
+        ),
+        clipped AS (
+            SELECT w.doc_id, len(w.w) AS total,
+                   CASE WHEN r.ps IS NULL THEN w.w
+                        ELSE list_filter(w.w, (t, i) ->
+                            len(list_filter(r.ps,
+                                p -> (i - 1) >= p AND (i - 1) < p + {SPAN_K})) = 0)
+                   END AS kept
+            FROM words w LEFT JOIN rem r USING (doc_id)
+        )
+        SELECT doc_id, CAST(total AS BIGINT) AS total_tokens,
+               CAST(total - len(kept) AS BIGINT) AS removed_tokens,
+               md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_digest
+        FROM clipped ORDER BY doc_id
+    """).fetchall()
+    assert len(got) == len(want) and got == [tuple(r) for r in want]
+
+    cov = {r["doc_id"]: r["dup_tokens"] for r in substring_dup_spans(docs).collect()}
+    for doc_id, _tot, removed, _dig in got:
+        assert removed <= cov[doc_id], (doc_id, removed, cov[doc_id])
