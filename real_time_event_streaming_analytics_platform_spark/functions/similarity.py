@@ -896,3 +896,93 @@ def x15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — contrastive hard-negative mining: for every anchor vector, the
+# K most-similar vectors carrying a DIFFERENT label — the standard
+# batch-construction stage for training embedding models (in-batch
+# negatives are easy; retrieval quality comes from hard ones; e.g. DPR,
+# Karpukhin et al. 2020; SimCSE's hard-negative variants — public).
+#
+# Scale shape: the SemDeDup discipline — anchors only compare within
+# their IVF cell, so the all-pairs O(n²) collapses to Σ_cell |cell|²
+# with the quantizer trained on a size-capped driver sample; the
+# per-anchor top-k is a cell-local window (the partition key includes
+# the cell by construction — no global sort). Cross-cell negatives are
+# missed exactly like SemDeDup's cross-cluster dups; production raises
+# nprobe/nlist to trade recall for pair work. Mining quality vs the
+# exact different-label top-k is pinned by recall in tests (same
+# methodology as the x3b/x3c recall bars).
+#
+# Rows-only: the quantizer is an iterative driver-sample fit, not
+# one-statement SQL; determinism, label-correctness, recall-vs-brute,
+# and planted-structure tests in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5
+
+
+def _probe_cells(emb: DataFrame, centers, nprobe: int) -> DataFrame:
+    """Append an array of the nprobe nearest cell ids per vector (one
+    Arrow matmul per batch; stable argsort so ties resolve to the
+    lowest cell index on every run)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _cells(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        d = c_sq[None, :] - 2.0 * (M @ C.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return emb.withColumn("probe_cells", _cells("embedding"))
+
+
+def hard_negatives(emb: DataFrame, k: int = HARD_NEG_K, nprobe: int = None) -> DataFrame:
+    """(qid, cid, rank, cos) — per anchor, the k most-cosine-similar
+    DIFFERENT-label vectors among the candidates in the anchor's
+    IVF_NPROBE nearest cells (the FAISS probe semantics, applied
+    anchor-side: each anchor explodes to its probe cells, candidates
+    stay primary-assigned, so a pair can form through at most one
+    cell and no dedup pass is needed)."""
+    from pyspark.sql import Window
+
+    if nprobe is None:
+        nprobe = IVF_NPROBE
+    assigned, centers = ivf_assignments(with_norm(emb))
+    # assign_cells projects to (vec_id, embedding, nrm, cell) — labels
+    # rejoin on the id key (a broadcast-or-shuffle hash join on the
+    # corpus key either way; at scale the label column would simply be
+    # carried in the index table).
+    idx = track_persist(assigned.join(emb.select("vec_id", "label"), "vec_id"))
+    a = _probe_cells(idx, centers, nprobe).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    pairs = a.join(idx, "cell").where(
+        (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("q_label"))
+    )
+    cos = (
+        F.expr(_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cos")
+    scored = pairs.select("qid", F.col("vec_id").alias("cid"), cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", round2("cos").alias("cos"))
+        .orderBy("qid", "rank")
+    )
+
+
+@query("x27_hard_negative_mining")
+def x27_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(load(spark, sf_dir, "embeddings"))

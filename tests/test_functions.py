@@ -1395,3 +1395,71 @@ def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
     cov = {r["doc_id"]: r["dup_tokens"] for r in substring_dup_spans(docs).collect()}
     for doc_id, _tot, removed, _dig in got:
         assert removed <= cov[doc_id], (doc_id, removed, cov[doc_id])
+
+
+def test_x27_hard_negatives_label_correct_and_recall(spark):
+    """Every mined pair crosses labels; per-anchor ranks are contiguous
+    top-k; mean recall vs the exact different-label top-5 clears the
+    IVF-family bar (x3c methodology) on the weakly-clustered synthetic
+    corpus; two runs agree."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    q = engine.QUERIES["x27_hard_negative_mining"]
+    out = q(spark, SF_DIR).collect()
+    out2 = q(spark, SF_DIR).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+    emb = load(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], float), r["label"]) for r in emb}
+    assert all(vecs[r["qid"]][1] != vecs[r["cid"]][1] for r in out)
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["qid"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_anchor.values())
+
+    ids = sorted(vecs)
+    M = np.array([vecs[i][0] for i in ids])
+    L = np.array([vecs[i][1] for i in ids])
+    Mn = M / ((M**2).sum(1) ** 0.5)[:, None]
+    S = Mn @ Mn.T
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = []
+    for qi, q_id in enumerate(ids):
+        if q_id not in got:
+            continue
+        s = S[qi]
+        mask = L != L[qi]
+        order = sorted(
+            (j for j in range(len(ids)) if mask[j]), key=lambda j: (-s[j], ids[j])
+        )
+        recalls.append(len(got[q_id] & {ids[j] for j in order[:5]}) / 5)
+    assert sum(recalls) / len(recalls) >= 0.45, sum(recalls) / len(recalls)
+
+
+def test_x27_planted_hard_negative_found(spark):
+    """Two tight same-direction clusters with different labels: each
+    vector's hardest negative is the opposite-label vector planted at
+    cosine ≈ 1, and mining must rank it first."""
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    rows = []
+    dim = 8
+    for i in range(30):
+        base = [0.0] * dim
+        base[i % 4] = 1.0
+        base[(i % 4) + 4] = 0.01 * (i // 4)  # slight spread within the direction
+        # pairs (2i, 2i+1): identical direction, different labels
+        rows.append((2 * i, [float(x) for x in base], 0))
+        rows.append((2 * i + 1, [float(x) for x in base], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(emb, k=1)
+    top = {r["qid"]: r["cid"] for r in out.collect()}
+    hits = sum(1 for i in range(30) if top.get(2 * i) == 2 * i + 1)
+    # identical-direction twins tie at cos=1.0 with other same-direction
+    # vectors; the rank-1 pick must still be an opposite-label twin
+    # direction — require the planted partner for >=80% of anchors
+    assert hits >= 24, hits
