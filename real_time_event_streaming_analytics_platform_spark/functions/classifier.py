@@ -60,29 +60,36 @@ def hashed_features(docs: DataFrame, target) -> DataFrame:
     features (bs = sorted bucket ids, xs = aligned values) and the 0/1
     target label. Docs with zero tokens are absent (scored at bias).
 
-    One corpus scan → one (doc_id, bucket) aggregate shuffle → one
-    per-doc collect_list; sort_array makes the sparse layout (and hence
-    every float dot product downstream) order-deterministic."""
+    SHUFFLE-FREE: a document's sparse vector depends on nothing outside
+    the row, so the whole build is scan-local array algebra — tokenize,
+    gram, bucket each gram (exact md5-nibble integer arithmetic), then
+    distinct-sorted buckets with O(distinct·n) per-row counts. The
+    original formulation aggregated through a (doc_id, bucket) groupBy
+    + collect_list — two corpus shuffles buying nothing. Being per-row
+    also makes the feature build legal inside Structured Streaming
+    (stateless projection), which the streaming scorer rides on. The
+    output (bs sorted ascending, xs = cnt/total) is value- and
+    order-identical to the aggregated form, so every downstream float
+    fold is unchanged."""
     bound = _parallelize(docs).select(
         "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
     )
-    grams = bound.select("doc_id", "_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g"))
-    dbc = (
-        grams.select("doc_id", "_t", F.expr(_bucket_sql("g")).alias("b"))
-        .groupBy("doc_id", "_t", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        dbc.groupBy("doc_id", "_t")
-        .agg(F.sort_array(F.collect_list(F.struct("b", "cnt"))).alias("f"))
-        .withColumn("tot", F.expr("aggregate(f, 0L, (a, s) -> a + s.cnt)"))
+    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_sql('g')})")
+    feats = (
+        bound.withColumn("_ba", ba)
+        .where(F.size("_ba") > 0)
+        .withColumn("_bs", F.expr("array_sort(array_distinct(_ba))"))
         .select(
             "doc_id",
             F.col("_t").cast("int").alias("y"),
-            F.expr("transform(f, s -> s.b)").alias("bs"),
-            F.expr("transform(f, s -> CAST(s.cnt AS DOUBLE) / tot)").alias("xs"),
+            F.col("_bs").alias("bs"),
+            F.expr(
+                "transform(_bs, b -> CAST(size(filter(_ba, x -> x = b)) AS DOUBLE)"
+                " / size(_ba))"
+            ).alias("xs"),
         )
     )
+    return feats
 
 
 def _segment_logits(wb, pdf: pd.DataFrame):
@@ -273,3 +280,17 @@ def x26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def score_docs_stream(stream_docs: DataFrame, w) -> DataFrame:
+    """Score an unbounded documents stream with a FROZEN weight vector —
+    the train-offline / score-online split every production quality
+    filter runs (the model refits on a schedule; arriving docs are
+    scored between refits). Streaming-legal by construction: the
+    shuffle-free per-row feature build (see hashed_features) and the
+    Arrow scoring pass with w in the closure are both stateless
+    projections — no watermark, no state store, any output mode.
+    Parity with the batch scorer is pinned in tests/test_classifier.py
+    (S29): identical per-row arithmetic ⇒ identical probabilities."""
+    feats = hashed_features(stream_docs, F.lit(False))
+    return score_features(feats, w)

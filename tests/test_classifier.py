@@ -113,3 +113,50 @@ def test_funnel_model_stage_composes(spark):
         assert m["n_dedup"] <= b["n_dedup"]
         assert m["n_kept"] <= b["n_kept"]
         assert m["kept_tokens"] <= b["kept_tokens"]
+
+
+def test_s29_streaming_scorer_matches_batch(spark, tmp_path):
+    """S29: a frozen-model streaming scorer over arriving documents
+    must produce bitwise-identical probabilities to the batch scorer —
+    same per-row feature algebra, same Arrow fold, no state."""
+    import json as _json
+
+    from real_time_event_streaming_analytics_platform_spark.functions.classifier import (
+        score_docs_stream,
+        score_features,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    feats = hashed_features(docs, F.col("lang") == "en")
+    w = fit_quality_lr(feats)
+    batch = {r["doc_id"]: r["prob"] for r in score_features(feats, w).collect()}
+
+    # replay the same docs as an arriving JSONL stream in two files
+    rows = [r.asDict() for r in docs.select("doc_id", "text", "lang").collect()]
+    src = tmp_path / "in"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(src / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .json(str(src))
+    )
+    scored = score_docs_stream(stream, w)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("s29_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["prob"]
+        for r in spark.sql("SELECT * FROM s29_scores").collect()
+    }
+    assert set(got) == set(batch)
+    assert all(got[k] == batch[k] for k in got)  # bitwise parity
