@@ -882,6 +882,74 @@ CASE WHEN size(_w) >= 2
 """
 
 
+def _dsir_doc_buckets(docs: DataFrame, target: "F.Column") -> DataFrame:
+    """(doc_id, _t, b, cnt) — per-document hashed-bucket gram counts,
+    the shared substrate of the one-shot model, the incremental stats,
+    and the scoring join."""
+    from .._shingle import WORDS_EXPR, _parallelize
+
+    bound = _parallelize(docs).select(
+        "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
+    )
+    grams = bound.select(
+        "doc_id", "_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g")
+    )
+    return (
+        grams.select("doc_id", "_t", F.expr(_bucket_sql("g")).alias("b"))
+        .groupBy("doc_id", "_t", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_stats(docs: DataFrame, target: "F.Column") -> DataFrame:
+    """(b, cr, ct) — per-bucket raw/target gram counts: the DSIR model's
+    entire state, and PURE INTEGER COUNTS, hence exactly mergeable —
+    admitting a new document batch is a union + groupBy-sum
+    (dsir_merge_stats), never a corpus rescan. The standing-model
+    discipline of the dedup/ANN families (x2f, x3f) applied to the
+    importance-resampling model."""
+    return _dsir_doc_buckets(docs, target).groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+    )
+
+
+def dsir_merge_stats(*stats: DataFrame) -> DataFrame:
+    """Merge per-batch bucket stats (exact: integer count addition)."""
+    import functools
+
+    merged = functools.reduce(lambda a, b: a.unionByName(b), stats)
+    return merged.groupBy("b").agg(
+        F.sum("cr").alias("cr"), F.sum("ct").alias("ct")
+    )
+
+
+def dsir_log_weights_from_stats(
+    docs: DataFrame,
+    stats: DataFrame,
+    target: "F.Column",
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = _DSIR_SMOOTH,
+) -> DataFrame:
+    """(doc_id, logw) for ``docs`` scored under a (possibly standing /
+    incrementally merged) bucket-stats model."""
+    tot = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    ab = F.lit(float(smooth) * buckets)
+    lnr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + F.lit(smooth)) * (F.col("nr") + ab))
+            / ((F.col("cr") + F.lit(smooth)) * (F.col("nt") + ab))
+        ).alias("lnr"),
+    )
+    return (
+        _dsir_doc_buckets(docs, target)
+        .join(F.broadcast(lnr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lnr")).alias("logw"))
+    )
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target: "F.Column",
@@ -892,36 +960,8 @@ def dsir_log_weights(
     rows satisfying ``target`` against the whole of ``docs``, under
     hashed unigram+bigram bag-of-words models with add-``smooth``
     bucket smoothing. Docs with no tokens get logw = 0 (weight 1)."""
-    from .._shingle import WORDS_EXPR, _parallelize
-
-    bound = _parallelize(docs).select(
-        "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
-    )
-    grams = bound.select(
-        "doc_id", "_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g")
-    )
-    dbc = (
-        grams.select("doc_id", "_t", F.expr(_bucket_sql("g")).alias("b"))
-        .groupBy("doc_id", "_t", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    bstats = dbc.groupBy("b").agg(
-        F.sum("cnt").alias("cr"),
-        F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
-    )
-    tot = bstats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    ab = F.lit(float(smooth) * buckets)
-    lnr = bstats.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.log(
-            ((F.col("ct") + F.lit(smooth)) * (F.col("nr") + ab))
-            / ((F.col("cr") + F.lit(smooth)) * (F.col("nt") + ab))
-        ).alias("lnr"),
-    )
-    return (
-        dbc.join(F.broadcast(lnr), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.col("lnr")).alias("logw"))
+    return dsir_log_weights_from_stats(
+        docs, dsir_bucket_stats(docs, target), target, buckets, smooth
     )
 
 

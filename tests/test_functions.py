@@ -1463,3 +1463,37 @@ def test_x27_planted_hard_negative_found(spark):
     # vectors; the rank-1 pick must still be an opposite-label twin
     # direction — require the planted partner for >=80% of anchors
     assert hits >= 24, hits
+
+
+def test_x25b_incremental_dsir_stats_match_full_recompute(spark):
+    """The DSIR model's state is pure integer bucket counts, so
+    admitting a new batch must be EXACT: stats(full corpus) ==
+    merge(stats(half A), stats(half B)) row-for-row, and scoring under
+    the merged standing model is bitwise-identical to the one-shot
+    fit — the x2f/x3f standing-index discipline for the resampler."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        dsir_bucket_stats,
+        dsir_log_weights,
+        dsir_log_weights_from_stats,
+        dsir_merge_stats,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    target = F.col("lang") == "en"
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    full = {r["b"]: (r["cr"], r["ct"]) for r in dsir_bucket_stats(docs, target).collect()}
+    merged_df = dsir_merge_stats(
+        dsir_bucket_stats(a, target), dsir_bucket_stats(b, target)
+    )
+    merged = {r["b"]: (r["cr"], r["ct"]) for r in merged_df.collect()}
+    assert full == merged
+
+    one_shot = {r["doc_id"]: r["logw"] for r in dsir_log_weights(docs, target).collect()}
+    standing = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights_from_stats(docs, merged_df, target).collect()
+    }
+    assert set(one_shot) == set(standing)
+    assert all(one_shot[k] == standing[k] for k in one_shot)  # bitwise
