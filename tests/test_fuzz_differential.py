@@ -1311,3 +1311,74 @@ def test_fuzzed_map_struct_functions_match_duckdb(spark, views):
         if not ok:
             failures.append((case, s_sql, msg))
     assert not failures, failures[:3]
+
+
+def test_fuzzed_bitwise_functions_match_duckdb(spark, views):
+    """Bitwise/integer-ops sweep: the SimHash near-dup path scores with
+    bit_count(xor(sig_a, sig_b)) and the samplers/bucketers lean on
+    masks and shifts, but the bitwise surface had no fuzz coverage.
+    Paired ops over real integer columns: & | ^↔xor() ~ shifts
+    bit_count hex. Divergences found by this sweep's first prototype,
+    now baked into the generator as the portable forms: DuckDB ERRORS
+    on left-shifting a negative number where Spark wraps (operands go
+    through abs()); Spark getbit(x, n) indexes from the LSB while
+    DuckDB get_bit(BIT, n) indexes from the MSB — the portable bit
+    probe is (x >> n) & 1 on both engines."""
+    import random as _random
+
+    rng = _random.Random(655357)
+
+    def operand():
+        base = rng.choice(
+            ["event_id", "user_id", "CAST(FLOOR(value * 100) AS BIGINT)"]
+        )
+        return f"abs(CAST({base} AS BIGINT))"
+
+    def gen_op(i):
+        kind = rng.choice(
+            ["and", "or", "xor", "not", "shl", "shr", "bitcnt", "hexlo", "bitprobe"]
+        )
+        a, b = operand(), operand()
+        n = rng.randint(0, 30)
+        if kind == "and":
+            return (f"({a} & {b}) AS e{i}", f"({a} & {b}) AS e{i}")
+        if kind == "or":
+            return (f"({a} | {b}) AS e{i}", f"({a} | {b}) AS e{i}")
+        if kind == "xor":
+            return (f"({a} ^ {b}) AS e{i}", f"xor({a}, {b}) AS e{i}")
+        if kind == "not":
+            return (f"~{a} AS e{i}", f"~{a} AS e{i}")
+        if kind == "shl":
+            # non-negative left operand only: DuckDB raises on negative
+            return (
+                f"shiftleft({a}, {n % 16}) AS e{i}",
+                f"({a} << {n % 16}) AS e{i}",
+            )
+        if kind == "shr":
+            return (f"shiftright({a}, {n}) AS e{i}", f"({a} >> {n}) AS e{i}")
+        if kind == "bitcnt":
+            return (
+                f"bit_count({a} ^ {b}) AS e{i}",
+                f"bit_count(xor({a}, {b})) AS e{i}",
+            )
+        if kind == "hexlo":
+            return (f"lower(hex({a})) AS e{i}", f"lower(hex({a})) AS e{i}")
+        # bit probe without getbit/get_bit (incompatible bit orders)
+        return (
+            f"(({a} >> {n}) & 1) AS e{i}",
+            f"(({a} >> {n}) & 1) AS e{i}",
+        )
+
+    failures = []
+    for case in range(14):
+        s_exprs, d_exprs = [], []
+        for i in range(rng.randint(2, 3)):
+            es, ed = gen_op(i)
+            s_exprs.append(es)
+            d_exprs.append(ed)
+        s_sql = f"SELECT event_id, {', '.join(s_exprs)} FROM events ORDER BY event_id"
+        d_sql = f"SELECT event_id, {', '.join(d_exprs)} FROM events ORDER BY event_id"
+        ok, msg = compare(spark.sql(s_sql), views, d_sql)
+        if not ok:
+            failures.append((case, s_sql, msg))
+    assert not failures, failures[:3]
