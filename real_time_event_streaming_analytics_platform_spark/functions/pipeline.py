@@ -924,6 +924,24 @@ def dsir_merge_stats(*stats: DataFrame) -> DataFrame:
     )
 
 
+def dsir_lnr(
+    stats: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = _DSIR_SMOOTH,
+) -> DataFrame:
+    """(b, lnr) — the per-bucket log ratio ln(p̂_t/p̂_r) derived from
+    (possibly merged) bucket stats: the FROZEN model a scorer ships."""
+    tot = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    ab = F.lit(float(smooth) * buckets)
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + F.lit(smooth)) * (F.col("nr") + ab))
+            / ((F.col("cr") + F.lit(smooth)) * (F.col("nt") + ab))
+        ).alias("lnr"),
+    )
+
+
 def dsir_log_weights_from_stats(
     docs: DataFrame,
     stats: DataFrame,
@@ -933,20 +951,42 @@ def dsir_log_weights_from_stats(
 ) -> DataFrame:
     """(doc_id, logw) for ``docs`` scored under a (possibly standing /
     incrementally merged) bucket-stats model."""
-    tot = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    ab = F.lit(float(smooth) * buckets)
-    lnr = stats.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.log(
-            ((F.col("ct") + F.lit(smooth)) * (F.col("nr") + ab))
-            / ((F.col("cr") + F.lit(smooth)) * (F.col("nt") + ab))
-        ).alias("lnr"),
-    )
     return (
         _dsir_doc_buckets(docs, target)
-        .join(F.broadcast(lnr), "b")
+        .join(F.broadcast(dsir_lnr(stats, buckets, smooth)), "b")
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * F.col("lnr")).alias("logw"))
+    )
+
+
+def dsir_score_stream(stream_docs: DataFrame, lnr_rows, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, logw) over an unbounded documents stream under a FROZEN
+    DSIR model (S30) — the consumer side of the mergeable-stats
+    standing model: ``lnr_rows`` is the collected (b, lnr) table (from
+    ``dsir_lnr`` — B ≤ buckets rows, a closure-sized literal), and the
+    score is a pure per-row fold over the doc's gram buckets against
+    that array literal. Stateless projection end to end — no
+    aggregation, no watermark, any output mode. Buckets the frozen
+    model never saw contribute 0, exactly like the batch scorer's
+    inner join dropping them.
+
+    Float caveat, pinned in the parity test: the batch scorer groups
+    (bucket, count) pairs before its Σ cnt·lnr while this fold adds
+    lnr once per gram occurrence — same terms, different addition
+    order, so parity is to ~1e-9, not bitwise."""
+    arr = [0.0] * buckets
+    for r in lnr_rows:
+        arr[r["b"]] = float(r["lnr"])
+    lit = "array(" + ", ".join(repr(v) + "D" for v in arr) + ")"
+    from .._shingle import WORDS_EXPR
+
+    bound = stream_docs.select("doc_id", F.expr(WORDS_EXPR).alias("_w"))
+    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_sql('g')})")
+    return bound.withColumn("_ba", ba).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(_ba, 0D, (acc, b) -> acc + element_at({lit}, b + 1))"
+        ).alias("logw"),
     )
 
 

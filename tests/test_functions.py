@@ -1497,3 +1497,54 @@ def test_x25b_incremental_dsir_stats_match_full_recompute(spark):
     }
     assert set(one_shot) == set(standing)
     assert all(one_shot[k] == standing[k] for k in one_shot)  # bitwise
+
+
+def test_s30_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """S30: scoring an arriving document stream under a FROZEN DSIR
+    model (the collected ln-ratio table) must match the batch scorer to
+    float-merge tolerance — same terms, different addition order — and
+    cover every arriving doc (gramless docs score 0, the batch scorer's
+    weight-1 convention)."""
+    import json as _json
+
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        dsir_bucket_stats,
+        dsir_lnr,
+        dsir_log_weights_from_stats,
+        dsir_score_stream,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    target = F.col("lang") == "en"
+    stats = dsir_bucket_stats(docs, target)
+    lnr_rows = dsir_lnr(stats).collect()
+    batch = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights_from_stats(docs, stats, target).collect()
+    }
+
+    rows = [r.asDict() for r in docs.select("doc_id", "text").collect()]
+    src = tmp_path / "in"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(src / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        dsir_score_stream(stream, lnr_rows)
+        .writeStream.format("memory")
+        .queryName("s30_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["logw"] for r in spark.sql("SELECT * FROM s30_scores").collect()
+    }
+    assert set(got) == {r["doc_id"] for r in rows}  # every arriving doc scored
+    assert set(batch) <= set(got)
+    for k, v in batch.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
