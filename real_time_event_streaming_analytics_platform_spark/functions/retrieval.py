@@ -392,10 +392,11 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # executed as a V-row TakeOrderedAndProject) and V is a constant, so
 # the vocab frame is broadcast BY CONSTRUCTION — the membership joins
 # that map each pair side to kept/'<unk>' never shuffle the corpus.
-# Rows-only this round (the 50 driver-oracle slots are full; new
-# oracles must enter the window — the x24 r08 path); an equivalent
-# DuckDB differential runs every session in tests/test_functions.py,
-# promotable next rotation.
+# Oracle-backed since r10 (the 100th driver oracle, per VERDICT r09
+# #2): registered at the default V, which exceeds the synthetic corpus
+# vocabulary so the driver check exercises the kept-token path; the
+# V=8 DuckDB differential in tests/test_functions.py exercises the
+# '<unk>' folding path every session.
 # ---------------------------------------------------------------------------
 
 X19B_VOCAB = 4096  # top-V kept tokens; production would use 2^15-2^16
@@ -474,6 +475,47 @@ def bigram_surprisal_capped(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> Da
     )
 
 
-@query("x19b_bigram_surprisal_capped")
+@query(
+    "x19b_bigram_surprisal_capped",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}'),
+                           w -> w != '') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    cnt AS (SELECT t, count(*) AS c
+            FROM (SELECT unnest(ws) AS t FROM toks) GROUP BY t),
+    vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT {X19B_VOCAB}),
+    mapped AS (
+        SELECT doc_id,
+               CASE WHEN v1.t IS NULL THEN '{_UNK}' ELSE w1 END AS m1,
+               CASE WHEN v2.t IS NULL THEN '{_UNK}' ELSE w2 END AS m2
+        FROM pairs
+        LEFT JOIN vocab v1 ON v1.t = pairs.w1
+        LEFT JOIN vocab v2 ON v2.t = pairs.w2
+    ),
+    bc AS (SELECT m1, m2, count(*) AS c2 FROM mapped GROUP BY 1, 2),
+    cc AS (SELECT m1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+    per AS (
+        SELECT mapped.doc_id, count(*) AS nb,
+               CAST(SUM(CASE WHEN m1 = '{_UNK}' OR m2 = '{_UNK}'
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov,
+               SUM(ln((CAST(c1 AS DOUBLE) + {_BIGRAM_K} * {X19B_VOCAB + 1})
+                      / (CAST(c2 AS DOUBLE) + {_BIGRAM_K}))) / count(*) AS nll
+        FROM mapped JOIN bc USING (m1, m2) JOIN cc USING (m1)
+        GROUP BY mapped.doc_id
+    )
+    SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+           floor(oov * 10000 + 0.5) / 10000 AS oov_rate,
+           floor(nll * 10000 + 0.5) / 10000 AS avg_surprisal
+    FROM per ORDER BY doc_id
+    """,
+)
 def x19b_bigram_surprisal_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal_capped(load(spark, sf_dir, "documents"))
