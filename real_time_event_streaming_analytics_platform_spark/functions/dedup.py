@@ -968,13 +968,20 @@ def cross_source_contamination(
 # positions (bounded by the doc's own token count) and one join back to
 # the words frame. Span excision is then a per-row filter-with-index
 # over the bound word array — no interval list ever crosses a shuffle
-# except the doc's own positions. The canonical-occurrence key packs
-# (doc_id, pos) into one BIGINT (doc_id·10⁶ + pos; positions are
-# doc-bounded, well under 10⁶) so min() resolves the lexicographic
-# first without a struct ordering.
+# except the doc's own positions. The canonical occurrence is
+# min(struct(doc_id, pos)) — Spark orders structs lexicographically by
+# field, so the aggregate is exact for ANY doc_id/pos range (the
+# earlier doc_id·10⁶+pos packing silently corrupted the ordering past
+# 10⁶ positions — ADVICE r09).
 #
-# Rows-only this round (driver oracle slots full — the x24/x19b
-# promotion path); the DuckDB differential in tests/test_functions.py
+# Duplication is counted over TOTAL occurrences (count ≥ 2), not
+# distinct documents, so a window repeated within ONE document clips
+# its non-canonical repeats too — the exact-substring semantics of
+# Lee et al. 2022 (ADVICE r09; d3's *coverage* metric still reports
+# cross-doc spans, a reporting choice documented there).
+#
+# Rows-only at the driver (the 100-oracle ceiling — see
+# __spark_entry__.py); the DuckDB differential in tests/test_functions.py
 # recomputes the whole pipeline over raw shingle strings, and planted
 # fixtures pin keeper-side retention vs duplicate-side excision.
 # ---------------------------------------------------------------------------
@@ -1004,12 +1011,12 @@ def substring_dedup_clip(docs: DataFrame, span_k: int = SPAN_K) -> DataFrame:
     )
     dup = (
         sh.groupBy("shk")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
         .select("shk")
     )
     surviving = sh.join(dup, "shk").withColumn(
-        "ck", F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+        "ck", F.struct("doc_id", "pos")
     )
     canon = surviving.groupBy("shk").agg(F.min("ck").alias("canon_ck"))
     removable = (

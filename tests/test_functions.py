@@ -1310,7 +1310,9 @@ def test_x19b_vocab_is_bounded_and_default_matches_registry(spark):
 def test_d3b_clip_keeps_canonical_and_excises_duplicates(spark):
     """Planted verbatim dup: the lexicographically-first occurrence
     keeps its text intact; every later occurrence loses exactly the
-    shared window's tokens; an unduplicated doc is untouched."""
+    shared window's tokens; an unduplicated doc is untouched; a
+    within-doc repeat clips its second occurrence (total-occurrence
+    counting, ADVICE r09)."""
     import hashlib
 
     from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
@@ -1318,10 +1320,14 @@ def test_d3b_clip_keeps_canonical_and_excises_duplicates(spark):
     )
 
     shared = "one two three four five six seven eight"
+    inner = "u1 u2 u3 u4 u5 u6 u7 u8"
     rows = [
         (1, f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
         (2, f"iota kappa {shared} lam mu nu xi omicron"),
         (3, "totally unique words nothing here repeats at all ever once"),
+        # within-doc verbatim repeat (ADVICE r09): the first occurrence
+        # is canonical, the second clips — no other doc shares it.
+        (4, f"aaa bbb {inner} ccc ddd {inner} eee"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in substring_dedup_clip(docs).collect()}
@@ -1331,13 +1337,18 @@ def test_d3b_clip_keeps_canonical_and_excises_duplicates(spark):
     cleaned2 = "iota kappa lam mu nu xi omicron"
     assert out[2]["clean_digest"] == hashlib.md5(cleaned2.encode()).hexdigest()
     assert out[3]["removed_tokens"] == 0
+    assert out[4]["removed_tokens"] == 8
+    cleaned4 = f"aaa bbb {inner} ccc ddd eee"
+    assert out[4]["clean_digest"] == hashlib.md5(cleaned4.encode()).hexdigest()
 
 
 def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
     """DuckDB recomputes the clip pipeline over raw shingle STRINGS
-    (no xxhash64) — every (doc_id, counts, digest) row must agree —
-    and per doc the clipped mass never exceeds d3's coverage (canonical
-    copies are retained)."""
+    (no xxhash64) — every (doc_id, counts, digest) row must agree.
+    Duplication counts TOTAL occurrences (within-doc repeats clip too,
+    the Lee et al. exact-substring semantics — ADVICE r09), so the
+    d3-coverage bound only applies to docs with no within-doc repeats;
+    the planted-fixture test pins the cross-doc keeper/clipper split."""
     import duckdb
 
     from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
@@ -1365,16 +1376,16 @@ def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
             FROM words, unnest(generate_series(0, len(w) - {SPAN_K})) AS i(gen)
             WHERE len(w) >= {SPAN_K}
         ),
-        dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
         surv AS (
-            SELECT doc_id, pos, sh.sh, doc_id * 1000000 + pos AS ck
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY sh.sh
+                                      ORDER BY doc_id, pos) AS rn
             FROM sh JOIN dup USING (sh)
         ),
-        canon AS (SELECT sh, min(ck) AS canon_ck FROM surv GROUP BY sh),
         rem AS (
             SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
-            FROM surv JOIN canon USING (sh)
-            WHERE ck != canon_ck GROUP BY doc_id
+            FROM surv WHERE rn > 1 GROUP BY doc_id
         ),
         clipped AS (
             SELECT w.doc_id, len(w.w) AS total,
@@ -1392,9 +1403,30 @@ def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
     """).fetchall()
     assert len(got) == len(want) and got == [tuple(r) for r in want]
 
+    # d3's coverage counts CROSS-DOC dup spans only, so it bounds the
+    # clip mass exactly for docs with no within-doc repeated window.
+    within = {
+        r[0]
+        for r in con.execute(f"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       array_to_string(w[i.gen + 1 : i.gen + {SPAN_K}], ' ') AS sh
+                FROM words, unnest(generate_series(0, len(w) - {SPAN_K})) AS i(gen)
+                WHERE len(w) >= {SPAN_K}
+            )
+            SELECT DISTINCT doc_id FROM sh
+            GROUP BY doc_id, sh HAVING count(*) >= 2
+        """).fetchall()
+    }
     cov = {r["doc_id"]: r["dup_tokens"] for r in substring_dup_spans(docs).collect()}
-    for doc_id, _tot, removed, _dig in got:
-        assert removed <= cov[doc_id], (doc_id, removed, cov[doc_id])
+    for doc_id, tot, removed, _dig in got:
+        assert removed <= tot
+        if doc_id not in within:
+            assert removed <= cov[doc_id], (doc_id, removed, cov[doc_id])
 
 
 def test_x27_hard_negatives_label_correct_and_recall(spark):
