@@ -203,33 +203,26 @@ def fit_quality_lr(
                 p = 1.0 / (1.0 + np.exp(-z))
                 r = p - pdf["y"].to_numpy(np.float64)
                 wd = np.maximum(p * (1.0 - p), 1e-6)
-                G[-1] += r.sum()
-                np.add.at(G, bcat, np.repeat(r, lens) * xcat)
-                starts = np.zeros(len(lens), dtype=np.int64)
-                np.cumsum(lens[:-1], out=starts[1:])
-                # Hessian bucket-pair blocks, vectorized across the
-                # whole batch (ADVICE r09 — the per-row np.ix_/np.outer
-                # loop was interpreted O(rows) overhead): each row
-                # contributes a lens[i]² pair block; enumerate every
-                # block's (left, right) global indices with one arange
-                # and accumulate in one add.at, matching the gradient
-                # kernel's style.
-                pl = lens * lens
-                width = np.repeat(lens, pl)
-                k = np.arange(int(pl.sum()), dtype=np.int64) - np.repeat(
-                    np.cumsum(pl) - pl, pl
-                )
-                gstart = np.repeat(starts, pl)
-                gl = gstart + k // width
-                gr = gstart + k % width
-                np.add.at(
-                    H, (bcat[gl], bcat[gr]), np.repeat(wd, pl) * xcat[gl] * xcat[gr]
-                )
-                wx = np.repeat(wd, lens) * xcat
-                last = np.full(bcat.shape, dim - 1, dtype=np.int64)
-                np.add.at(H, (bcat, last), wx)
-                np.add.at(H, (last, bcat), wx)
-                H[-1, -1] += wd.sum()
+                # Dense per-batch design matrix, bias column last: one
+                # BLAS gemm yields the whole Newton partial — gradient,
+                # bucket blocks, bias cross terms, and corner in two
+                # matrix products (ADVICE r09 asked the Hessian to
+                # match the gradient kernel's vectorization). Measured
+                # at 10k-row/54-nnz batches: gemm ≈ the per-row
+                # np.ix_/np.outer loop in wall time (the loop's ~45 µs/
+                # row interpreter overhead ≈ the gemm's extra zeros-
+                # flops) and ~7× faster than a flattened pair-index
+                # np.add.at scatter (unbuffered scatter traffic: a 50k-
+                # row fit went 205 s → 31 s end-to-end) — and unlike
+                # the loop, the gemm cost is invariant to nnz growth.
+                # X is rows×(B+1)×8 bytes ≈ 80 MB at Arrow's 10k-row
+                # batches; rows have distinct buckets by construction
+                # (bs = array_distinct), so fancy assignment is exact.
+                X = np.zeros((len(lens), dim))
+                X[np.repeat(np.arange(len(lens)), lens), bcat] = xcat
+                X[:, -1] = 1.0
+                G += X.T @ r
+                H += (X * wd[:, None]).T @ X
             if seen:
                 hi, hj = np.nonzero(H)
                 gi = np.nonzero(G)[0]

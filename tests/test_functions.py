@@ -1431,9 +1431,12 @@ def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
 
 def test_x27_hard_negatives_label_correct_and_recall(spark):
     """Every mined pair crosses labels; per-anchor ranks are contiguous
-    top-k; mean recall vs the exact different-label top-5 clears the
-    IVF-family bar (x3c methodology) on the weakly-clustered synthetic
-    corpus; two runs agree."""
+    top-k; mean recall vs the exact different-label top-5 clears 0.75
+    — the bar argued for this task, not inherited (VERDICT r09 #3):
+    the measured curve is 0.586 @ nprobe=4, 0.834 @ nprobe=8 (the
+    default), 1.0 @ nprobe=16 (= exact) at sf0.01, so 0.75 pins the
+    nprobe=8 operating point with a regression margin while any slip
+    back to the nprobe=4 regime fails loudly; two runs agree."""
     import real_time_event_streaming_analytics_platform_spark as engine
 
     q = engine.QUERIES["x27_hard_negative_mining"]
@@ -1467,7 +1470,7 @@ def test_x27_hard_negatives_label_correct_and_recall(spark):
             (j for j in range(len(ids)) if mask[j]), key=lambda j: (-s[j], ids[j])
         )
         recalls.append(len(got[q_id] & {ids[j] for j in order[:5]}) / 5)
-    assert sum(recalls) / len(recalls) >= 0.45, sum(recalls) / len(recalls)
+    assert sum(recalls) / len(recalls) >= 0.75, sum(recalls) / len(recalls)
 
 
 def test_x27_planted_hard_negative_found(spark):
