@@ -589,6 +589,9 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             # model's tables stop growing with the corpus, so its
             # factor vs x19's is the mitigation's direct evidence
             "x19b_bigram_surprisal_capped",
+            # r10: multiclass IRLS langid — claimed corpus-size-free
+            # per-iteration partials (K·occupied²), like x26
+            "t1b_lang_id_model",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}

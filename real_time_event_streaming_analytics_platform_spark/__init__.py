@@ -27,6 +27,7 @@ from .functions import quality as _quality  # noqa: F401  data-quality checks
 from .functions import vocab as _vocab  # noqa: F401  BPE vocab induction
 from .functions import clustering as _clustering  # noqa: F401  k-means
 from .functions import classifier as _classifier  # noqa: F401  quality LR
+from .functions import langid as _langid  # noqa: F401  model lang-ID
 from .streaming import entries as _streaming_entries  # noqa: F401
 
 __all__ = ["SessionFactory", "get_spark", "QUERIES", "ORACLE"]

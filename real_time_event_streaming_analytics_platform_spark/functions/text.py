@@ -104,6 +104,37 @@ def _lang_counts_spark():
     ]
 
 
+def _t1_pred_col():
+    """The stopword-vote winner expression (shared with t1b's
+    agreement measurement in functions/langid.py)."""
+    return (
+        F.when(
+            (F.col("c_en") > 0)
+            & (F.col("c_en") >= F.col("c_fr"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_es")),
+            "en",
+        )
+        .when(
+            (F.col("c_fr") > 0)
+            & (F.col("c_fr") >= F.col("c_de"))
+            & (F.col("c_fr") >= F.col("c_es")),
+            "fr",
+        )
+        .when((F.col("c_de") > 0) & (F.col("c_de") >= F.col("c_es")), "de")
+        .when(F.col("c_es") > 0, "es")
+        .otherwise("und")
+    )
+
+
+def heuristic_lang_pred(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_t1): t1's stopword-profile prediction as a frame —
+    the weak-supervision / agreement baseline for the trained t1b."""
+    return docs.select("doc_id", *_lang_counts_spark()).select(
+        "doc_id", _t1_pred_col().alias("lang_t1")
+    )
+
+
 @query(
     "t1_lang_id",
     oracle=f"""
@@ -126,25 +157,9 @@ def _lang_counts_spark():
 def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = docs.select("doc_id", "lang", *_lang_counts_spark())
-    pred = (
-        F.when(
-            (F.col("c_en") > 0)
-            & (F.col("c_en") >= F.col("c_fr"))
-            & (F.col("c_en") >= F.col("c_de"))
-            & (F.col("c_en") >= F.col("c_es")),
-            "en",
-        )
-        .when(
-            (F.col("c_fr") > 0)
-            & (F.col("c_fr") >= F.col("c_de"))
-            & (F.col("c_fr") >= F.col("c_es")),
-            "fr",
-        )
-        .when((F.col("c_de") > 0) & (F.col("c_de") >= F.col("c_es")), "de")
-        .when(F.col("c_es") > 0, "es")
-        .otherwise("und")
-    )
-    return scored.select("doc_id", "lang", pred.alias("lang_pred")).orderBy("doc_id")
+    return scored.select(
+        "doc_id", "lang", _t1_pred_col().alias("lang_pred")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
