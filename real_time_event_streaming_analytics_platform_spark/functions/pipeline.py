@@ -620,17 +620,28 @@ def x10_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(load(spark, sf_dir, "documents"))
 
 
-def curation_funnel(docs: DataFrame, model_keep: DataFrame | None = None) -> DataFrame:
+def curation_funnel(
+    docs: DataFrame,
+    model_keep: DataFrame | None = None,
+    gopher: bool = False,
+) -> DataFrame:
     """The x10 funnel DAG over an arbitrary docs frame; ``model_keep``
     (an optional (doc_id) keep-list, e.g. classifier.quality_keep's
     output) inserts a model-filter stage after the heuristic quality
     gate — the survivorship chain becomes qual → model → dedup → clean
-    → mix and the output gains an ``n_model`` column. With
-    ``model_keep=None`` the plan and columns are exactly the registered
-    x10 oracle's."""
+    → mix and the output gains an ``n_model`` column. ``gopher=True``
+    (VERDICT r09 #6) inserts the full Gopher rule battery (t6b) as a
+    reject stage right after the heuristic quality gate — a map-only
+    column predicate (text.with_gopher_flag), so the funnel stays one
+    scan — and the output gains an ``n_gopher`` column. With both off
+    the plan and columns are exactly the registered x10 oracle's."""
     from pyspark.sql import Window
 
     corpus = docs.where(~F.expr(_BENCH_PRED))
+    if gopher:
+        from .text import with_gopher_flag
+
+        corpus = with_gopher_flag(corpus)
 
     # Contamination is a per-doc property (overlap with the FIXED
     # benchmark gram set), so it commutes with the other stages and can
@@ -669,6 +680,7 @@ def curation_funnel(docs: DataFrame, model_keep: DataFrame | None = None) -> Dat
             F.expr(
                 f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
             ).alias("mix"),
+            *([(~F.col("gopher_flagged")).alias("gop")] if gopher else []),
         )
         .withColumn(
             "keep1",
@@ -679,6 +691,10 @@ def curation_funnel(docs: DataFrame, model_keep: DataFrame | None = None) -> Dat
     )
     gate = F.col("qual")
     extra = []
+    if gopher:
+        gate = gate & F.col("gop")
+        as_intg = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+        extra.append(F.sum(as_intg(gate)).alias("n_gopher"))
     if model_keep is not None:
         flagged = flagged.join(
             model_keep.select("doc_id").withColumn("_mk", F.lit(True)),
@@ -687,7 +703,7 @@ def curation_funnel(docs: DataFrame, model_keep: DataFrame | None = None) -> Dat
         ).withColumn("model", F.col("_mk").isNotNull())
         gate = gate & F.col("model")
         as_int0 = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
-        extra = [F.sum(as_int0(gate)).alias("n_model")]
+        extra.append(F.sum(as_int0(gate)).alias("n_model"))
     kept = gate & F.col("keep1") & F.col("clean")
     as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
     return (

@@ -931,6 +931,65 @@ def _duck_top_mass(lst: str) -> str:
 
 def gopher_rules(docs: DataFrame) -> DataFrame:
     """Per-document Gopher rule statistics + the combined reject flag."""
+    raw = _gopher_raw(docs, ["doc_id"])
+
+    def r4(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000
+
+    return raw.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        r4("_dlf").alias("dup_line_frac"),
+        r4("_dlc").alias("dup_line_char_frac"),
+        r4("_dpf").alias("dup_para_frac"),
+        r4("_dpc").alias("dup_para_char_frac"),
+        r4("_t2").alias("top2_char_frac"),
+        r4("_t3").alias("top3_char_frac"),
+        r4("_t4").alias("top4_char_frac"),
+        r4("_sym").alias("symbol_ratio"),
+        r4("_bul").alias("bullet_line_frac"),
+        r4("_ell").alias("ellipsis_line_frac"),
+        r4("_alpha").alias("alpha_word_frac"),
+        r4("_wlen").alias("mean_word_len"),
+        _gopher_flag().alias("gopher_flagged"),
+    )
+
+
+def with_gopher_flag(df: DataFrame) -> DataFrame:
+    """Append ``gopher_flagged`` to ``df`` with every original column
+    carried — pure per-row column algebra (no shuffle, no UDF), so the
+    same expression tree serves the batch funnel's optional reject
+    stage AND the streaming curation pipeline (S32 parity)."""
+    carry = list(df.columns)
+    raw = _gopher_raw(df, carry)
+    return raw.select(*carry, _gopher_flag().alias("gopher_flagged"))
+
+
+def _gopher_flag() -> F.Column:
+    """The combined reject predicate over _gopher_raw's fraction cols."""
+    return (
+        (F.col("_dlf") > _G_DUP_LINE)
+        | (F.col("_dpf") > _G_DUP_PARA)
+        | (F.col("_dlc") > _G_DUP_LINE_CH)
+        | (F.col("_dpc") > _G_DUP_PARA_CH)
+        | (F.col("_t2") > _G_TOP2)
+        | (F.col("_t3") > _G_TOP3)
+        | (F.col("_t4") > _G_TOP4)
+        | (F.col("_sym") > _G_SYMBOL)
+        | (F.col("_bul") > _G_BULLET)
+        | (F.col("_ell") > _G_ELLIPSIS)
+        | (F.col("_alpha") < _G_ALPHA)
+        | (F.col("_wlen") < _G_WLEN_LO)
+        | (F.col("_wlen") > _G_WLEN_HI)
+        | (F.col("n_words") < _G_NWORDS_LO)
+        | (F.col("n_words") > _G_NWORDS_HI)
+    )
+
+
+def _gopher_raw(docs: DataFrame, carry: list) -> DataFrame:
+    """(carry..., n_words, n_lines, rule fractions): the shared rule
+    computation behind gopher_rules / with_gopher_flag."""
     bound = (
         docs.withColumn("_toks", F.expr(_TOK_SPARK))
         .withColumn("_ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
@@ -942,7 +1001,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         .withColumn("_g4", F.expr(_gram_expr(4)))
     )
     stats = bound.select(
-        "doc_id",
+        *carry,
         F.expr("CAST(size(_toks) AS BIGINT)").alias("n_words"),
         F.expr("CAST(size(_ln) AS BIGINT)").alias("n_lines"),
         F.expr("CAST(size(_pa) AS BIGINT)").alias("n_paras"),
@@ -974,8 +1033,8 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     def frac(num, den):
         return F.col(num) / F.greatest(F.col(den), F.lit(1))
 
-    raw = stats.select(
-        "doc_id",
+    return stats.select(
+        *carry,
         "n_words",
         "n_lines",
         frac("_lns.dups", "n_lines").alias("_dlf"),
@@ -990,45 +1049,6 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         frac("_nell", "_nrl").alias("_ell"),
         frac("_nalpha", "_nws").alias("_alpha"),
         frac("_tokch", "n_words").alias("_wlen"),
-    )
-    flagged = (
-        (F.col("_dlf") > _G_DUP_LINE)
-        | (F.col("_dpf") > _G_DUP_PARA)
-        | (F.col("_dlc") > _G_DUP_LINE_CH)
-        | (F.col("_dpc") > _G_DUP_PARA_CH)
-        | (F.col("_t2") > _G_TOP2)
-        | (F.col("_t3") > _G_TOP3)
-        | (F.col("_t4") > _G_TOP4)
-        | (F.col("_sym") > _G_SYMBOL)
-        | (F.col("_bul") > _G_BULLET)
-        | (F.col("_ell") > _G_ELLIPSIS)
-        | (F.col("_alpha") < _G_ALPHA)
-        | (F.col("_wlen") < _G_WLEN_LO)
-        | (F.col("_wlen") > _G_WLEN_HI)
-        | (F.col("n_words") < _G_NWORDS_LO)
-        | (F.col("n_words") > _G_NWORDS_HI)
-    )
-
-    def r4(c):
-        return F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000
-
-    return raw.select(
-        "doc_id",
-        "n_words",
-        "n_lines",
-        r4("_dlf").alias("dup_line_frac"),
-        r4("_dlc").alias("dup_line_char_frac"),
-        r4("_dpf").alias("dup_para_frac"),
-        r4("_dpc").alias("dup_para_char_frac"),
-        r4("_t2").alias("top2_char_frac"),
-        r4("_t3").alias("top3_char_frac"),
-        r4("_t4").alias("top4_char_frac"),
-        r4("_sym").alias("symbol_ratio"),
-        r4("_bul").alias("bullet_line_frac"),
-        r4("_ell").alias("ellipsis_line_frac"),
-        r4("_alpha").alias("alpha_word_frac"),
-        r4("_wlen").alias("mean_word_len"),
-        flagged.alias("gopher_flagged"),
     )
 
 

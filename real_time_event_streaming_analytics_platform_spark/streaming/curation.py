@@ -96,13 +96,18 @@ def curate_doc_stream(
     bench_grams: set,
     min_tokens: int = _QUAL_MIN_TOKENS,
     width: int = DECON_WIDTH,
+    gopher: bool = False,
 ) -> DataFrame:
-    """Quality → decontaminate → mix → streaming exact-dedup.
+    """Quality → [gopher] → decontaminate → mix → streaming exact-dedup.
 
     Quality and mixing are the same integer-exact predicates as the
-    batch funnel (x10); contamination is membership of any word
-    ``width``-gram in the broadcast benchmark set; dedup keeps the first
-    arrival per text hash with watermark-bounded state."""
+    batch funnel (x10); ``gopher=True`` (VERDICT r09 #6) adds the full
+    Gopher rule battery (t6b) as a reject stage — pure per-row column
+    algebra (text.with_gopher_flag), so it is streaming-legal with no
+    state and the SAME expression tree as the batch funnel's optional
+    stage (S32 parity); contamination is membership of any word
+    ``width``-gram in the broadcast benchmark set; dedup keeps the
+    first arrival per text hash with watermark-bounded state."""
     spark = docs.sparkSession
     bcast = spark.sparkContext.broadcast(frozenset(bench_grams))
 
@@ -128,11 +133,16 @@ def curate_doc_stream(
     mix = F.expr(
         f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
     )
+    out = docs.where(~F.expr(_BENCH_PRED))
+    if gopher:
+        from ..functions.text import with_gopher_flag
+
+        out = with_gopher_flag(out)
+    out = out.withColumn("_toks", F.expr(toks)).where(qual)
+    if gopher:
+        out = out.where(~F.col("gopher_flagged")).drop("gopher_flagged")
     return (
-        docs.where(~F.expr(_BENCH_PRED))
-        .withColumn("_toks", F.expr(toks))
-        .where(qual)
-        .where(mix)
+        out.where(mix)
         .where(~_contaminated("text"))
         .withColumn("_h", F.md5(F.lower("text")))
         .dropDuplicatesWithinWatermark(["_h"])

@@ -484,6 +484,68 @@ def test_x10_curation_funnel_monotone_and_consistent(spark):
     assert 0 <= lost_clean <= x8_hits
 
 
+def test_funnel_gopher_stage_composes(spark):
+    """curation_funnel(gopher=True) inserts the t6b rule battery after
+    the quality gate (VERDICT r09 #6): n_gopher sits between n_quality
+    and n_dedup, every downstream count is bounded by its no-gopher
+    twin, the stage rejects real docs on this corpus (~44% is
+    gopher-flagged), its losses agree with the standalone t6b flags
+    among quality survivors, and gopher=False reproduces the
+    registered x10 columns exactly."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        _BENCH_PRED,
+        _QUAL_MIN_TOKENS,
+        curation_funnel,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    base = {r["source"]: r.asDict() for r in curation_funnel(docs).collect()}
+    gop = {
+        r["source"]: r.asDict()
+        for r in curation_funnel(docs, gopher=True).collect()
+    }
+    assert "n_gopher" not in next(iter(base.values()))
+    total_lost = 0
+    for src, g in gop.items():
+        b = base[src]
+        assert g["n_raw"] == b["n_raw"] and g["n_quality"] == b["n_quality"]
+        assert (
+            g["n_quality"] >= g["n_gopher"] >= g["n_dedup"] >= g["n_clean"]
+            >= g["n_kept"]
+        ), g
+        assert g["n_dedup"] <= b["n_dedup"]
+        assert g["n_kept"] <= b["n_kept"]
+        assert g["kept_tokens"] <= b["kept_tokens"]
+        total_lost += g["n_quality"] - g["n_gopher"]
+    # cross-check vs the standalone battery: losses == flagged docs
+    # among non-benchmark quality survivors
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    qual_ids = {
+        r["doc_id"]
+        for r in docs.where(~F.expr(_BENCH_PRED))
+        .withColumn("_toks", F.expr(toks))
+        .where(
+            (F.expr("size(_toks)") >= _QUAL_MIN_TOKENS)
+            & (
+                (F.expr("size(_toks)") - F.expr("size(array_distinct(_toks))"))
+                * 2
+                <= F.expr("size(_toks)")
+            )
+        )
+        .select("doc_id")
+        .collect()
+    }
+    flagged_ids = {
+        r["doc_id"]
+        for r in engine.QUERIES["t6b_gopher_rules"](spark, SF_DIR)
+        .where("gopher_flagged")
+        .collect()
+    }
+    assert total_lost == len(qual_ids & flagged_ids)
+    assert total_lost > 0  # the stage does real work on this corpus
+
+
 def test_x3d_pq_recall_vs_brute(spark):
     import real_time_event_streaming_analytics_platform_spark as engine
 

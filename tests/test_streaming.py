@@ -689,6 +689,119 @@ def _iso(epoch: int) -> str:
     )
 
 
+def test_s32_streaming_gopher_stage_parity(spark, tmpdir):
+    """S32 (VERDICT r09 #6): the streaming curation pipeline with the
+    Gopher reject stage enabled must keep exactly the docs the batch
+    stage logic (quality → gopher → mix → decontaminate → first-arrival
+    dedup) keeps — the t6b battery is map-only column algebra, so the
+    SAME expression tree runs in both engines. The corpus does real
+    work here: ~44% of synthetic docs are gopher-flagged, so enabling
+    the stage must strictly shrink the S11 survivor set."""
+    import json
+    import os
+
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        _BENCH_PRED,
+        _MIX_THRESH_SPARK,
+        _QUAL_MIN_TOKENS,
+    )
+    from real_time_event_streaming_analytics_platform_spark.functions.text import (
+        with_gopher_flag,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.curation import (
+        bench_gram_set,
+        curate_doc_stream,
+        read_doc_stream,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    bench = bench_gram_set(docs)
+    rows = sorted(
+        docs.select("doc_id", "source", "text").collect(), key=lambda r: r["doc_id"]
+    )
+    base = 1_700_000_000
+    lines = [
+        {"doc_id": r["doc_id"], "ts": base + i, "source": r["source"], "text": r["text"]}
+        for i, r in enumerate(rows)
+    ]
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    with open(f"{tmpdir}/in/docs.jsonl", "w") as fh:
+        for ln in lines:
+            fh.write(json.dumps({**ln, "ts": _iso(ln["ts"])}) + "\n")
+
+    stream = read_doc_stream(spark, f"{tmpdir}/in")
+    got = run_available_now(
+        curate_doc_stream(stream, bench, gopher=True), f"{tmpdir}/ck", "append", "s32"
+    ).collect()
+    got_ids = sorted(r["doc_id"] for r in got)
+
+    # batch twin with the same stage order and first-arrival keeper
+    fixture = spark.createDataFrame(
+        [(ln["doc_id"], ln["source"], ln["text"], i) for i, ln in enumerate(lines)],
+        "doc_id long, source string, text string, arrival long",
+    )
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    eligible = (
+        with_gopher_flag(fixture.where(~F.expr(_BENCH_PRED)))
+        .withColumn("_toks", F.expr(toks))
+        .where(
+            (F.expr("size(_toks)") >= _QUAL_MIN_TOKENS)
+            & (
+                (F.expr("size(_toks)") - F.expr("size(array_distinct(_toks))")) * 2
+                <= F.expr("size(_toks)")
+            )
+        )
+        .where(~F.col("gopher_flagged"))
+        .where(
+            F.expr(
+                f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
+            )
+        )
+    )
+    bench_df = spark.createDataFrame([(g,) for g in bench], "g string")
+    contaminated = (
+        eligible.selectExpr("doc_id", "text")
+        .withColumn("_words", F.expr(toks))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_words) < 4 THEN array() "
+                    "ELSE sequence(1, size(_words) - 3) END"
+                )
+            ).alias("_i"),
+            "_words",
+        )
+        .select("doc_id", F.expr("concat_ws(' ', slice(_words, _i, 4))").alias("g"))
+        .join(F.broadcast(bench_df), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = eligible.join(contaminated, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    first = Window.partitionBy(F.md5(F.lower("text"))).orderBy("arrival")
+    expect_ids = sorted(
+        r["doc_id"]
+        for r in clean.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .select("doc_id")
+        .collect()
+    )
+    assert got_ids == expect_ids
+    # the stage did real work: strictly fewer survivors than without it
+    no_gop = run_available_now(
+        curate_doc_stream(
+            read_doc_stream(spark, f"{tmpdir}/in"), bench
+        ),
+        f"{tmpdir}/ck2",
+        "append",
+        "s32b",
+    ).count()
+    assert len(got_ids) < no_gop
+
+
 def test_s12_incremental_dedup_stream_matches_batch_probe(spark, tmpdir):
     """Streaming ingest dedup (foreachBatch probe against the standing
     MinHash signature index) must flag exactly the docs the batch probe
