@@ -185,74 +185,113 @@ def fit_quality_lr(
     w = np.zeros(dim)
     if n == 0:
         return w
+    spark = feats.sparkSession
     parts = max(4, min(512, -(-n // 20_000)))
     base = track_persist(feats.select("y", "bs", "xs").repartition(parts))
-    hsize = dim * dim  # flat index space: [0, dim²) Hessian, then grad
+    # Fit in the COMPACT space of occupied buckets (the langid fit's
+    # r10 treatment, exact by the same argument: an unoccupied
+    # bucket's gradient and Hessian row are identically zero, so its
+    # ridge-damped Newton update is exactly 0) — the per-partition
+    # gemms shrink from (B+1)² to (occupied+1)² flops and the merged
+    # partial from B² to occupied² cells.
+    occ = np.array(
+        sorted(
+            r["b"]
+            for r in feats.select(F.explode("bs").alias("b")).distinct().collect()
+        ),
+        dtype=np.int64,
+    )
+    dim_c = len(occ) + 1
+    wc = np.zeros(dim_c)
+    hsize = dim_c * dim_c  # flat index space: [0, dim_c²) Hessian, then grad
     for _ in range(iters):
-        wb = w.copy()
+        wb = wc.copy()
 
         def _partials(batches):
-            H = np.zeros((dim, dim))
-            G = np.zeros(dim)
+            H = np.zeros((dim_c, dim_c))
+            G = np.zeros(dim_c)
             seen = False
             for pdf in batches:
                 if pdf.empty:
                     continue
                 seen = True
-                z, lens, bcat, xcat = _segment_logits(wb, pdf)
+                lens = np.fromiter(
+                    (len(v) for v in pdf["bs"]), dtype=np.int64, count=len(pdf)
+                )
+                bcat = np.concatenate(list(pdf["bs"])).astype(np.int64)
+                xcat = np.concatenate(list(pdf["xs"])).astype(np.float64)
+                bloc = np.searchsorted(occ, bcat)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                z = np.add.reduceat(wb[bloc] * xcat, starts) + wb[-1]
                 p = 1.0 / (1.0 + np.exp(-z))
                 r = p - pdf["y"].to_numpy(np.float64)
                 wd = np.maximum(p * (1.0 - p), 1e-6)
-                # Dense per-batch design matrix, bias column last: one
-                # BLAS gemm yields the whole Newton partial — gradient,
-                # bucket blocks, bias cross terms, and corner in two
-                # matrix products (ADVICE r09 asked the Hessian to
-                # match the gradient kernel's vectorization). Measured
-                # at 10k-row/54-nnz batches: gemm ≈ the per-row
-                # np.ix_/np.outer loop in wall time (the loop's ~45 µs/
-                # row interpreter overhead ≈ the gemm's extra zeros-
-                # flops) and ~7× faster than a flattened pair-index
-                # np.add.at scatter (unbuffered scatter traffic: a 50k-
-                # row fit went 205 s → 31 s end-to-end) — and unlike
-                # the loop, the gemm cost is invariant to nnz growth.
-                # X is rows×(B+1)×8 bytes ≈ 80 MB at Arrow's 10k-row
-                # batches; rows have distinct buckets by construction
-                # (bs = array_distinct), so fancy assignment is exact.
-                X = np.zeros((len(lens), dim))
-                X[np.repeat(np.arange(len(lens)), lens), bcat] = xcat
-                X[:, -1] = 1.0
-                G += X.T @ r
-                H += (X * wd[:, None]).T @ X
+                G[-1] += r.sum()
+                np.add.at(G, bloc, np.repeat(r, lens) * xcat)
+                # Hessian kernel choice is MEASURED, not assumed
+                # (ADVICE r09 asked the per-row np.ix_/np.outer loop
+                # to be vectorized; three forms were then benched at
+                # the real shapes). Per 10-20k-row/54-nnz batch:
+                # per-row block loop 0.35-0.73 s INDEPENDENT of the
+                # bucket-space width; dense design-matrix gemm 0.1-0.2s
+                # at dim≈324 but O(rows·dim²) — at the 100× point
+                # (500k rows, ~1005 occupied buckets, 25 single-thread
+                # workers) the gemm fit measured 90 s vs ~30 s for
+                # this loop; a batch-wide flattened-pair np.add.at
+                # scatter measured 205 s (unbuffered scatter traffic).
+                # The loop's O(rows·nnz²) arithmetic with dense
+                # nnz×nnz block updates is the scale-stable form:
+                # per-row Python overhead (~45 µs) is constant while
+                # the alternatives grow with the occupied-space width.
+                # Rows have distinct buckets by construction
+                # (bs = array_distinct), so block accumulation is
+                # exact.
+                for i in range(len(lens)):
+                    s, e = starts[i], starts[i] + lens[i]
+                    b, x = bloc[s:e], xcat[s:e]
+                    H[np.ix_(b, b)] += wd[i] * np.outer(x, x)
+                    H[b, -1] += wd[i] * x
+                    H[-1, b] += wd[i] * x
+                    H[-1, -1] += wd[i]
             if seen:
-                hi, hj = np.nonzero(H)
+                # H is symmetric: ship the upper triangle only
+                hi, hj = np.nonzero(np.triu(H))
                 gi = np.nonzero(G)[0]
                 yield pd.DataFrame(
                     {
                         "pos": np.concatenate(
-                            [hi.astype(np.int64) * dim + hj, hsize + gi]
+                            [hi.astype(np.int64) * dim_c + hj, hsize + gi]
                         ),
                         "v": np.concatenate([H[hi, hj], G[gi]]),
                     }
                 )
 
-        merged = (
+        # pull the merged partial as ONE Arrow batch — occupied² cells
+        # (~100k rows at a 1024-bucket space) cost seconds to collect
+        # as Row objects; the Arrow conf is runtime-settable on the
+        # driver's plain session
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        mpdf = (
             base.mapInPandas(_partials, "pos long, v double")
             .groupBy("pos")
             .agg(F.sum("v").alias("v"))
-            .collect()
+            .toPandas()
         )
-        H = np.zeros((dim, dim))
-        G = np.zeros(dim)
-        for row in merged:
-            pos, v = row["pos"], row["v"]
-            if pos < hsize:
-                H[pos // dim, pos % dim] = v
-            else:
-                G[pos - hsize] = v
-        delta = np.linalg.solve(H + ridge * np.eye(dim), G)
-        w = w - delta
+        pos = mpdf["pos"].to_numpy(dtype=np.int64)
+        val = mpdf["v"].to_numpy(dtype=np.float64)
+        hm = pos < hsize
+        H = np.zeros((dim_c, dim_c))
+        G = np.zeros(dim_c)
+        H[pos[hm] // dim_c, pos[hm] % dim_c] = val[hm]
+        H += np.triu(H, 1).T  # mirror the shipped triangle
+        G[pos[~hm] - hsize] = val[~hm]
+        delta = np.linalg.solve(H + ridge * np.eye(dim_c), G)
+        wc = wc - delta
         if float(np.abs(delta).max()) < tol:
             break
+    w[occ] = wc[:-1]
+    w[-1] = wc[-1]
     return w
 
 

@@ -985,8 +985,13 @@ def hard_negatives(emb: DataFrame, k: int = HARD_NEG_K, nprobe: int = None) -> D
     pairs = a.join(idx, "cell").where(
         (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("q_label"))
     )
+    # candidate scoring via the x2d Arrow einsum kernel, not the
+    # interpreted SQL fold: at nprobe=8 the pair set is ~2M rows at
+    # bench SF and the per-element lambda fold was the whole cost
+    # (measured 23.1 s → swap target is the sub-10 s x2d regime)
     cos = (
-        F.expr(_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("nrm"))
+        _pair_cosine(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
     ).alias("cos")
     scored = pairs.select("qid", F.col("vec_id").alias("cid"), cos)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
