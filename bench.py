@@ -1318,7 +1318,13 @@ def _ab(ref: str) -> None:
         for k, v in now.get("queries", {}).items()
         if prev.get("queries", {}).get(k)
     }
+    raw = {
+        k: round(v / prev["queries"][k], 2)
+        for k, v in now.get("queries", {}).items()
+        if prev.get("queries", {}).get(k)
+    }
     vals = sorted(ratios.values())
+    rvals = sorted(raw.values())
     result = {
         "ref": ref,
         "ref_total_sec": prev.get("value"),
@@ -1330,7 +1336,18 @@ def _ab(ref: str) -> None:
         "median_ratio_head_over_ref": (
             round(statistics.median(vals), 2) if vals else None
         ),
+        # The floor estimate itself drifts run-to-run (r10 measured a
+        # 21% swing minutes apart on an idle machine), and a floor
+        # error inflates/deflates EVERY normalized ratio uniformly —
+        # so record the raw-wall median too: when the two medians
+        # disagree by ~the floor ratio, the normalized one is the
+        # artifact (the floors ran minutes apart on one machine; there
+        # is no machine-speed difference to normalize away).
+        "median_ratio_raw": (
+            round(statistics.median(rvals), 2) if rvals else None
+        ),
         "ratios": ratios,
+        "ratios_raw": raw,
     }
     with open(os.path.join(_HERE, "AB_RESULT.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
