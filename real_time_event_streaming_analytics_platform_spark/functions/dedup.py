@@ -980,14 +980,53 @@ def cross_source_contamination(
 # Lee et al. 2022 (ADVICE r09; d3's *coverage* metric still reports
 # cross-doc spans, a reporting choice documented there).
 #
-# Rows-only at the driver (the 100-oracle ceiling — see
-# __spark_entry__.py); the DuckDB differential in tests/test_functions.py
-# recomputes the whole pipeline over raw shingle strings, and planted
-# fixtures pin keeper-side retention vs duplicate-side excision.
+# Oracle-backed since r11 (promoted into a slot freed by the q12
+# consolidation, VERDICT r10 #1/#2): the DuckDB twin recomputes the
+# whole pipeline over raw shingle STRINGS — no xxhash64 — so agreement
+# also certifies the engine's hash-keyed spans are collision-free on
+# the fixture. Planted fixtures in tests/test_functions.py pin
+# keeper-side retention vs duplicate-side excision.
 # ---------------------------------------------------------------------------
 
+_D3B_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '{ws}') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i.gen AS pos,
+               array_to_string(w[i.gen + 1 : i.gen + {k}], ' ') AS sh
+        FROM words, unnest(generate_series(0, len(w) - {k})) AS i(gen)
+        WHERE len(w) >= {k}
+    ),
+    dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+    surv AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY sh.sh
+                                  ORDER BY doc_id, pos) AS rn
+        FROM sh JOIN dup USING (sh)
+    ),
+    rem AS (
+        SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+        FROM surv WHERE rn > 1 GROUP BY doc_id
+    ),
+    clipped AS (
+        SELECT w.doc_id, len(w.w) AS total,
+               CASE WHEN r.ps IS NULL THEN w.w
+                    ELSE list_filter(w.w, (t, i) ->
+                        len(list_filter(r.ps,
+                            p -> (i - 1) >= p AND (i - 1) < p + {k})) = 0)
+               END AS kept
+        FROM words w LEFT JOIN rem r USING (doc_id)
+    )
+    SELECT doc_id, CAST(total AS BIGINT) AS total_tokens,
+           CAST(total - len(kept) AS BIGINT) AS removed_tokens,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_digest
+    FROM clipped ORDER BY doc_id
+"""
 
-@query("d3b_substring_dedup_clip")
+
+@query("d3b_substring_dedup_clip", oracle=_D3B_ORACLE.format(ws=_WS, k=SPAN_K))
 def d3b_substring_dedup_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup_clip(load(spark, sf_dir, "documents"))
 

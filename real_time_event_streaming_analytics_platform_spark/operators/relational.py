@@ -430,16 +430,35 @@ def q11_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q12 — set operations on customer vs supplier nation keys (4 variants).
+# Q12 — set operations on customer vs supplier nation keys. The six
+# variants (UNION / UNION ALL / INTERSECT / EXCEPT / INTERSECT ALL /
+# EXCEPT ALL) share one SQL template; per VERDICT r10 #1 they hold ONE
+# driver-oracle slot via the consolidated q12_set_ops (each variant's
+# result appears as an op-tagged slice, so a hash mismatch in ANY
+# variant fails the combined row). The individual variants stay
+# registered rows-only and are pinned locally two ways: the
+# slice-equivalence test (tests/test_functions.py) and the 12-case
+# randomized set-op fuzz differential
+# (tests/test_fuzz_differential.py::test_fuzzed_set_operations_match_duckdb).
 # ---------------------------------------------------------------------------
 
-_SET_SQL = """
-    SELECT nkey FROM (
+_SET_OPS = [
+    "UNION",
+    "UNION ALL",
+    "INTERSECT",
+    "EXCEPT",
+    "INTERSECT ALL",
+    "EXCEPT ALL",
+]
+
+_SET_OPS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{op}' AS op, nkey FROM (
         SELECT c_nationkey AS nkey FROM customer
         {op}
         SELECT s_nationkey AS nkey FROM supplier
-    ) ORDER BY nkey
-"""
+    )"""
+    for op in _SET_OPS
+)
 
 
 def _set_sides(spark, sf_dir):
@@ -448,28 +467,54 @@ def _set_sides(spark, sf_dir):
     return c, s
 
 
-@query("q12_union", oracle=_SET_SQL.format(op="UNION"))
+def _set_op_result(spark, sf_dir, op: str) -> DataFrame:
+    """One set-op variant's bare (nkey) frame, unordered."""
+    c, s = _set_sides(spark, sf_dir)
+    return {
+        "UNION": lambda: c.union(s).distinct(),
+        "UNION ALL": lambda: c.union(s),
+        "INTERSECT": lambda: c.intersect(s),
+        "EXCEPT": lambda: c.subtract(s),
+        "INTERSECT ALL": lambda: c.intersectAll(s),
+        "EXCEPT ALL": lambda: c.exceptAll(s),
+    }[op]()
+
+
+@query(
+    "q12_set_ops",
+    oracle=f"SELECT op, nkey FROM ({_SET_OPS_SQL}) ORDER BY op, nkey",
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six set-op variants in one op-tagged frame — the
+    consolidated driver-oracle form of the q12 family."""
+    out = None
+    for op in _SET_OPS:
+        tagged = _set_op_result(spark, sf_dir, op).select(
+            F.lit(op).alias("op"), "nkey"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.orderBy("op", "nkey")
+
+
+@query("q12_union")
 def q12_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c, s = _set_sides(spark, sf_dir)
-    return c.union(s).distinct().orderBy("nkey")
+    return _set_op_result(spark, sf_dir, "UNION").orderBy("nkey")
 
 
-@query("q12_union_all", oracle=_SET_SQL.format(op="UNION ALL"))
+@query("q12_union_all")
 def q12_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c, s = _set_sides(spark, sf_dir)
-    return c.union(s).orderBy("nkey")
+    return _set_op_result(spark, sf_dir, "UNION ALL").orderBy("nkey")
 
 
-@query("q12_intersect", oracle=_SET_SQL.format(op="INTERSECT"))
+@query("q12_intersect")
 def q12_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c, s = _set_sides(spark, sf_dir)
-    return c.intersect(s).orderBy("nkey")
+    return _set_op_result(spark, sf_dir, "INTERSECT").orderBy("nkey")
 
 
-@query("q12_except", oracle=_SET_SQL.format(op="EXCEPT"))
+@query("q12_except")
 def q12_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c, s = _set_sides(spark, sf_dir)
-    return c.subtract(s).orderBy("nkey")  # EXCEPT (distinct) semantics
+    # EXCEPT (distinct) semantics
+    return _set_op_result(spark, sf_dir, "EXCEPT").orderBy("nkey")
 
 
 # ---------------------------------------------------------------------------
@@ -606,16 +651,14 @@ def q14c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q12_intersect_all", oracle=_SET_SQL.format(op="INTERSECT ALL"))
+@query("q12_intersect_all")
 def q12_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c, s = _set_sides(spark, sf_dir)
-    return c.intersectAll(s).orderBy("nkey")
+    return _set_op_result(spark, sf_dir, "INTERSECT ALL").orderBy("nkey")
 
 
-@query("q12_except_all", oracle=_SET_SQL.format(op="EXCEPT ALL"))
+@query("q12_except_all")
 def q12_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c, s = _set_sides(spark, sf_dir)
-    return c.exceptAll(s).orderBy("nkey")
+    return _set_op_result(spark, sf_dir, "EXCEPT ALL").orderBy("nkey")
 
 
 # ---------------------------------------------------------------------------

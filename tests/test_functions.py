@@ -1407,12 +1407,16 @@ def test_d3b_clip_keeps_canonical_and_excises_duplicates(spark):
 def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
     """DuckDB recomputes the clip pipeline over raw shingle STRINGS
     (no xxhash64) — every (doc_id, counts, digest) row must agree.
-    Duplication counts TOTAL occurrences (within-doc repeats clip too,
-    the Lee et al. exact-substring semantics — ADVICE r09), so the
-    d3-coverage bound only applies to docs with no within-doc repeats;
-    the planted-fixture test pins the cross-doc keeper/clipper split."""
+    Since r11 the recompute SQL IS the registered driver oracle
+    (promoted per VERDICT r10 #2), so this asserts exact tuple-level
+    equality on top of the driver's hash compare. Duplication counts
+    TOTAL occurrences (within-doc repeats clip too, the Lee et al.
+    exact-substring semantics — ADVICE r09), so the d3-coverage bound
+    only applies to docs with no within-doc repeats; the
+    planted-fixture test pins the cross-doc keeper/clipper split."""
     import duckdb
 
+    import real_time_event_streaming_analytics_platform_spark as engine
     from real_time_event_streaming_analytics_platform_spark.functions.dedup import (
         SPAN_K,
         _WS,
@@ -1427,42 +1431,7 @@ def test_d3b_matches_duckdb_recompute_and_bounds_d3(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
     )
-    want = con.execute(f"""
-        WITH words AS (
-            SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
-            FROM documents
-        ),
-        sh AS (
-            SELECT doc_id, i.gen AS pos,
-                   array_to_string(w[i.gen + 1 : i.gen + {SPAN_K}], ' ') AS sh
-            FROM words, unnest(generate_series(0, len(w) - {SPAN_K})) AS i(gen)
-            WHERE len(w) >= {SPAN_K}
-        ),
-        dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
-        surv AS (
-            SELECT doc_id, pos,
-                   ROW_NUMBER() OVER (PARTITION BY sh.sh
-                                      ORDER BY doc_id, pos) AS rn
-            FROM sh JOIN dup USING (sh)
-        ),
-        rem AS (
-            SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
-            FROM surv WHERE rn > 1 GROUP BY doc_id
-        ),
-        clipped AS (
-            SELECT w.doc_id, len(w.w) AS total,
-                   CASE WHEN r.ps IS NULL THEN w.w
-                        ELSE list_filter(w.w, (t, i) ->
-                            len(list_filter(r.ps,
-                                p -> (i - 1) >= p AND (i - 1) < p + {SPAN_K})) = 0)
-                   END AS kept
-            FROM words w LEFT JOIN rem r USING (doc_id)
-        )
-        SELECT doc_id, CAST(total AS BIGINT) AS total_tokens,
-               CAST(total - len(kept) AS BIGINT) AS removed_tokens,
-               md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_digest
-        FROM clipped ORDER BY doc_id
-    """).fetchall()
+    want = con.execute(engine.ORACLE["d3b_substring_dedup_clip"]).fetchall()
     assert len(got) == len(want) and got == [tuple(r) for r in want]
 
     # d3's coverage counts CROSS-DOC dup spans only, so it bounds the

@@ -33,3 +33,28 @@ def test_all_queries_run(spark, sf_dir):
     for name in sorted(no_oracle):
         df = engine.QUERIES[name](spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_q12_variants_equal_consolidated_slices(spark, sf_dir):
+    """The six q12 set-op variants were demoted to rows-only when
+    their oracles were consolidated into q12_set_ops (one slot, six
+    op-tagged slices — VERDICT r10 #1). This pins each variant to its
+    slice of the oracle-backed frame, so the single driver row still
+    certifies all six; the randomized set-op fuzz differential covers
+    shapes the handwritten family doesn't."""
+    combined = engine.QUERIES["q12_set_ops"](spark, sf_dir).collect()
+    by_op = {}
+    for r in combined:
+        by_op.setdefault(r["op"], []).append(r["nkey"])
+    variants = {
+        "UNION": "q12_union",
+        "UNION ALL": "q12_union_all",
+        "INTERSECT": "q12_intersect",
+        "EXCEPT": "q12_except",
+        "INTERSECT ALL": "q12_intersect_all",
+        "EXCEPT ALL": "q12_except_all",
+    }
+    assert set(by_op) <= set(variants)
+    for op, name in variants.items():
+        got = [r["nkey"] for r in engine.QUERIES[name](spark, sf_dir).collect()]
+        assert got == sorted(by_op.get(op, [])), name
