@@ -270,14 +270,23 @@ def fit_quality_lr(
         # pull the merged partial as ONE Arrow batch — occupied² cells
         # (~100k rows at a 1024-bucket space) cost seconds to collect
         # as Row objects; the Arrow conf is runtime-settable on the
-        # driver's plain session
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        mpdf = (
-            base.mapInPandas(_partials, "pos long, v double")
-            .groupBy("pos")
-            .agg(F.sum("v").alias("v"))
-            .toPandas()
-        )
+        # driver's plain session, but SESSION-scoped, so save and
+        # restore the caller's value around the pull (ADVICE r10)
+        _ARROW = "spark.sql.execution.arrow.pyspark.enabled"
+        prior_arrow = spark.conf.get(_ARROW, None)
+        spark.conf.set(_ARROW, "true")
+        try:
+            mpdf = (
+                base.mapInPandas(_partials, "pos long, v double")
+                .groupBy("pos")
+                .agg(F.sum("v").alias("v"))
+                .toPandas()
+            )
+        finally:
+            if prior_arrow is None:
+                spark.conf.unset(_ARROW)
+            else:
+                spark.conf.set(_ARROW, prior_arrow)
         pos = mpdf["pos"].to_numpy(dtype=np.int64)
         val = mpdf["v"].to_numpy(dtype=np.float64)
         hm = pos < hsize
@@ -366,6 +375,51 @@ def x26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def quality_heldout_eval(docs: DataFrame, target=None) -> DataFrame:
+    """Held-out generalization measurement for the x26 quality LR
+    (VERDICT r10 #5): train ONLY on x5's deterministic md5 'train'
+    fold against the weak labels (default: lang = 'en', x26's target),
+    score the held-out (val + test) fold with the frozen weights, and
+    report per-weak-label counts — (label, n_docs, n_pred_keep,
+    n_correct, accuracy). Overall held-out accuracy is
+    sum(n_correct)/sum(n_docs).
+
+    The bar is argued in tests/test_classifier.py: on the synthetic
+    testdata the weak label is independent of the text, so the
+    achievable ceiling is the majority-class prior; on a planted
+    separable corpus the same pipeline is perfect held-out."""
+    if target is None:
+        target = F.col("lang") == "en"
+    prefix = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    train = docs.where(prefix < F.lit("cc"))
+    held = docs.where(prefix >= F.lit("cc"))
+    w = fit_quality_lr(track_persist(hashed_features(train, target)))
+    scored = held.select(
+        "doc_id", target.cast("long").alias("label")
+    ).join(
+        quality_scores(held, hashed_features(held, target), w), "doc_id"
+    )
+    pred = (F.col("prob") >= LR_THRESHOLD).cast("long")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(pred).alias("n_pred_keep"),
+            F.sum((pred == F.col("label")).cast("long")).alias("n_correct"),
+            round2(
+                F.avg((pred == F.col("label")).cast("double"))
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("x26_heldout_eval")
+def x26_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (trained model): held-out per-class eval of x26."""
+    return quality_heldout_eval(load(spark, sf_dir, "documents"))
 
 
 def score_docs_stream(stream_docs: DataFrame, w) -> DataFrame:

@@ -290,8 +290,14 @@ def test_t1b_numpy_replay_parity(spark):
 def test_s31_streaming_langid_matches_batch(spark, tmp_path):
     """S31: a frozen-model streaming language-ID pass must produce
     bitwise-identical (lang_model, prob_model) to the batch scorer —
-    the S29 discipline applied to t1b's char-gram features."""
+    the S29 discipline applied to t1b's char-gram features. Coverage
+    now matches batch langid_predictions exactly (ADVICE r10): a
+    planted sub-CHAR_N doc streams through and takes the bias-argmax
+    fallback instead of silently vanishing."""
     import json as _json
+    import math
+
+    import numpy as _np
 
     from real_time_event_streaming_analytics_platform_spark.functions.langid import (
         langid_model,
@@ -307,6 +313,8 @@ def test_s31_streaming_langid_matches_batch(spark, tmp_path):
     }
 
     rows = [r.asDict() for r in docs.select("doc_id", "text", "lang").collect()]
+    short_id = max(r["doc_id"] for r in rows) + 1
+    rows.append({"doc_id": short_id, "text": "ab", "lang": langs[0]})
     src = tmp_path / "in"
     src.mkdir()
     half = len(rows) // 2
@@ -332,5 +340,137 @@ def test_s31_streaming_langid_matches_batch(spark, tmp_path):
         r["doc_id"]: (r["lang_model"], r["prob_model"])
         for r in spark.sql("SELECT * FROM s31_langid").collect()
     }
-    assert set(got) == set(batch)
-    assert all(got[k] == batch[k] for k in got)  # bitwise parity
+    # full coverage: every streamed doc emits exactly one row
+    assert set(got) == set(batch) | {short_id}
+    # bitwise parity on the featured docs
+    assert all(got[k] == batch[k] for k in batch)
+    # the featureless doc takes the batch path's fallback: bias argmax
+    bias_k = int(_np.argmax(_np.asarray(W)[:, -1]))
+    bias_prob = 1.0 / (1.0 + math.exp(-float(_np.asarray(W)[bias_k, -1])))
+    assert got[short_id] == (langs[bias_k], bias_prob)
+
+
+def test_fit_loops_restore_arrow_conf(spark):
+    """Both IRLS fits flip spark.sql.execution.arrow.pyspark.enabled
+    for their Arrow-batched partial pulls; they must restore the
+    caller's value afterwards — leaving it flipped silently changes
+    toPandas/createDataFrame semantics for sessions that had Arrow
+    deliberately disabled (ADVICE r10)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.langid import (
+        char_gram_features,
+        fit_langid,
+    )
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+
+        docs = _three_alphabet_docs(spark)
+        feats = char_gram_features(docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        fit_langid(feats, ["aa", "bb", "cc"], iters=1)
+        assert spark.conf.get(key) == "false"
+
+        qdocs = _two_vocab_docs(spark, probes=False)
+        qfeats = hashed_features(qdocs, F.col("lang") == "en")
+        fit_quality_lr(qfeats, iters=1)
+        assert spark.conf.get(key) == "false"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def test_langid_scoring_empty_label_set(spark):
+    """score_langid / langid_predictions on an EMPTY corpus return
+    empty full-schema frames instead of raising from np.stack/np.argmax
+    over a K=0 axis (ADVICE r10)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.langid import (
+        char_gram_features,
+        langid_predictions,
+        score_langid,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    scored = score_langid(char_gram_features(empty), np.zeros((0, 10)), [])
+    assert scored.columns == ["doc_id", "lang_model", "prob_model"]
+    assert scored.count() == 0
+
+    preds = langid_predictions(empty)
+    assert preds.columns == ["doc_id", "lang", "lang_model", "prob_model"]
+    assert preds.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation for the two trained models (VERDICT r10 #5):
+# planted-label replay and numpy parity are necessary but not
+# sufficient — these measure generalization on x5's deterministic md5
+# train/held split.
+# ---------------------------------------------------------------------------
+
+
+def test_t1b_heldout_eval_planted_and_corpus(spark):
+    """Planted separable corpus: the frozen train-fold model must be
+    PERFECT on the held fold (the signal is real and learnable).
+    Synthetic testdata corpus: the lang label is independent of the
+    text by construction, so the achievable ceiling is the
+    majority-class prior (~0.36 on the held fold) — and the fitted
+    model lands BELOW it (measured 0.27 at sf0.001, 0.30 at sf0.01)
+    because it confidently replays training-fold noise. The floor of
+    0.15 is a break-detector (scorer wired to wrong labels, split
+    leakage making accuracy ~1.0 would also fail the ceiling side),
+    not a quality claim."""
+    from real_time_event_streaming_analytics_platform_spark.functions.langid import (
+        langid_heldout_eval,
+    )
+
+    planted = langid_heldout_eval(_three_alphabet_docs(spark)).collect()
+    tot = sum(r["n_docs"] for r in planted)
+    cor = sum(r["n_correct"] for r in planted)
+    assert tot > 0 and cor == tot, planted  # perfect held-out on signal
+
+    rows = engine.QUERIES["t1b_heldout_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    held_n = sum(r["n_docs"] for r in rows)
+    acc = sum(r["n_correct"] for r in rows) / held_n
+    # held fold of the md5 split is ~20% of 500 docs
+    assert 80 <= held_n <= 130, held_n
+    assert all(0.0 <= r["accuracy"] <= 1.0 for r in rows)
+    assert all(r["n_correct"] <= r["n_docs"] for r in rows)
+    # label⊥text corpus: above the break floor, below the no-leakage
+    # ceiling (anything near 1.0 would mean the held fold leaked into
+    # training)
+    assert 0.15 <= acc <= 0.60, acc
+
+
+def test_x26_heldout_eval_planted_and_corpus(spark):
+    """Same discipline for the quality LR: perfect held-out on the
+    planted disjoint-vocabulary corpus; on the synthetic corpus the
+    weak label (lang='en') is text-independent, ceiling = predict-all-
+    negative prior (~0.65), measured 0.49-0.52 (the model trades the
+    prior for memorized noise). Floor 0.30 detects breakage; ceiling
+    0.80 detects split leakage."""
+    from real_time_event_streaming_analytics_platform_spark.functions.classifier import (
+        quality_heldout_eval,
+    )
+
+    planted = quality_heldout_eval(
+        _two_vocab_docs(spark, probes=False), F.col("lang") == "en"
+    ).collect()
+    tot = sum(r["n_docs"] for r in planted)
+    cor = sum(r["n_correct"] for r in planted)
+    assert tot > 0 and cor == tot, planted
+
+    rows = engine.QUERIES["x26_heldout_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    held_n = sum(r["n_docs"] for r in rows)
+    acc = sum(r["n_correct"] for r in rows) / held_n
+    assert 80 <= held_n <= 130, held_n
+    assert sorted(r["label"] for r in rows) == [0, 1]
+    assert all(r["n_pred_keep"] <= r["n_docs"] for r in rows)
+    assert 0.30 <= acc <= 0.80, acc
