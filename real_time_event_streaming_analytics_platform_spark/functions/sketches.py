@@ -367,3 +367,88 @@ def x14_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap_matrix(source_user_theta(events)).orderBy(
         "src_a", "src_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# DetKLL — a DETERMINISTIC fixed-buffer quantile sketch in pure Python
+# (the MRL/KLL compactor lineage: Manku-Rajagopalan-Lindsay 1998,
+# Karnin-Lang-Liberty 2016 — public; randomness replaced by an
+# alternating per-level offset, the standard derandomization that
+# trades the probabilistic bound for replay determinism).
+#
+# Why it exists alongside the JVM Datasketches KLL (x13, the
+# production materialize-then-merge form): the transformWithState
+# processor below keeps per-key quantile state INSIDE the Python
+# worker, where JVM aggregate functions are unreachable — the state
+# must be a plain serializable value. Determinism is load-bearing
+# there: identical event streams under DIFFERENT micro-batch splits
+# must leave identical sketch state, or the S33 batch-split-invariance
+# parity test could not exist (the JVM KLL's randomized compaction
+# cannot make that promise even to itself).
+# ---------------------------------------------------------------------------
+
+DETKLL_B = 400  # per-level buffer; rank error ~ O(levels / B), see test bar
+
+
+class DetKLL:
+    """Streaming quantile sketch over doubles. Level i holds items of
+    weight 2^i; a full level sorts, keeps alternate elements (offset
+    flips per compaction, cancelling drift), and promotes them. Memory
+    is O(B · log(n/B)); insertion order determines state exactly."""
+
+    __slots__ = ("b", "levels", "offsets", "n")
+
+    def __init__(self, b: int = DETKLL_B, levels=None, offsets=None, n: int = 0):
+        self.b = int(b)
+        self.levels = [list(map(float, lv)) for lv in (levels or [[]])]
+        self.offsets = list(offsets or [0])
+        self.n = int(n)
+
+    def extend(self, values) -> "DetKLL":
+        for v in values:
+            self.levels[0].append(float(v))
+            self.n += 1
+            if len(self.levels[0]) >= self.b:
+                self._compact()
+        return self
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) >= self.b:
+                buf = sorted(self.levels[i])
+                keep_from = self.offsets[i] & 1
+                self.offsets[i] += 1
+                self.levels[i] = []
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                    self.offsets.append(0)
+                self.levels[i + 1].extend(buf[keep_from::2])
+            i += 1
+
+    def quantile(self, q: float):
+        items: list[tuple[float, int]] = []
+        for i, lv in enumerate(self.levels):
+            w = 1 << i
+            items.extend((v, w) for v in lv)
+        if not items:
+            return None
+        items.sort()
+        target = q * self.n
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+    def to_state(self) -> tuple:
+        """(levels, offsets, n) — the TWS ValueState payload."""
+        return (self.levels, self.offsets, self.n)
+
+    @classmethod
+    def from_state(cls, state, b: int = DETKLL_B) -> "DetKLL":
+        if state is None:
+            return cls(b)
+        levels, offsets, n = state
+        return cls(b, levels=list(levels), offsets=list(offsets), n=n)

@@ -547,3 +547,80 @@ def stale_source_stream(parsed: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key running quantiles — the KLL surface on the keyed state API
+# (VERDICT r10 #7). The production form for STORED quantiles stays the
+# foreachBatch epoch materializer (sinks.kll_sketch_writer: JVM
+# Datasketches bytes in parquet, exactly-once via epoch keys, merged at
+# read); that shape is a per-epoch BATCH aggregation, so a keyed-state
+# twin holds the sketch INSIDE the processor instead, where JVM
+# aggregate functions are unreachable. State per key is a DetKLL
+# (functions/sketches.py) — pure-Python, deterministic compaction — so
+# identical event streams under different micro-batch splits leave
+# IDENTICAL sketch state and running estimates; the S33 parity test
+# pins batch-split invariance plus a rank-accuracy bar vs the exact
+# per-key percentiles, the same contract the x13 family carries.
+# ---------------------------------------------------------------------------
+
+_KLL_STATE_SCHEMA = (
+    "levels array<array<double>>, offsets array<int>, n bigint"
+)
+
+
+class RunningQuantilesProcessor(StatefulProcessor):
+    """Per-key streaming p50/p95/p99 over ``metric``: fold each batch's
+    values (in (ts, event_id) order — DetKLL state is insertion-order
+    exact) into the key's sketch, emit one running-estimate row per
+    (key, batch)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("kll", _KLL_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        from ..functions.sketches import DetKLL
+
+        pdf = _concat_nonempty(rows)
+        if pdf is None:
+            yield from ()
+            return
+        stored = self._state.get() if self._state.exists() else None
+        sk = DetKLL.from_state(stored)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        sk.extend(float(v) for v in pdf["metric"].dropna())
+        self._state.update(sk.to_state())
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "asof": [pdf["ts"].max()],
+                "n": [sk.n],
+                "p50": [sk.quantile(0.5)],
+                "p95": [sk.quantile(0.95)],
+                "p99": [sk.quantile(0.99)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_quantiles_stream(parsed: DataFrame) -> DataFrame:
+    """Per-source running p50/p95/p99 of ``metric``; one row per
+    (source, batch) with the max event time seen (`asof`) — take each
+    source's max-asof row for current estimates. Same session
+    requirements as anomaly_stream_v2. Input: parsed events carrying
+    (source, event_id, ts, metric)."""
+    if PROTOBUF_BLOCKER is not None:
+        raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")
+    return parsed.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=RunningQuantilesProcessor(),
+        outputStructType=(
+            "source string, asof timestamp, n bigint,"
+            " p50 double, p95 double, p99 double"
+        ),
+        outputMode="append",
+        timeMode="none",
+    )

@@ -398,3 +398,74 @@ def test_s24_event_time_timer_detects_stale_source(spark, tmpdir):
     assert row["announced_at"] == base_naive + timedelta(
         seconds=300 + state_v2.STALE_GAP_SECONDS
     )
+
+
+def test_s33_running_quantiles_matches_exact_and_split_invariant(spark, tmpdir):
+    """Keyed v2 KLL surface (VERDICT r10 #7): per-source running
+    p50/p95/p99 from the DetKLL ValueState. Three pins: (a) each
+    source's final n equals the batch row count; (b) each final
+    estimate's EMPIRICAL RANK in the exact sorted metrics is within
+    ±2.5% of its target — the x13 family's bar (DetKLL measures ~0.3%
+    at these sizes; 2.5% leaves drift margin); (c) replaying the same
+    files as ONE micro-batch instead of three yields a bit-identical
+    final row per source — the determinism the JVM KLL cannot promise
+    and the whole reason DetKLL exists."""
+    import bisect
+
+    events = generate_events(1200, seed=71, interval_ms=300)
+    write_jsonl(events, f"{tmpdir}/in", n_files=3)
+
+    def run(max_files: int, name: str, ck: str):
+        stream = parse_events(
+            read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=max_files)
+        )
+        return run_available_now(
+            state_v2.running_quantiles_stream(stream),
+            ck,
+            output_mode="append",
+            name=name,
+        ).collect()
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        got = run(1, "s33a", f"{tmpdir}/ck1")
+        got_one = run(3, "s33b", f"{tmpdir}/ck2")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    raw = spark.read.text(f"{tmpdir}/in").withColumnRenamed("value", "raw")
+    exact = {}
+    for r in parse_events(raw).select("source", "metric").collect():
+        exact.setdefault(r["source"], []).append(float(r["metric"]))
+    for vals in exact.values():
+        vals.sort()
+
+    def finals(rows):
+        out = {}
+        for r in sorted(rows, key=lambda r: (r["asof"], r["n"])):
+            out[r["source"]] = r
+        return out
+
+    fin = finals(got)
+    assert set(fin) == set(exact)
+    for source, row in fin.items():
+        vals = exact[source]
+        assert row["n"] == len(vals), (source, row["n"], len(vals))
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = bisect.bisect_right(vals, row[col]) / len(vals)
+            assert abs(rank - q) <= 0.025, (source, col, row[col], rank)
+
+    # split invariance: one-batch replay ends in the identical row
+    fin_one = finals(got_one)
+    assert set(fin_one) == set(fin)
+    for source in fin:
+        a, b = fin[source], fin_one[source]
+        assert (a["n"], a["p50"], a["p95"], a["p99"]) == (
+            b["n"], b["p50"], b["p95"], b["p99"],
+        ), source
