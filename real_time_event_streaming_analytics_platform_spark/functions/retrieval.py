@@ -381,12 +381,25 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X19b — bigram surprisal under a CAPPED vocabulary: the production
-# mitigation for x19's one superlinear term. x19's count tables grow
-# with observed-vocabulary² (measured 10× scale factor ~7); every
-# deployed n-gram LM instead fixes a top-V vocabulary and folds the
-# tail into '<unk>' (KenLM/CCNet practice), which bounds the bigram
-# table at (V+1)² — a CONSTANT — so at 100 TB the model tables stop
-# growing with the corpus and only the linear token pass remains.
+# mitigation for x19's vocabulary-driven term. Every deployed n-gram
+# LM fixes a top-V vocabulary and folds the tail into '<unk>'
+# (KenLM/CCNet practice), which bounds the bigram table at (V+1)² — a
+# CONSTANT — so the count side stays broadcastable and map-side
+# combining keeps compressing no matter how the corpus's vocabulary
+# grows.
+#
+# Measured on the r11 Heaps'-law fixture (bench.py heaps_vocab:
+# observed vocab ≈ 6000·sqrt(m); 6k/19k/60k types at 1×/10×/100×):
+# x19 factors 10.5 (10×) / 34-43 (100×); x19b 5.9 / 52-62. The
+# vocabulary term ENGAGES — x19b wins 1.5× wall at 10× where x19's
+# combine compression collapses — but the honest physics is that at
+# Heaps β=0.5, V² ∝ n (linear), and x19's tables are bounded by
+# observed pairs regardless, so NEITHER form goes superlinear; at
+# 100× x19b's fixed extra passes (top-V selection, two membership
+# maps) and the fold-to-'<unk>' hot key cost more than x19's combine
+# loss. The cap's 100 TB value is the BOUND itself: a constant-size
+# count table can never outgrow executor memory or a broadcast,
+# while x19's grows with whatever β the real crawl has.
 #
 # Vocabulary selection is deterministic (count DESC, token ASC —
 # executed as a V-row TakeOrderedAndProject) and V is a constant, so

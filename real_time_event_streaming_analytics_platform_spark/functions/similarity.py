@@ -408,7 +408,7 @@ def assign_cells(emb: DataFrame, centers) -> DataFrame:
     return emb.select("vec_id", "embedding", "nrm", _cell("embedding").alias("cell"))
 
 
-def ivf_assignments(emb: DataFrame):
+def ivf_assignments(emb: DataFrame, nlist: int = None):
     """Fit the coarse quantizer and return (assigned_df, centers).
 
     Build shape for 100 TB: training collects at most ``IVF_TRAIN_MAX``
@@ -429,7 +429,7 @@ def ivf_assignments(emb: DataFrame):
         .collect()
     )
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    C = _lloyd(X, IVF_NLIST, IVF_ITERS)
+    C = _lloyd(X, nlist if nlist is not None else IVF_NLIST, IVF_ITERS)
     return assign_cells(emb, C), list(C)
 
 
@@ -958,7 +958,12 @@ def _probe_cells(emb: DataFrame, centers, nprobe: int) -> DataFrame:
     return emb.withColumn("probe_cells", _cells("embedding"))
 
 
-def hard_negatives(emb: DataFrame, k: int = HARD_NEG_K, nprobe: int = None) -> DataFrame:
+def hard_negatives(
+    emb: DataFrame,
+    k: int = HARD_NEG_K,
+    nprobe: int = None,
+    nlist: int = None,
+) -> DataFrame:
     """(qid, cid, rank, cos) — per anchor, the k most-cosine-similar
     DIFFERENT-label vectors among the candidates in the anchor's
     X27_NPROBE nearest cells (the FAISS probe semantics, applied
@@ -969,7 +974,7 @@ def hard_negatives(emb: DataFrame, k: int = HARD_NEG_K, nprobe: int = None) -> D
 
     if nprobe is None:
         nprobe = X27_NPROBE
-    assigned, centers = ivf_assignments(with_norm(emb))
+    assigned, centers = ivf_assignments(with_norm(emb), nlist=nlist)
     # assign_cells projects to (vec_id, embedding, nrm, cell) — labels
     # rejoin on the id key (a broadcast-or-shuffle hash join on the
     # corpus key either way; at scale the label column would simply be
