@@ -62,14 +62,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Oracle census after the consolidation: 100 − 6 (q12 variants)
 # + 1 (q12_set_ops) + 1 (d3b) = 96 oracle-backed queries, 4 under the
-# 2 × 50 = 100 two-round-freshness ceiling.
+# 2 × 50 = 100 two-round-freshness ceiling. Three of those spare
+# slots are then SPENT on new oracle-backed curation operators added
+# later in the round (x28 per-source token budget, x29 temperature
+# language resampling, x30 shard manifest — see COVERAGE.md):
+# 96 + 3 = 99 oracle-backed, 1 spare.
 #
 # Window: the 50 r10 greens yield; 49 of them enter _DEMOTED
 # (q12_union was r10-green but is now rows-only, so it simply leaves
-# the oracle set). Priority window = 96 − 49 = 47 oracle-backed
-# queries — every r09 green still oracle-backed, plus q12_set_ops and
-# d3b. The remaining 3 driver slots fall to the first demoted keys in
-# registration order (all r10-green, so they earn bonus fresh rows).
+# the oracle set). Priority window = 99 − 49 = 50 oracle-backed
+# queries — every r09 green still oracle-backed, plus q12_set_ops,
+# d3b, and the three new x28/x29/x30 ops — exactly filling the 50
+# driver slots; no demoted keys backfill this round.
 #
 # Net effect: after r11 every oracle-backed query holds a green driver
 # row from r10 or r11. Machine-asserted by tests/test_coverage_counts.py::

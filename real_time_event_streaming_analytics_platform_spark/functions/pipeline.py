@@ -1084,3 +1084,227 @@ def x25_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("skey", "doc_id")
         .limit(DSIR_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# X28 — per-source token budget: cap each source/domain at a fixed token
+# budget, keeping its highest-priority documents first. The standard
+# anti-SEO-farm / anti-boilerplate-domain quota in crawl curation (C4
+# and RefinedWeb both cap per-domain contribution; FineWeb documents
+# per-domain limits as a core dedup-adjacent step — all public).
+# Priority here is (n_chars DESC, doc_id) — deterministic, total, and
+# integer-only, so the windowed cumulative sum is exact in any engine.
+#
+# Scale shape: ONE shuffle, partitioned by source — the cumsum window
+# never funnels the corpus through a single task; the largest single
+# domain bounds the sort. For monster domains (a 100 TB crawl's top
+# domain can be ~1% of the corpus) the refinement is two-phase: a
+# coarse percentile prefilter drops the obvious over-budget tail
+# map-side, then the exact cumsum runs on survivors — same semantics,
+# bounded task. The summary output keeps the oracle array-free.
+# ---------------------------------------------------------------------------
+
+X28_TOKEN_BUDGET = 1000  # per-source kept-token budget
+
+
+@query(
+    "x28_source_token_budget",
+    oracle=f"""
+    WITH t AS (SELECT source, doc_id, n_chars, {_WS_TOK_DUCK} AS tokens
+               FROM documents),
+     c AS (SELECT *, SUM(tokens) OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= {X28_TOKEN_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cum <= {X28_TOKEN_BUDGET} THEN tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def x28_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation quota: a doc is kept iff the running token
+    total of its source — in (n_chars DESC, doc_id) priority order,
+    inclusive of the doc itself — stays within X28_TOKEN_BUDGET."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = docs.select(
+        "source", "doc_id", "n_chars", F.expr(_WS_TOK_SPARK).alias("tokens")
+    ).withColumn("cum", F.sum("tokens").over(w))
+    kept = F.col("cum") <= X28_TOKEN_BUDGET
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X29 — temperature-balanced language resampling (α = 0.5): downsample
+# over-represented languages so the post-sampling language distribution
+# is proportional to count^α — the multilingual-pretraining mixing rule
+# (exponentiated-share sampling in mBERT / XLM-R, Conneau et al. 2020,
+# public). Keep rate for language l is sqrt(cnt_min / cnt_l): the
+# smallest language keeps everything, a language 4× its size keeps
+# half, 100× keeps a tenth — shares move from ∝ cnt to ∝ sqrt(cnt).
+#
+# Cross-engine exactness is engineered, not hoped for: α is fixed at
+# 0.5 so the rate is a DIVISION + SQRT, both IEEE-correctly-rounded in
+# every engine (pow() is not — libm implementations differ in the last
+# ulp, which a hash oracle would catch); the rate is then quantized to
+# /256 (floor(rate·256) — ·256 is an exact exponent shift) and the
+# keep decision compares the md5(doc_id) hex prefix against the
+# two-hex-char threshold, the x5/x9 content-free-determinism scheme.
+#
+# Scale shape: the rate table is one tiny aggregation (≤ #languages
+# rows after map-side combine) broadcast back; the keep decision is
+# map-only over the corpus — zero corpus shuffles end to end.
+# ---------------------------------------------------------------------------
+
+_X29_KEPT_DUCK = (
+    "r.rate_256 >= 256 OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2)"
+    " < printf('%02x', r.rate_256)"
+)
+
+
+@query(
+    "x29_temperature_resample",
+    oracle=f"""
+    WITH t AS (SELECT lang, doc_id, {_WS_TOK_DUCK} AS tokens FROM documents),
+     c AS (SELECT lang, COUNT(*) AS cnt FROM t GROUP BY 1),
+     r AS (SELECT lang, cnt,
+                  CAST(FLOOR(SQRT(CAST((SELECT MIN(cnt) FROM c) AS DOUBLE)
+                                  / CAST(cnt AS DOUBLE)) * 256) AS BIGINT)
+                      AS rate_256
+           FROM c)
+    SELECT t.lang, CAST(r.cnt AS BIGINT) AS n_docs, r.rate_256,
+           CAST(SUM(CASE WHEN {_X29_KEPT_DUCK} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN {_X29_KEPT_DUCK} THEN t.tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM t JOIN r USING (lang) GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def x29_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cnts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    cmin = cnts.agg(F.min("cnt").alias("cnt_min"))
+    rates = cnts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        "cnt",
+        F.floor(
+            F.sqrt(F.col("cnt_min").cast("double") / F.col("cnt").cast("double"))
+            * 256
+        )
+        .cast("bigint")
+        .alias("rate_256"),
+    )
+    kept = (F.col("rate_256") >= 256) | (
+        F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+        < F.format_string("%02x", F.col("rate_256"))
+    )
+    return (
+        docs.select("lang", "doc_id", F.expr(_WS_TOK_SPARK).alias("tokens"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("cnt").cast("bigint").alias("n_docs"),
+            F.first("rate_256").alias("rate_256"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X30 — deterministic shard manifest: the dataloader-prep step that
+# globally shuffles a corpus and splits it into K equal-expectation
+# shards (WebDataset / TFRecord-style sharded exports — public
+# practice). Shard = first hex char of md5(doc_id) (16 shards, exact
+# in any engine via a string position — no hex→int conversion, which
+# SQL dialects disagree on); within-shard order = the full md5 hex
+# string, a content-free deterministic permutation. The registered
+# query returns the per-shard manifest (counts, token totals, first/
+# last doc under the shuffle order) — what an export job writes next
+# to its shards; write_shards() below is that export, expressed as
+# the one-shuffle Spark-native write.
+# ---------------------------------------------------------------------------
+
+X30_SHARDS = 16
+
+_X30_SHARD_SPARK = (
+    "cast(locate(substring(h, 1, 1), '0123456789abcdef') - 1 as bigint)"
+)
+
+
+def _sharded(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "h", F.expr("md5(cast(doc_id as string))")
+    ).withColumn("shard", F.expr(_X30_SHARD_SPARK))
+
+
+@query(
+    "x30_shard_manifest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOK_DUCK} AS tokens,
+                      md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+     s AS (SELECT *, CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                          AS BIGINT) AS shard FROM t)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc,
+           CAST(arg_max(doc_id, h) AS BIGINT) AS last_doc
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def x30_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _sharded(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_WS_TOK_SPARK).alias("tokens")
+        )
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+            F.expr("min_by(doc_id, h)").cast("bigint").alias("first_doc"),
+            F.expr("max_by(doc_id, h)").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_shards(docs: DataFrame, path: str) -> None:
+    """Materialize the x30 export: ONE shuffle (repartition by shard)
+    + a sort WITHIN each partition (no global sort barrier), written
+    as one parquet directory per shard. At 100 TB this is the plan you
+    want: K writer tasks, each streaming its shard in shuffle order —
+    no driver collect, no global ordering stage."""
+    t = _sharded(docs)
+    (
+        t.repartition(X30_SHARDS, "shard")
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

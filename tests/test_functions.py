@@ -1680,3 +1680,115 @@ def test_s30_streaming_dsir_scoring_matches_batch(spark, tmp_path):
     assert set(batch) <= set(got)
     for k, v in batch.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_x28_budget_keep_set_is_priority_prefix(spark):
+    """The kept set per source must be exactly the longest prefix of
+    the (n_chars DESC, doc_id) priority order whose inclusive token
+    cumsum fits the budget — recomputed independently in pandas."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        X28_TOKEN_BUDGET,
+        _WS_TOK_SPARK,
+    )
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["kept_tokens"], r["total_tokens"])
+        for r in engine.QUERIES["x28_source_token_budget"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select("source", "doc_id", "n_chars", F.expr(_WS_TOK_SPARK).alias("tokens"))
+        .collect()
+    )
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(got)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
+        cum = kept = kept_tok = 0
+        prefix_ended = False
+        for r in docs:
+            cum += r["tokens"]
+            if cum <= X28_TOKEN_BUDGET:
+                assert not prefix_ended, f"{src}: kept set not a prefix"
+                kept += 1
+                kept_tok += r["tokens"]
+            else:
+                prefix_ended = True
+        total = sum(r["tokens"] for r in docs)
+        assert got[src] == (len(docs), kept, kept_tok, total), src
+
+
+def test_x29_rates_monotone_and_balance_improves(spark):
+    """sqrt-temperature rates: the smallest language keeps everything
+    (rate_256 == 256), rates are non-increasing in language size, and
+    the kept-count max/min imbalance is strictly reduced vs raw counts
+    (that is the operator's whole purpose)."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    rows = engine.QUERIES["x29_temperature_resample"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    by_cnt = sorted(rows, key=lambda r: r["n_docs"])
+    assert by_cnt[0]["rate_256"] == 256
+    assert by_cnt[0]["n_kept"] == by_cnt[0]["n_docs"]
+    for a, b in zip(by_cnt, by_cnt[1:]):
+        assert a["rate_256"] >= b["rate_256"]
+        # expected kept ≈ cnt * sqrt(cnt_min/cnt); the /256 hex-prefix
+        # decision is uniform enough on md5 that kept stays within a
+        # loose binomial band
+        import math
+
+        exp = b["n_docs"] * min(1.0, b["rate_256"] / 256.0)
+        assert abs(b["n_kept"] - exp) <= 4 * math.sqrt(max(exp, 1.0)) + 2, (
+            b["lang"],
+            b["n_kept"],
+            exp,
+        )
+    pre = by_cnt[-1]["n_docs"] / by_cnt[0]["n_docs"]
+    post = max(r["n_kept"] for r in rows) / max(
+        1, min(r["n_kept"] for r in rows)
+    )
+    assert post < pre
+
+
+def test_x30_write_shards_roundtrip(spark, tmp_path):
+    """write_shards is the x30 export: 16 shard directories, every doc
+    exactly once, each shard containing only md5-first-hex-matching
+    docs in ascending full-md5 order, and the manifest's first/last
+    docs are the shard boundaries of the written order."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        X30_SHARDS,
+        write_shards,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    manifest = {
+        r["shard"]: r
+        for r in engine.QUERIES["x30_shard_manifest"](spark, SF_DIR).collect()
+    }
+    seen_shards = [r["shard"] for r in back.select("shard").distinct().collect()]
+    assert set(seen_shards) == set(manifest) and len(manifest) <= X30_SHARDS
+    hexpos = "0123456789abcdef"
+    for shard in sorted(manifest):
+        rows = spark.read.parquet(f"{out}/shard={shard}").collect()
+        hs = [r["h"] for r in rows]
+        assert all(hexpos.index(h[0]) == shard for h in hs)
+        # sortWithinPartitions wrote each parquet part in ascending h;
+        # collect() preserves within-file order for a single part
+        files = {r["h"]: r for r in rows}
+        assert len(files) == len(rows)
+        assert min(hs) == [
+            r["h"] for r in rows if r["doc_id"] == manifest[shard]["first_doc"]
+        ][0]
+        assert max(hs) == [
+            r["h"] for r in rows if r["doc_id"] == manifest[shard]["last_doc"]
+        ][0]
