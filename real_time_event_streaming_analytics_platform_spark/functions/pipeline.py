@@ -624,6 +624,7 @@ def curation_funnel(
     docs: DataFrame,
     model_keep: DataFrame | None = None,
     gopher: bool = False,
+    temp_rates: DataFrame | None = None,
 ) -> DataFrame:
     """The x10 funnel DAG over an arbitrary docs frame; ``model_keep``
     (an optional (doc_id) keep-list, e.g. classifier.quality_keep's
@@ -633,8 +634,15 @@ def curation_funnel(
     (VERDICT r09 #6) inserts the full Gopher rule battery (t6b) as a
     reject stage right after the heuristic quality gate — a map-only
     column predicate (text.with_gopher_flag), so the funnel stays one
-    scan — and the output gains an ``n_gopher`` column. With both off
-    the plan and columns are exactly the registered x10 oracle's."""
+    scan — and the output gains an ``n_gopher`` column. ``temp_rates``
+    (a frozen (lang, rate_256) table from ``temperature_rates``)
+    appends the x29 temperature-resample decision as the FINAL stage:
+    the output gains ``n_mix`` (the pre-temperature survivor count —
+    what n_kept means without the stage) and n_kept / kept_tokens
+    move to the post-temperature gate; the rate table rides a
+    broadcast, so the stage is still map-only and the funnel stays
+    one scan. With all three off the plan and columns are exactly the
+    registered x10 oracle's."""
     from pyspark.sql import Window
 
     corpus = docs.where(~F.expr(_BENCH_PRED))
@@ -668,6 +676,7 @@ def curation_funnel(
         .select(
             "source",
             "doc_id",
+            *(["lang"] if temp_rates is not None else []),
             F.expr(_WS_TOK_SPARK).alias("ws_tokens"),
             (
                 (F.expr("size(_toks)") >= _QUAL_MIN_TOKENS)
@@ -706,6 +715,14 @@ def curation_funnel(
         extra.append(F.sum(as_int0(gate)).alias("n_model"))
     kept = gate & F.col("keep1") & F.col("clean")
     as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    final = kept & F.col("mix")
+    tail = []
+    if temp_rates is not None:
+        flagged = flagged.join(
+            F.broadcast(temp_rates.select("lang", "rate_256")), "lang", "left"
+        )
+        tail.append(F.sum(as_int(final)).alias("n_mix"))
+        final = final & temp_keep_expr(F.col("rate_256"))
     return (
         flagged.groupBy("source")
         .agg(
@@ -714,8 +731,9 @@ def curation_funnel(
             *extra,
             F.sum(as_int(gate & F.col("keep1"))).alias("n_dedup"),
             F.sum(as_int(kept)).alias("n_clean"),
-            F.sum(as_int(kept & F.col("mix"))).alias("n_kept"),
-            F.sum(F.when(kept & F.col("mix"), F.col("ws_tokens")).otherwise(0))
+            *tail,
+            F.sum(as_int(final)).alias("n_kept"),
+            F.sum(F.when(final, F.col("ws_tokens")).otherwise(0))
             .cast("bigint")
             .alias("kept_tokens"),
         )
@@ -1177,6 +1195,39 @@ def x28_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-only over the corpus — zero corpus shuffles end to end.
 # ---------------------------------------------------------------------------
 
+def temperature_rates(docs: DataFrame) -> DataFrame:
+    """(lang, cnt, rate_256) — the frozen α=0.5 rate table for a given
+    document population. Computed once batch-side, then broadcast to
+    any consumer (the x29 query, the funnel's temp stage, or a stream
+    applying FROZEN rates — the x25-DSIR frozen-model discipline:
+    rates must not drift with every micro-batch)."""
+    cnts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    cmin = cnts.agg(F.min("cnt").alias("cnt_min"))
+    return cnts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        "cnt",
+        F.floor(
+            F.sqrt(F.col("cnt_min").cast("double") / F.col("cnt").cast("double"))
+            * 256
+        )
+        .cast("bigint")
+        .alias("rate_256"),
+    )
+
+
+def temp_keep_expr(rate_col) -> "F.Column":
+    """The per-doc temperature keep decision under a (possibly NULL)
+    rate_256 column: a language absent from the frozen rate table
+    keeps everything (rate NULL → 256) — never silently drops rows the
+    table didn't anticipate (same coverage rule the frozen langid
+    stream follows)."""
+    r = F.coalesce(rate_col, F.lit(256))
+    return (r >= 256) | (
+        F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+        < F.format_string("%02x", r)
+    )
+
+
 _X29_KEPT_DUCK = (
     "r.rate_256 >= 256 OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2)"
     " < printf('%02x', r.rate_256)"
@@ -1203,25 +1254,10 @@ _X29_KEPT_DUCK = (
 )
 def x29_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    cnts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
-    cmin = cnts.agg(F.min("cnt").alias("cnt_min"))
-    rates = cnts.crossJoin(F.broadcast(cmin)).select(
-        "lang",
-        "cnt",
-        F.floor(
-            F.sqrt(F.col("cnt_min").cast("double") / F.col("cnt").cast("double"))
-            * 256
-        )
-        .cast("bigint")
-        .alias("rate_256"),
-    )
-    kept = (F.col("rate_256") >= 256) | (
-        F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
-        < F.format_string("%02x", F.col("rate_256"))
-    )
+    kept = temp_keep_expr(F.col("rate_256"))
     return (
         docs.select("lang", "doc_id", F.expr(_WS_TOK_SPARK).alias("tokens"))
-        .join(F.broadcast(rates), "lang")
+        .join(F.broadcast(temperature_rates(docs)), "lang")
         .groupBy("lang")
         .agg(
             F.first("cnt").cast("bigint").alias("n_docs"),

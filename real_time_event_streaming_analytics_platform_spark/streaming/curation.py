@@ -97,15 +97,24 @@ def curate_doc_stream(
     min_tokens: int = _QUAL_MIN_TOKENS,
     width: int = DECON_WIDTH,
     gopher: bool = False,
+    temp_rates: DataFrame | None = None,
 ) -> DataFrame:
-    """Quality → [gopher] → decontaminate → mix → streaming exact-dedup.
+    """Quality → [gopher] → mix → [temperature] → decontaminate →
+    streaming exact-dedup.
 
     Quality and mixing are the same integer-exact predicates as the
     batch funnel (x10); ``gopher=True`` (VERDICT r09 #6) adds the full
     Gopher rule battery (t6b) as a reject stage — pure per-row column
     algebra (text.with_gopher_flag), so it is streaming-legal with no
     state and the SAME expression tree as the batch funnel's optional
-    stage (S32 parity); contamination is membership of any word
+    stage (S32 parity); ``temp_rates`` (a FROZEN (lang, rate_256)
+    table from ``pipeline.temperature_rates`` — frozen because a rate
+    recomputed per micro-batch would drift with arrival order, the
+    x25-DSIR frozen-model rule) applies the x29 temperature decision
+    as a stateless stream-static broadcast join + filter; the stream
+    must carry a ``lang`` column (from source metadata or the frozen
+    ``langid_stream``), and a lang absent from the table keeps
+    everything (S34 parity). Contamination is membership of any word
     ``width``-gram in the broadcast benchmark set; dedup keeps the
     first arrival per text hash with watermark-bounded state."""
     spark = docs.sparkSession
@@ -141,9 +150,24 @@ def curate_doc_stream(
     out = out.withColumn("_toks", F.expr(toks)).where(qual)
     if gopher:
         out = out.where(~F.col("gopher_flagged")).drop("gopher_flagged")
+    out = out.where(mix)
+    if temp_rates is not None:
+        from ..functions.pipeline import temp_keep_expr
+
+        if "lang" not in out.columns:
+            raise ValueError(
+                "curate_doc_stream: temp_rates requires a 'lang' column "
+                "on the stream (source metadata or langid_stream)"
+            )
+        out = (
+            out.join(
+                F.broadcast(temp_rates.select("lang", "rate_256")), "lang", "left"
+            )
+            .where(temp_keep_expr(F.col("rate_256")))
+            .drop("rate_256")
+        )
     return (
-        out.where(mix)
-        .where(~_contaminated("text"))
+        out.where(~_contaminated("text"))
         .withColumn("_h", F.md5(F.lower("text")))
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_toks", "_h")

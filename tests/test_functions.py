@@ -1792,3 +1792,38 @@ def test_x30_write_shards_roundtrip(spark, tmp_path):
         assert max(hs) == [
             r["h"] for r in rows if r["doc_id"] == manifest[shard]["last_doc"]
         ][0]
+
+
+def test_funnel_temperature_stage_composes(spark):
+    """curation_funnel(temp_rates=...) appends the x29 temperature
+    decision as the final stage: n_mix equals the no-stage n_kept per
+    source, downstream counts are bounded, the stage rejects real docs
+    on this en-dominated corpus, and with the stage off the columns
+    are exactly the registered x10 oracle's."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        curation_funnel,
+        temperature_rates,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    base = {r["source"]: r.asDict() for r in curation_funnel(docs).collect()}
+    temp = {
+        r["source"]: r.asDict()
+        for r in curation_funnel(
+            docs, temp_rates=temperature_rates(docs)
+        ).collect()
+    }
+    assert "n_mix" not in next(iter(base.values()))
+    cols = list(next(iter(temp.values())))
+    assert cols.index("n_clean") < cols.index("n_mix") < cols.index("n_kept")
+    dropped = 0
+    for src, t in temp.items():
+        b = base[src]
+        assert t["n_mix"] == b["n_kept"], src
+        assert t["n_kept"] <= t["n_mix"] and t["kept_tokens"] <= b["kept_tokens"]
+        assert (
+            t["n_quality"] >= t["n_dedup"] >= t["n_clean"] >= t["n_mix"]
+            >= t["n_kept"]
+        ), t
+        dropped += t["n_mix"] - t["n_kept"]
+    assert dropped > 0  # 'en' dominates the corpus, so the stage bites

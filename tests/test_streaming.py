@@ -973,3 +973,156 @@ def test_s5b_cooldown_suppressed_count_is_batch_size_independent(spark, tmpdir):
     assert one == split
     # and the counter is not identically zero (suppression does happen)
     assert any(s > 0 for *_, s in one)
+
+
+def test_s34_streaming_temperature_stage_parity(spark, tmpdir):
+    """S34: the streaming curation pipeline with FROZEN temperature
+    rates must keep exactly the docs the batch stage logic (quality →
+    mix → temperature → decontaminate → first-arrival dedup) keeps —
+    the rate table is a stream-static broadcast join + the same
+    integer-exact keep expression, so parity is structural. A planted
+    doc whose lang is ABSENT from the frozen table must pass the
+    stage untouched (NULL rate → keep, the frozen-model coverage rule
+    ADVICE r10 pinned for langid_stream)."""
+    import json
+    import os
+
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        _BENCH_PRED,
+        _MIX_THRESH_SPARK,
+        _QUAL_MIN_TOKENS,
+        temp_keep_expr,
+        temperature_rates,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.curation import (
+        DOC_STREAM_SCHEMA,
+        bench_gram_set,
+        curate_doc_stream,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        WATERMARK,
+        run_available_now,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    rates = temperature_rates(docs)
+    bench = bench_gram_set(docs)
+    rows = sorted(
+        docs.select("doc_id", "source", "lang", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    lines = [
+        {
+            "doc_id": r["doc_id"],
+            "ts": _iso(1_700_000_000 + i),
+            "source": r["source"],
+            "lang": r["lang"],
+            "text": r["text"],
+        }
+        for i, r in enumerate(rows)
+    ]
+    # planted unknown-language doc: passes quality (24 distinct words,
+    # zero repetition), odd source keeps everything under mix — the
+    # NULL-rate branch must keep it
+    planted_text = " ".join(f"plantedword{i}" for i in range(24))
+    lines.append(
+        {
+            "doc_id": 999_999,
+            "ts": _iso(1_700_000_000 + len(lines)),
+            "source": "src1",
+            "lang": "xx",
+            "text": planted_text,
+        }
+    )
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    with open(f"{tmpdir}/in/docs.jsonl", "w") as fh:
+        for ln in lines:
+            fh.write(json.dumps(ln) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(DOC_STREAM_SCHEMA + ", lang string")
+        .option("maxFilesPerTrigger", 1000)
+        .load(f"{tmpdir}/in")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withWatermark("ts", WATERMARK)
+    )
+    got = run_available_now(
+        curate_doc_stream(stream, bench, temp_rates=rates),
+        f"{tmpdir}/ck",
+        "append",
+        "s34",
+    ).collect()
+    got_ids = sorted(r["doc_id"] for r in got)
+    assert 999_999 in got_ids  # NULL-rate coverage rule
+
+    # batch twin with the same stage order and first-arrival keeper
+    fixture = spark.createDataFrame(
+        [
+            (ln["doc_id"], ln["source"], ln["lang"], ln["text"], i)
+            for i, ln in enumerate(lines)
+        ],
+        "doc_id long, source string, lang string, text string, arrival long",
+    )
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    eligible = (
+        fixture.where(~F.expr(_BENCH_PRED))
+        .withColumn("_toks", F.expr(toks))
+        .where(
+            (F.expr("size(_toks)") >= _QUAL_MIN_TOKENS)
+            & (
+                (F.expr("size(_toks)") - F.expr("size(array_distinct(_toks))")) * 2
+                <= F.expr("size(_toks)")
+            )
+        )
+        .where(
+            F.expr(
+                f"substring(md5(cast(doc_id as string)), 1, 2) <= ({_MIX_THRESH_SPARK})"
+            )
+        )
+        .join(F.broadcast(rates.select("lang", "rate_256")), "lang", "left")
+        .where(temp_keep_expr(F.col("rate_256")))
+    )
+    bench_df = spark.createDataFrame([(g,) for g in bench], "g string")
+    from real_time_event_streaming_analytics_platform_spark._shingle import WORDS_EXPR
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        DECON_WIDTH,
+    )
+
+    pos = F.expr(
+        f"CASE WHEN size(_words) < {DECON_WIDTH} THEN array() "
+        f"ELSE sequence(1, size(_words) - {DECON_WIDTH - 1}) END"
+    )
+    contaminated = (
+        eligible.withColumn("_words", F.expr(WORDS_EXPR))
+        .select("doc_id", F.explode(pos).alias("_i"), "_words")
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(_words, _i, {DECON_WIDTH}))").alias("g"),
+        )
+        .join(F.broadcast(bench_df), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = eligible.join(contaminated, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    first = Window.partitionBy(F.md5(F.lower("text"))).orderBy("arrival")
+    expect_ids = sorted(
+        r["doc_id"]
+        for r in clean.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .select("doc_id")
+        .collect()
+    )
+    assert got_ids == expect_ids
+    # the stage did real work: strictly fewer survivors than without it
+    no_temp = run_available_now(
+        curate_doc_stream(stream, bench),
+        f"{tmpdir}/ck2",
+        "append",
+        "s34_base",
+    ).count()
+    assert len(got_ids) < no_temp
