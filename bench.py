@@ -642,6 +642,14 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
             # r10: multiclass IRLS langid — claimed corpus-size-free
             # per-iteration partials (K·occupied²), like x26
             "t1b_lang_id_model",
+            # r11 curation ops: x28 = one source-partitioned cumsum
+            # window (largest domain bounds the task); x29 = tiny-agg
+            # rate table broadcast back, map-only keep; x30 = one
+            # 16-way hash shuffle — each claimed linear, the factor
+            # is the evidence
+            "x28_source_token_budget",
+            "x29_temperature_resample",
+            "x30_shard_manifest",
         ]
         scaled: dict[str, float] = {}
         base_warm: dict[str, float] = {}
@@ -707,6 +715,10 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
                     "x26_quality_classifier",
                     "x19_bigram_surprisal",
                     "x19b_bigram_surprisal_capped",
+                    # r11: the per-source cumsum window is the one new
+                    # op with a potential skew term (largest domain
+                    # bounds the window task) — second decade shows it
+                    "x28_source_token_budget",
                 ]
                 write_replicas(d2, big, {"events", "documents"})
                 scaled100: dict[str, float] = {}

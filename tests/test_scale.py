@@ -795,3 +795,61 @@ def test_x24_grid_join_is_broadcast_not_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_x28_budget_plan_is_single_shuffle(spark):
+    """x28's claim is ONE shuffle: the cumsum window partitions by
+    source and the survivorship aggregate reuses that partitioning, so
+    the executed plan has exactly one data exchange plus the
+    presentation sort — at 100 TB the largest single domain bounds the
+    window task, never the corpus."""
+    import re
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["x28_source_token_budget"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+    # one hash exchange (window + agg share it) + the ORDER BY range
+    assert len(stages) <= 2, final[:2000]
+    assert "hashpartitioning(source" in final, final[:2000]
+
+
+def test_x29_rates_join_is_broadcast(spark):
+    """x29's rate table must reach the corpus via BroadcastExchange —
+    never a sort-merge join keyed on lang (which would shuffle the
+    corpus on a 5-value key: maximal skew for zero benefit)."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    df = engine.QUERIES["x29_temperature_resample"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_x30_write_shards_plan_has_no_global_sort(spark, tmp_path):
+    """write_shards' claim: one repartition on shard + sort WITHIN
+    partitions — the physical plan must show a local (non-global) Sort
+    above a single round-robin-free hash repartition, and no range
+    exchange (a global ORDER BY would serialize the corpus through a
+    sampling pass + range shuffle)."""
+    from real_time_event_streaming_analytics_platform_spark.catalog import load
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        X30_SHARDS,
+        _sharded,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    t = _sharded(docs).repartition(X30_SHARDS, "shard").sortWithinPartitions("h")
+    import re
+
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    # "Sort [keys], false, 0" — the second argument is the global flag
+    assert re.search(r"Sort \[h#\d+ ASC NULLS FIRST\], false", plan), plan[:1500]
+    assert "rangepartitioning" not in plan, plan[:1500]
+    assert "hashpartitioning(shard" in plan, plan[:1500]
