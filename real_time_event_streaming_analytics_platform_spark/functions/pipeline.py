@@ -1195,23 +1195,29 @@ def x28_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-only over the corpus — zero corpus shuffles end to end.
 # ---------------------------------------------------------------------------
 
-def temperature_rates(docs: DataFrame) -> DataFrame:
-    """(lang, cnt, rate_256) — the frozen α=0.5 rate table for a given
-    document population. Computed once batch-side, then broadcast to
-    any consumer (the x29 query, the funnel's temp stage, or a stream
-    applying FROZEN rates — the x25-DSIR frozen-model discipline:
-    rates must not drift with every micro-batch)."""
+def temperature_rates(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(lang, cnt, rate_256) — the frozen temperature-α rate table for
+    a document population: keep rate (cnt_min/cnt)^(1-α), so the
+    post-sampling shares are ∝ cnt^α with the smallest language kept
+    in full (α=1 keeps everything, α=0 equalizes expected counts).
+    Computed once batch-side, then broadcast to any consumer (the x29
+    query, the funnel's temp stage, or a stream applying FROZEN rates
+    — the x25-DSIR frozen-model discipline: rates must not drift with
+    every micro-batch).
+
+    Only the default α=0.5 is oracle-exact cross-engine (the rate is
+    then a division + sqrt, both IEEE-correctly-rounded; general
+    pow() differs across libm implementations in the last ulp, which
+    a /256 quantization boundary can expose) — the registered x29
+    query pins α=0.5, other temperatures are caller territory."""
     cnts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
     cmin = cnts.agg(F.min("cnt").alias("cnt_min"))
+    ratio = F.col("cnt_min").cast("double") / F.col("cnt").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
     return cnts.crossJoin(F.broadcast(cmin)).select(
         "lang",
         "cnt",
-        F.floor(
-            F.sqrt(F.col("cnt_min").cast("double") / F.col("cnt").cast("double"))
-            * 256
-        )
-        .cast("bigint")
-        .alias("rate_256"),
+        F.floor(rate * 256).cast("bigint").alias("rate_256"),
     )
 
 

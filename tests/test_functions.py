@@ -1827,3 +1827,29 @@ def test_funnel_temperature_stage_composes(spark):
         ), t
         dropped += t["n_mix"] - t["n_kept"]
     assert dropped > 0  # 'en' dominates the corpus, so the stage bites
+
+
+def test_temperature_alpha_endpoints_and_monotonicity(spark):
+    """General-α rate table: α=1 keeps every language in full, α=0
+    equalizes expected kept counts (rate = cnt_min/cnt), rates are
+    monotone in α for every over-represented language, and α=0.5
+    reproduces the registered sqrt path exactly."""
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        temperature_rates,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    tables = {
+        a: {r["lang"]: r for r in temperature_rates(docs, alpha=a).collect()}
+        for a in (0.0, 0.3, 0.5, 0.7, 1.0)
+    }
+    langs = set(tables[0.5])
+    cnt_min = min(r["cnt"] for r in tables[0.5].values())
+    for lang in langs:
+        assert tables[1.0][lang]["rate_256"] == 256
+        cnt = tables[0.5][lang]["cnt"]
+        assert tables[0.0][lang]["rate_256"] == int((cnt_min / cnt) * 256)
+        seq = [tables[a][lang]["rate_256"] for a in (0.0, 0.3, 0.5, 0.7, 1.0)]
+        assert seq == sorted(seq), (lang, seq)
+    default = {r["lang"]: r["rate_256"] for r in temperature_rates(docs).collect()}
+    assert default == {k: v["rate_256"] for k, v in tables[0.5].items()}

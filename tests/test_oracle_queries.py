@@ -58,3 +58,43 @@ def test_q12_variants_equal_consolidated_slices(spark, sf_dir):
     for op, name in variants.items():
         got = [r["nkey"] for r in engine.QUERIES[name](spark, sf_dir).collect()]
         assert got == sorted(by_op.get(op, [])), name
+
+
+def test_q06_anti_join_non_vacuous_on_planted_fixture(spark, tmp_path):
+    """The driver fixture is DEGENERATE for q06 at sf0.01: every
+    customer has an order, so the green (0 rows == 0 rows) driver row
+    never exercises anti-join semantics. This runs the REGISTERED
+    query and the REGISTERED oracle SQL on a planted fixture where the
+    anti-join must return real rows (order-less customers, duplicate
+    orders per customer, and an order pointing at a nonexistent
+    customer, which must NOT resurrect anyone) — the non-vacuous twin
+    of the driver check. The randomized join-family fuzz differential
+    covers the same semantics over derived NULL/duplicate keys."""
+    import duckdb
+
+    fixture = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "c_custkey bigint"
+    ).write.parquet(f"{fixture}/customer.parquet")
+    # customers 1-6 have orders (some several); 7-10 have none; 99 is
+    # an orphan FK that must not affect the result
+    orders = [(100 + j, c) for j, c in enumerate([1, 1, 2, 3, 3, 3, 4, 5, 6, 99])]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).write.parquet(f"{fixture}/orders.parquet")
+
+    got = engine.QUERIES["q06_anti_join"](spark, fixture).collect()
+    assert [r["c_custkey"] for r in got] == [7, 8, 9, 10]
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{fixture}/{t}.parquet/*.parquet'"
+        )
+    ok, msg = compare(
+        engine.QUERIES["q06_anti_join"](spark, fixture),
+        con,
+        engine.ORACLE["q06_anti_join"],
+    )
+    con.close()
+    assert ok, msg
