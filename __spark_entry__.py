@@ -66,7 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots are then SPENT on new oracle-backed curation operators added
 # later in the round (x28 per-source token budget, x29 temperature
 # language resampling, x30 shard manifest — see COVERAGE.md):
-# 96 + 3 = 99 oracle-backed, 1 spare.
+# 96 + 3 = 99 oracle-backed, 1 spare. The named r12 candidate for that
+# spare slot is t4b_fingerprint_winnow (rows-only this round because
+# the window below is exactly full; its text.T4B_ORACLE_SQL already
+# passes a full tuple-level DuckDB differential every session).
 #
 # Window: the 50 r10 greens yield; 49 of them enter _DEMOTED
 # (q12_union was r10-green but is now rows-only, so it simply leaves

@@ -289,6 +289,112 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T4b — winnowing fingerprint on an EXACT cross-engine rolling hash
+# (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+# Document Fingerprinting", SIGMOD 2003). t4's xxhash64 has no DuckDB
+# twin, so the fingerprint family held no hash-checked member; t4b
+# swaps in a polynomial rolling hash mod the Mersenne prime 2^31-1 —
+# every intermediate stays below 2^52, so BIGINT arithmetic is exact
+# in both engines and the full pipeline (char-poly token hash →
+# 4-token shingle hash → window-of-4 min selection → distinct
+# fingerprint set) is DuckDB-recomputable value-for-value.
+#
+# Registered rows-only THIS round only because the 50-slot driver
+# window is exactly full (__spark_entry__.py census: 99 oracle-backed,
+# 49 demoted + 50 in-window); T4B_ORACLE_SQL below is the
+# ready-to-promote r12 oracle for the one spare ceiling slot, and the
+# full local DuckDB differential runs every session
+# (tests/test_functions.py::test_t4b_matches_duckdb_differential).
+#
+# Plan shape: one scan, per-row higher-order functions only, no
+# shuffle, no Python — linear at 100 TB and whole-stage-codegen'd.
+# ---------------------------------------------------------------------------
+
+_FP_M = 2147483647  # Mersenne prime 2^31 - 1
+_FP_B1 = 131  # char-level base
+_FP_B2 = 1000003  # shingle-level base (< 2^20: products stay < 2^51)
+_FP_K = 4  # tokens per shingle
+_FP_W = 4  # winnowing window, in shingles
+
+# token hashes: h(w) = fold over chars of (a*B1 + ascii(c)) mod M
+_FP_TH_SPARK = (
+    f"transform({_TOK_SPARK}, w -> aggregate(split(w, ''), 0L,"
+    f" (a, c) -> (a * {_FP_B1} + ascii(c)) % {_FP_M}))"
+)
+# shingle hashes: fold the K token hashes with base B2 mod M
+_FP_G_SPARK = (
+    f"transform(sequence(1, greatest(size(_th) - {_FP_K - 1}, 1)),"
+    f" i -> aggregate(slice(_th, i, {_FP_K}), 0L,"
+    f" (a, t) -> (a * {_FP_B2} + t) % {_FP_M}))"
+)
+# winnowing selection: min of each W-shingle window, distinct
+_FP_SEL_SPARK = (
+    f"array_distinct(transform(sequence(1, greatest(size(_g) - {_FP_W - 1}, 1)),"
+    f" j -> array_min(slice(_g, j, {_FP_W}))))"
+)
+
+# The ready-to-promote DuckDB oracle (kept out of engine.ORACLE until a
+# driver-window slot frees — see the registration comment above).
+T4B_ORACLE_SQL = f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_TOK_DUCK}, w ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * {_FP_B1} + c) % {_FP_M})) AS th
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(th) - {_FP_K - 1}, 1)), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + {_FP_K - 1})),
+                       (a, t) -> (a * {_FP_B2} + t) % {_FP_M})) AS g
+        FROM th
+    ), sel AS (
+        SELECT doc_id, len(g) AS n_grams,
+               list_distinct(list_transform(generate_series(1, greatest(len(g) - {_FP_W - 1}, 1)), j ->
+                   list_min(list_slice(g, j, j + {_FP_W - 1})))) AS sel
+        FROM g
+    )
+    SELECT doc_id, n_grams, len(sel) AS n_fp,
+           list_min(sel) AS fp_min, list_max(sel) AS fp_max,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sel), (a, h) -> a + h) AS BIGINT) AS fp_sum
+    FROM sel ORDER BY doc_id
+    """
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): each doc's distinct winnowing-selected fingerprints,
+    exploded — the join-able form for fingerprint-overlap candidate
+    generation (two docs sharing a long substring share the shingle
+    minima inside it, the Schleimer 2003 guarantee)."""
+    return (
+        docs.withColumn("_th", F.expr(_FP_TH_SPARK))
+        .withColumn("_g", F.expr(_FP_G_SPARK))
+        .withColumn("_sel", F.expr(_FP_SEL_SPARK))
+        .select("doc_id", F.explode("_sel").alias("fp"))
+    )
+
+
+@query("t4b_fingerprint_winnow")
+def t4b_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_th", F.expr(_FP_TH_SPARK))
+        .withColumn("_g", F.expr(_FP_G_SPARK))
+        .withColumn("_sel", F.expr(_FP_SEL_SPARK))
+        .select(
+            "doc_id",
+            F.expr("size(_g)").alias("n_grams"),
+            F.expr("size(_sel)").alias("n_fp"),
+            F.array_min("_sel").alias("fp_min"),
+            F.array_max("_sel").alias("fp_max"),
+            F.expr("aggregate(_sel, 0L, (a, h) -> a + h)").alias("fp_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # T6 — repetition quality (Gopher/C4-style): duplicate-token fraction and
 # most-frequent-token fraction per document. High values flag boilerplate
 # and degenerate generations a pretraining corpus filters out. One per-row

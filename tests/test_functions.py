@@ -178,6 +178,66 @@ def test_t4_fingerprint_deterministic(spark):
     assert all(r["fp_min"] is not None for r in a)
 
 
+def test_t4b_matches_duckdb_differential(spark):
+    """t4b's whole point is an EXACT cross-engine fingerprint: the
+    polynomial rolling hash mod 2^31-1 keeps every intermediate below
+    2^52, so DuckDB recomputes the full pipeline (token hash → shingle
+    hash → winnowing min-selection → distinct set) value-for-value.
+    T4B_ORACLE_SQL is the ready-to-promote r12 driver oracle (the
+    50-slot window is full this round — see __spark_entry__.py); this
+    differential gives it the same signal locally every session."""
+    import duckdb
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.text import (
+        T4B_ORACLE_SQL,
+    )
+
+    got = [
+        tuple(r)
+        for r in engine.QUERIES["t4b_fingerprint_winnow"](spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(T4B_ORACLE_SQL).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_t4b_winnow_overlap_detects_shared_substring(spark):
+    """The Schleimer 2003 guarantee: any shared substring of at least
+    w + k - 1 tokens contributes at least one identical selected
+    fingerprint to both documents. Plant a pair sharing a long middle
+    run and an unrelated pair; the shared pair must overlap heavily in
+    fingerprint space, the unrelated pair not at all."""
+    from real_time_event_streaming_analytics_platform_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha bravo {shared} charlie delta"),
+            (2, f"echo foxtrot golf {shared} hotel"),
+            (3, " ".join(f"zulu{i}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        did: {r["fp"] for r in rows}
+        for did, rows in (
+            (d, [r for r in winnow_fingerprints(docs).collect() if r["doc_id"] == d])
+            for d in (1, 2, 3)
+        )
+    }
+    inter = fps[1] & fps[2]
+    assert inter, "shared 40-token run must share selected fingerprints"
+    # the shared run dominates both docs, so overlap is large, not token-level
+    assert len(inter) >= 0.5 * min(len(fps[1]), len(fps[2]))
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_r6b_approx_close_to_exact(spark, sf_dir):
     import real_time_event_streaming_analytics_platform_spark as engine
 
