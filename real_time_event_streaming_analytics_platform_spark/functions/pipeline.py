@@ -1345,7 +1345,13 @@ def write_shards(docs: DataFrame, path: str) -> None:
     t = _sharded(docs)
     (
         t.repartition(X30_SHARDS, "shard")
-        .sortWithinPartitions("h")
+        # leading "shard": repartition hashes shard ids into 16 buckets,
+        # so one task can hold SEVERAL shards (mod-16 collisions), and
+        # the dynamic-partition writer then re-sorts the task by its
+        # partition columns — an unstable sort that scrambles h. A task
+        # ordering that already satisfies the writer's required
+        # (partition-cols) prefix skips that sort and preserves h.
+        .sortWithinPartitions("shard", "h")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

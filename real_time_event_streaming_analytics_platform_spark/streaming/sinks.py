@@ -220,6 +220,32 @@ def rollup_writer(path: str):
     return write
 
 
+def _batch_run_signature(batch_df: DataFrame, cols) -> str:
+    """Deterministic CONTENT SIGNATURE of a micro-batch's rows over
+    ``cols``: bit_xor of row hashes, PLUS a sum of the hashes' upper 32
+    bits, plus the row count. The xor alone cancels rows repeated an
+    even number of times, so two different equal-count batches could
+    collide; the hash-sum is an independent order-insensitive component
+    that breaks that cancellation (notify.py's sha256-over-sorted-
+    content guard is stronger still, but needs a driver-side collect
+    this per-batch aggregate avoids). Shared by every foreachBatch
+    writer that partitions its store by (run, epoch) to survive
+    fresh-checkpoint epoch-id restarts."""
+    h = F.xxhash64(*cols)
+    sig = batch_df.select(
+        F.bit_xor(h).alias("x"),
+        # upper-32-bit sum: order-insensitive like the xor but does NOT
+        # cancel even-multiplicity repeats; masked so the int64 sum
+        # cannot overflow under ANSI mode
+        F.sum(F.shiftrightunsigned(h, 32)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    ).first()
+    return (
+        f"{(sig['x'] or 0) & 0xFFFFFFFFFFFF:012x}"
+        f"s{(sig['s'] or 0) & 0xFFFFFFFFFF:010x}n{sig['c']}"
+    )
+
+
 def kll_sketch_writer(
     path: str,
     key_col: str = "source",
@@ -276,19 +302,7 @@ def kll_sketch_writer(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         rid = run
         if rid is None:
-            h = F.xxhash64(key_col, "ts", val_col)
-            sig = batch_df.select(
-                F.bit_xor(h).alias("x"),
-                # upper-32-bit sum: order-insensitive like the xor but
-                # does NOT cancel even-multiplicity repeats; masked so
-                # the int64 sum cannot overflow under ANSI mode
-                F.sum(F.shiftrightunsigned(h, 32)).alias("s"),
-                F.count(F.lit(1)).alias("c"),
-            ).first()
-            rid = (
-                f"{(sig['x'] or 0) & 0xFFFFFFFFFFFF:012x}"
-                f"s{(sig['s'] or 0) & 0xFFFFFFFFFF:010x}n{sig['c']}"
-            )
+            rid = _batch_run_signature(batch_df, (key_col, "ts", val_col))
         (
             batch_df.groupBy(
                 F.col(key_col).alias("key"), F.to_date("ts").alias("day")
@@ -326,3 +340,78 @@ def kll_store_quantiles(
         for i, q in enumerate(quantiles)
     ]
     return est.select("key", "n", *cols)
+
+
+def shard_export_writer(path: str, run: str | None = None):
+    """foreachBatch incremental shard exporter — the streaming twin of
+    the x30 batch export (functions/pipeline.write_shards): a curated
+    document stream is appended to a WebDataset-style K-shard store as
+    it arrives, instead of re-exporting the whole corpus per refresh
+    (the daily-ingest path a 100 TB pipeline actually runs).
+
+    Each micro-batch is assigned the SAME deterministic shard/order
+    keys as the batch export (shard = first md5 hex char of doc_id,
+    within-shard order = the full md5), repartitioned by shard so K
+    writer tasks stream their shard in shuffle order, and written to
+    (shard, run, epoch) partitions with dynamic partition overwrite:
+
+    - a same-checkpoint REPLAY of epoch N rewrites exactly its own
+      partitions with identical content — idempotent, no dedup pass;
+    - a FRESH-checkpoint restart (epoch ids restart at 0 with
+      different rows) lands on a different ``run`` (content signature,
+      ``_batch_run_signature``) and APPENDS instead of clobbering —
+      the same hazard closure as kll_sketch_writer;
+    - readers see one parquet table whose union over (run, epoch) is
+      exactly-once per input document.
+
+    Pass ``run`` explicitly (e.g. the streaming query's checkpoint-
+    stable id) to skip the per-batch signature job."""
+    from ..functions.pipeline import X30_SHARDS, _sharded
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        rid = run
+        if rid is None:
+            cols = [c for c in ("doc_id", "text") if c in batch_df.columns]
+            rid = _batch_run_signature(batch_df, cols or batch_df.columns[:1])
+        (
+            _sharded(batch_df)
+            .repartition(X30_SHARDS, "shard")
+            .withColumn("run", F.lit(rid))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            # sort leads with ALL partition columns (run/epoch are
+            # per-batch constants, so h stays the effective key): a
+            # task can hold several shards (mod-16 collisions), and
+            # the dynamic-partition writer re-sorts any task whose
+            # ordering doesn't satisfy its partition-cols prefix —
+            # an unstable sort that would scramble h.
+            .sortWithinPartitions("shard", "run", "epoch", "h")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard", "run", "epoch")
+            .parquet(path)
+        )
+
+    return write
+
+
+def shard_store_manifest(spark, path: str) -> DataFrame:
+    """Per-shard manifest of an incremental shard store — the same
+    (n_docs, total_tokens, first_doc, last_doc) shape as the batch
+    x30_shard_manifest query, aggregated across every appended (run,
+    epoch). After streaming a corpus through shard_export_writer this
+    must equal the batch manifest of the same corpus row-for-row
+    (pinned by tests/test_shard_export.py), regardless of how the
+    stream was micro-batched."""
+    from ..functions.pipeline import _WS_TOK_SPARK
+
+    t = spark.read.parquet(path)
+    return (
+        t.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.expr(_WS_TOK_SPARK)).cast("bigint").alias("total_tokens"),
+            F.expr("min_by(doc_id, h)").cast("bigint").alias("first_doc"),
+            F.expr("max_by(doc_id, h)").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -1842,8 +1842,6 @@ def test_x30_write_shards_roundtrip(spark, tmp_path):
         rows = spark.read.parquet(f"{out}/shard={shard}").collect()
         hs = [r["h"] for r in rows]
         assert all(hexpos.index(h[0]) == shard for h in hs)
-        # sortWithinPartitions wrote each parquet part in ascending h;
-        # collect() preserves within-file order for a single part
         files = {r["h"]: r for r in rows}
         assert len(files) == len(rows)
         assert min(hs) == [
@@ -1852,6 +1850,17 @@ def test_x30_write_shards_roundtrip(spark, tmp_path):
         assert max(hs) == [
             r["h"] for r in rows if r["doc_id"] == manifest[shard]["last_doc"]
         ][0]
+    # every written parquet part holds its rows in ascending h — the
+    # dataloader contract. Requires the task sort to LEAD with the
+    # partition column: a task holding several shards (mod-16
+    # collisions) is otherwise re-sorted by the dynamic-partition
+    # writer, scrambling h (this was a real latent bug).
+    by_file: dict = {}
+    for r in back.select("h", F.input_file_name().alias("f")).collect():
+        by_file.setdefault(r["f"], []).append(r["h"])
+    assert by_file
+    for f, hs in by_file.items():
+        assert hs == sorted(hs), f"unsorted shard file {f}"
 
 
 def test_funnel_temperature_stage_composes(spark):

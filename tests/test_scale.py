@@ -845,11 +845,21 @@ def test_x30_write_shards_plan_has_no_global_sort(spark, tmp_path):
     )
 
     docs = load(spark, SF_DIR, "documents").select("doc_id")
-    t = _sharded(docs).repartition(X30_SHARDS, "shard").sortWithinPartitions("h")
+    t = (
+        _sharded(docs)
+        .repartition(X30_SHARDS, "shard")
+        .sortWithinPartitions("shard", "h")
+    )
     import re
 
     plan = t._jdf.queryExecution().executedPlan().toString()
-    # "Sort [keys], false, 0" — the second argument is the global flag
-    assert re.search(r"Sort \[h#\d+ ASC NULLS FIRST\], false", plan), plan[:1500]
+    # "Sort [keys], false, 0" — the second argument is the global flag.
+    # The sort leads with shard (the partition column) so the dynamic-
+    # partition writer's required ordering is already satisfied and it
+    # never re-sorts the task (which would scramble h).
+    assert re.search(
+        r"Sort \[shard#\d+L? ASC NULLS FIRST, h#\d+L? ASC NULLS FIRST\], false",
+        plan,
+    ), plan[:1500]
     assert "rangepartitioning" not in plan, plan[:1500]
     assert "hashpartitioning(shard" in plan, plan[:1500]

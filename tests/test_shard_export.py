@@ -1,0 +1,126 @@
+"""S35 — incremental shard export: the streaming twin of the x30 batch
+export (WebDataset-style K-shard corpus write). Pins (a) streaming a
+corpus through shard_export_writer yields a store whose per-shard
+manifest equals the batch x30_shard_manifest row-for-row, (b) the
+manifest is invariant to how the stream was micro-batched, (c) a
+replayed epoch does not duplicate documents (dynamic partition
+overwrite on (shard, run, epoch)), and (d) a fresh-checkpoint restart
+with DIFFERENT rows appends instead of clobbering epoch 0."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.catalog import load
+from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+    shard_export_writer,
+    shard_store_manifest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgr-shardexp-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark):
+    return load(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def _stage_input(spark, path, n_files):
+    _docs(spark).repartition(n_files).write.parquet(path)
+
+
+def _stream_store(spark, in_dir, store, ckpt, max_files):
+    stream = (
+        spark.readStream.schema(_docs(spark).schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(shard_export_writer(store))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _canon(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_s35_streamed_store_matches_batch_manifest(spark, tmpdir):
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    _stage_input(spark, f"{tmpdir}/in", n_files=4)
+    _stream_store(spark, f"{tmpdir}/in", f"{tmpdir}/st1", f"{tmpdir}/ck1", 1)
+
+    batch = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
+    got = _canon(shard_store_manifest(spark, f"{tmpdir}/st1"))
+    assert got == batch
+
+    # exactly one stored row per input document
+    store = spark.read.parquet(f"{tmpdir}/st1")
+    n_in = _docs(spark).count()
+    assert store.count() == n_in
+    assert store.select("doc_id").distinct().count() == n_in
+
+    # (b) micro-batch-split invariance: one big trigger, same manifest
+    _stream_store(spark, f"{tmpdir}/in", f"{tmpdir}/st2", f"{tmpdir}/ck2", 4)
+    assert _canon(shard_store_manifest(spark, f"{tmpdir}/st2")) == batch
+
+
+def test_s35_replay_idempotent_and_fresh_checkpoint_appends(spark, tmpdir):
+    docs = _docs(spark)
+    t1 = docs.where(F.col("doc_id") % 2 == 0)
+    t2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    # (c) deterministic replay: t1 as epoch 0, t2 as epoch 1, then t1
+    # REPLAYED as epoch 0 — dynamic partition overwrite must rewrite
+    # epoch 0's own (shard, run, epoch) partitions, total unchanged.
+    write = shard_export_writer(f"{tmpdir}/st")
+    write(t1, 0)
+    write(t2, 1)
+    before = _canon(shard_store_manifest(spark, f"{tmpdir}/st"))
+    write(t1, 0)  # replay
+    after = _canon(shard_store_manifest(spark, f"{tmpdir}/st"))
+    assert after == before, "replayed epoch duplicated documents"
+
+    # (d) fresh-checkpoint restart: epoch ids restart at 0 with
+    # DIFFERENT rows; the run content-signature level must make this
+    # an append (the (shard, epoch)-only layout would clobber t1).
+    write2 = shard_export_writer(f"{tmpdir}/st2")
+    write2(t1, 0)
+    write2(t2, 0)  # fresh-checkpoint twin: same epoch id, new rows
+    union = spark.read.parquet(f"{tmpdir}/st2")
+    assert union.count() == docs.count()
+    assert union.select("doc_id").distinct().count() == docs.count()
+
+
+def test_s35_within_shard_files_sorted_by_order_key(spark, tmpdir):
+    """The export contract is shard files streamed in shuffle order
+    (write_shards semantics): within every written parquet file the
+    md5 order key h must be non-decreasing."""
+    write = shard_export_writer(f"{tmpdir}/st")
+    write(_docs(spark), 0)
+    rows = (
+        spark.read.parquet(f"{tmpdir}/st")
+        .select("h", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["h"])
+    assert by_file
+    for f, hs in by_file.items():
+        assert hs == sorted(hs), f"unsorted shard file {f}"
