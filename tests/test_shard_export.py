@@ -124,3 +124,81 @@ def test_s35_within_shard_files_sorted_by_order_key(spark, tmpdir):
     assert by_file
     for f, hs in by_file.items():
         assert hs == sorted(hs), f"unsorted shard file {f}"
+
+
+def test_s36_curated_stream_exports_batch_identical_store(spark, tmpdir):
+    """S36 — the composed daily-ingest path: streaming curation
+    (quality → mix → decontaminate → first-arrival dedup, the S32/S34
+    stages) feeding the incremental shard exporter. The landed store
+    must hold exactly the curated documents exactly once, and its
+    per-shard manifest must equal the batch export (write_shards) of
+    the same curated set — curation parity itself is pinned by
+    S32/S34; this pins the COMPOSITION."""
+    import json
+    import os
+
+    from real_time_event_streaming_analytics_platform_spark.functions.pipeline import (
+        write_shards,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.curation import (
+        bench_gram_set,
+        curate_doc_stream,
+        read_doc_stream,
+    )
+    from real_time_event_streaming_analytics_platform_spark.streaming.entries import (
+        run_available_now,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    bench = bench_gram_set(docs)
+    rows = sorted(
+        docs.select("doc_id", "source", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for part in range(3):  # 3 files -> 3 micro-batches at mfpt=1
+        with open(f"{tmpdir}/in/docs{part}.jsonl", "w") as fh:
+            for i, r in enumerate(rows[part * third : (part + 1) * third]):
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "ts": "2024-01-01T00:00:%02dZ"
+                            % ((part * third + i) % 60),
+                            "source": r["source"],
+                            "text": r["text"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def curated():
+        return curate_doc_stream(
+            read_doc_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1), bench
+        )
+
+    q = (
+        curated()
+        .writeStream.foreachBatch(shard_export_writer(f"{tmpdir}/st"))
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = run_available_now(curated(), f"{tmpdir}/ck2", "append", "s36_kept")
+    kept_rows = kept.select("doc_id", "text", "source").collect()
+    assert kept_rows, "curation kept nothing — fixture broken"
+
+    store = spark.read.parquet(f"{tmpdir}/st")
+    got_ids = sorted(r["doc_id"] for r in store.select("doc_id").collect())
+    assert got_ids == sorted(r["doc_id"] for r in kept_rows)  # once each
+
+    kept_df = spark.createDataFrame(
+        kept_rows, "doc_id long, text string, source string"
+    )
+    write_shards(kept_df, f"{tmpdir}/batch_st")
+    assert _canon(shard_store_manifest(spark, f"{tmpdir}/st")) == _canon(
+        shard_store_manifest(spark, f"{tmpdir}/batch_st")
+    )
