@@ -204,6 +204,17 @@ def fit_quality_lr(
     dim_c = len(occ) + 1
     wc = np.zeros(dim_c)
     hsize = dim_c * dim_c  # flat index space: [0, dim_c²) Hessian, then grad
+    # Adaptive merge (the langid fit's r11 treatment): when
+    # parts × (triangle + dim_c) doubles fits a small driver budget,
+    # each partition ships ONE dense flat array and the driver sums
+    # `parts` arrays — no per-cell (pos, v) rows, no merge shuffle.
+    # Past the budget (many partitions × wide occupied space — the
+    # 100 TB shape) the sparse (pos, v) + groupBy tree merge takes
+    # over. Same statistics either way, different float-add order
+    # (covered by the replay-parity tolerance).
+    tri_i, tri_j = np.triu_indices(dim_c)
+    tri = len(tri_i)
+    dense = parts * (tri + dim_c) <= 30_000_000
     for _ in range(iters):
         wb = wc.copy()
 
@@ -255,17 +266,22 @@ def fit_quality_lr(
                     H[-1, b] += wd[i] * x
                     H[-1, -1] += wd[i]
             if seen:
-                # H is symmetric: ship the upper triangle only
-                hi, hj = np.nonzero(np.triu(H))
-                gi = np.nonzero(G)[0]
-                yield pd.DataFrame(
-                    {
-                        "pos": np.concatenate(
-                            [hi.astype(np.int64) * dim_c + hj, hsize + gi]
-                        ),
-                        "v": np.concatenate([H[hi, hj], G[gi]]),
-                    }
-                )
+                if dense:
+                    yield pd.DataFrame(
+                        {"v": [np.concatenate([H[tri_i, tri_j], G])]}
+                    )
+                else:
+                    # H is symmetric: ship the upper triangle only
+                    hi, hj = np.nonzero(np.triu(H))
+                    gi = np.nonzero(G)[0]
+                    yield pd.DataFrame(
+                        {
+                            "pos": np.concatenate(
+                                [hi.astype(np.int64) * dim_c + hj, hsize + gi]
+                            ),
+                            "v": np.concatenate([H[hi, hj], G[gi]]),
+                        }
+                    )
 
         # pull the merged partial as ONE Arrow batch — occupied² cells
         # (~100k rows at a 1024-bucket space) cost seconds to collect
@@ -276,25 +292,37 @@ def fit_quality_lr(
         prior_arrow = spark.conf.get(_ARROW, None)
         spark.conf.set(_ARROW, "true")
         try:
-            mpdf = (
-                base.mapInPandas(_partials, "pos long, v double")
-                .groupBy("pos")
-                .agg(F.sum("v").alias("v"))
-                .toPandas()
-            )
+            if dense:
+                vs = base.mapInPandas(_partials, "v array<double>").toPandas()[
+                    "v"
+                ]
+            else:
+                mpdf = (
+                    base.mapInPandas(_partials, "pos long, v double")
+                    .groupBy("pos")
+                    .agg(F.sum("v").alias("v"))
+                    .toPandas()
+                )
         finally:
             if prior_arrow is None:
                 spark.conf.unset(_ARROW)
             else:
                 spark.conf.set(_ARROW, prior_arrow)
-        pos = mpdf["pos"].to_numpy(dtype=np.int64)
-        val = mpdf["v"].to_numpy(dtype=np.float64)
-        hm = pos < hsize
         H = np.zeros((dim_c, dim_c))
         G = np.zeros(dim_c)
-        H[pos[hm] // dim_c, pos[hm] % dim_c] = val[hm]
+        if dense:
+            tot = np.zeros(tri + dim_c)
+            for a in vs:
+                tot += np.asarray(a, dtype=np.float64)
+            H[tri_i, tri_j] = tot[:tri]
+            G[:] = tot[tri:]
+        else:
+            pos = mpdf["pos"].to_numpy(dtype=np.int64)
+            val = mpdf["v"].to_numpy(dtype=np.float64)
+            hm = pos < hsize
+            H[pos[hm] // dim_c, pos[hm] % dim_c] = val[hm]
+            G[pos[~hm] - hsize] = val[~hm]
         H += np.triu(H, 1).T  # mirror the shipped triangle
-        G[pos[~hm] - hsize] = val[~hm]
         delta = np.linalg.solve(H + ridge * np.eye(dim_c), G)
         wc = wc - delta
         if float(np.abs(delta).max()) < tol:

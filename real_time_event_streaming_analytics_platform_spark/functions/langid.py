@@ -186,7 +186,8 @@ def fit_langid(
     spark.conf.set(_ARROW, "true")
     try:
         Wc = _irls_loop(
-            spark, base, Wc, occ, lang_idx, K, dim_c, block, iters, ridge, tol
+            spark, base, Wc, occ, lang_idx, K, dim_c, block, iters, ridge, tol,
+            parts,
         )
     finally:
         if prior_arrow is None:
@@ -198,15 +199,37 @@ def fit_langid(
     return W
 
 
-def _irls_loop(spark, base, Wc, occ, lang_idx, K, dim_c, block, iters, ridge, tol):
+def _irls_loop(
+    spark, base, Wc, occ, lang_idx, K, dim_c, block, iters, ridge, tol, parts
+):
     """The fused multiclass Newton iterations (see fit_langid); split
-    out so the Arrow-conf save/restore wraps exactly the loop."""
+    out so the Arrow-conf save/restore wraps exactly the loop.
+
+    Merge strategy is ADAPTIVE on the known partial size. When
+    parts × K × (triangle + dim_c) doubles fits a small driver budget,
+    each partition ships ONE dense flat array per class and the driver
+    sums `parts` arrays — no per-cell (pos, v) rows, no merge shuffle
+    (measured: the sparse tree merge built ~1M shuffle rows per
+    iteration at dim_c=324 · K=5 · 4 partitions, ~2× the iteration
+    wall of the dense pull). Past the budget — many partitions, a wide
+    occupied space, or both, i.e. the 100 TB shape — the sparse
+    (pos, v) + groupBy tree merge takes over: partials stay
+    sparsity-sized and the merge happens in the cluster instead of a
+    driver megapull. Both paths sum the same per-partition statistics;
+    they differ only in float-add order (covered by the replay-parity
+    tolerance, and each path is individually deterministic — collect
+    preserves partition order)."""
     import numpy as np
+
+    tri_i, tri_j = np.triu_indices(dim_c)
+    tri = len(tri_i)
+    seg = tri + dim_c
+    dense = parts * K * seg <= 30_000_000
 
     for _ in range(iters):
         Wb = Wc.copy()
 
-        def _partials(batches):
+        def _accumulate(batches):
             Hs = np.zeros((K, dim_c, dim_c))
             Gs = np.zeros((K, dim_c))
             seen = False
@@ -235,6 +258,24 @@ def _irls_loop(spark, base, Wc, occ, lang_idx, K, dim_c, block, iters, ridge, to
                 WD = np.maximum(P * (1.0 - P), 1e-6)
                 for k in range(K):
                     Hs[k] += (X * WD[:, k : k + 1]).T @ X
+            return Hs, Gs, seen
+
+        def _partials_dense(batches):
+            Hs, Gs, seen = _accumulate(batches)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "v": [
+                            np.concatenate(
+                                [Hs[k][tri_i, tri_j] for k in range(K)]
+                                + [Gs[k] for k in range(K)]
+                            )
+                        ]
+                    }
+                )
+
+        def _partials(batches):
+            Hs, Gs, seen = _accumulate(batches)
             if seen:
                 pos_chunks, val_chunks = [], []
                 for k in range(K):
@@ -255,25 +296,38 @@ def _irls_loop(spark, base, Wc, occ, lang_idx, K, dim_c, block, iters, ridge, to
                     }
                 )
 
-        # Pull the merged partial as ONE Arrow batch (the caller set
-        # the Arrow conf for the duration of this loop) and
-        # reassemble vectorized.
-        mpdf = (
-            base.mapInPandas(_partials, "pos long, v double")
-            .groupBy("pos")
-            .agg(F.sum("v").alias("v"))
-            .toPandas()
-        )
-        pos = mpdf["pos"].to_numpy(dtype=np.int64)
-        val = mpdf["v"].to_numpy(dtype=np.float64)
-        ks, off = np.divmod(pos, block)
-        hm = off < dim_c * dim_c
         H = np.zeros((K, dim_c, dim_c))
         G = np.zeros((K, dim_c))
-        H[ks[hm], off[hm] // dim_c, off[hm] % dim_c] = val[hm]
+        if dense:
+            # one flat array per partition; driver sums `parts` arrays
+            vs = base.mapInPandas(
+                _partials_dense, "v array<double>"
+            ).toPandas()["v"]
+            tot = np.zeros(K * seg)
+            for a in vs:
+                tot += np.asarray(a, dtype=np.float64)
+            for k in range(K):
+                H[k][tri_i, tri_j] = tot[k * tri : (k + 1) * tri]
+                G[k] = tot[K * tri + k * dim_c : K * tri + (k + 1) * dim_c]
+        else:
+            # sparse (pos, v) rows + cluster-side tree merge; pull the
+            # merged partial as ONE Arrow batch (the caller set the
+            # Arrow conf for the duration of this loop) and reassemble
+            # vectorized.
+            mpdf = (
+                base.mapInPandas(_partials, "pos long, v double")
+                .groupBy("pos")
+                .agg(F.sum("v").alias("v"))
+                .toPandas()
+            )
+            pos = mpdf["pos"].to_numpy(dtype=np.int64)
+            val = mpdf["v"].to_numpy(dtype=np.float64)
+            ks, off = np.divmod(pos, block)
+            hm = off < dim_c * dim_c
+            H[ks[hm], off[hm] // dim_c, off[hm] % dim_c] = val[hm]
+            G[ks[~hm], off[~hm] - dim_c * dim_c] = val[~hm]
         upper = np.triu(H, 1)
         H += upper.transpose(0, 2, 1)  # mirror the shipped triangle
-        G[ks[~hm], off[~hm] - dim_c * dim_c] = val[~hm]
         deltas = np.stack(
             [
                 np.linalg.solve(H[k] + ridge * np.eye(dim_c), G[k])
