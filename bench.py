@@ -292,6 +292,12 @@ def main() -> None:
                 "retimed_sec": new,
                 "kept_sec": min(timings[name], new),
             }
+            if new < timings[name]:
+                # keep query_samples coherent with the published median:
+                # a reader recomputing median_low(samples) must get the
+                # recorded number (the first pass stays auditable in
+                # first_pass_sec above)
+                samples_out[name] = [round(s, 3) for s in samples]
             timings[name] = min(timings[name], new)
         if any("kept_sec" in v for v in retimed.values()):
             vs_prev = _vs_prev(timings, floor, reps)
@@ -841,6 +847,12 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
 
             heaps_v1 = 6000
             suffix_len = 16
+            # the fixture's whole premise — x19b folds the growing type
+            # tail to '<unk>' at EVERY scale point — holds only while
+            # the injected pool exceeds the cap; make it a check, not
+            # prose, so raising X19B_VOCAB later can't silently turn
+            # the published factors meaningless
+            assert heaps_v1 > X19B_VOCAB, (heaps_v1, X19B_VOCAB)
 
             def write_heaps(dest: str, m: int) -> None:
                 rep = F.explode(
@@ -987,38 +999,79 @@ def _bench_scaleup(spark, sf_dir: str) -> dict | None:
                     top = top[np.lexsort((eids[top], -row[top]))][:HARD_NEG_K]
                     exact[int(eids[i])] = {int(eids[j]) for j in top}
             emb10 = load(spark, d, "embeddings")
-            curve: dict = {"n_vectors": n_vec, "points": {}}
+            from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+                ivf_assignments,
+                with_norm,
+            )
+
+            curve: dict = {"n_vectors": n_vec, "points": {}, "build_sec": {}}
             for nlist in (64, 256):
                 dflt = x27_default_nprobe(nlist)
+                # fit + assign ONCE per nlist: the quantizer is the
+                # index; per-point walls below are probe-only (the
+                # production shape — re-fitting per grid point both
+                # wasted work and conflated build with probe cost)
+                t0 = time.monotonic()
+                assigned, centers = ivf_assignments(
+                    with_norm(emb10), nlist=nlist
+                )
+                assigned = assigned.persist()
+                assigned.count()
+                curve["build_sec"][f"nlist{nlist}"] = round(
+                    time.monotonic() - t0, 3
+                )
                 for nprobe in sorted({nlist // 4, dflt, 3 * nlist // 8}):
                     t0 = time.monotonic()
                     mined = (
-                        hard_negatives(emb10, nprobe=nprobe, nlist=nlist)
+                        hard_negatives(
+                            emb10,
+                            nprobe=nprobe,
+                            nlist=nlist,
+                            index=(assigned, centers),
+                        )
                         .groupBy("qid")
                         .agg(F.collect_list("cid").alias("cids"))
                         .collect()
                     )
                     wall = time.monotonic() - t0
+                    # recall averages over EVERY anchor with an exact
+                    # top-k: an anchor that mined nothing (no
+                    # different-label member in its probed cells)
+                    # scores 0 instead of silently dropping out —
+                    # otherwise the published number is a mean over a
+                    # self-selected subset and biases upward
+                    mined_map = {r["qid"]: set(r["cids"]) for r in mined}
                     recs = [
-                        len(exact[r["qid"]] & set(r["cids"])) / len(exact[r["qid"]])
-                        for r in mined
-                        if exact.get(r["qid"])
+                        len(tops & mined_map.get(qid, set())) / len(tops)
+                        for qid, tops in exact.items()
+                        if tops
                     ]
+                    n_zero = sum(
+                        1
+                        for qid, tops in exact.items()
+                        if tops and qid not in mined_map
+                    )
                     curve["points"][f"nlist{nlist}_nprobe{nprobe}"] = {
                         "recall": round(float(np.mean(recs)) if recs else 0.0, 3),
-                        "wall_sec": round(wall, 3),
+                        "probe_wall_sec": round(wall, 3),
+                        "anchors": len(recs),
+                        "zero_candidate_anchors": n_zero,
                         "is_default": nprobe == dflt,
                     }
+                assigned.unpersist()
             curve["note"] = (
                 "recall vs exact different-label top-5 on the Part B "
                 "replicas; no point probes all cells (the nlist=16 "
-                "curve's nprobe=16 anchor did). Default rule "
-                "nprobe=max(8, nlist//4) measured r11 at 20000 vectors: "
-                "0.749 @ (64,16), 0.902 @ (256,64); the finer quantizer "
-                "beats the coarser at equal probed fraction (0.774 @ "
-                "(256,32) vs 0.749 @ (64,16) at HALF the pair work), "
-                "so production sizes nlist up with the corpus and "
-                "keeps nprobe/nlist ~ 1/4."
+                "curve's nprobe=16 anchor did). recall is a mean over "
+                "ALL anchors (zero-candidate anchors score 0, counted "
+                "in zero_candidate_anchors); the quantizer is fit once "
+                "per nlist (build_sec) and per-point walls are "
+                "probe-only. Default rule nprobe=max(8, nlist//4): the "
+                "finer quantizer beats the coarser at equal probed "
+                "fraction, so production sizes nlist up with the "
+                "corpus and keeps nprobe/nlist ~ 1/4; the recall bar "
+                "is pinned by tests/test_functions.py::"
+                "test_x27_recall_at_nondegenerate_nlist."
             )
             out["x27_recall_curve"] = curve
         except Exception as exc:

@@ -1058,18 +1058,28 @@ def hard_negatives(
     k: int = HARD_NEG_K,
     nprobe: int = None,
     nlist: int = None,
+    index=None,
 ) -> DataFrame:
     """(qid, cid, rank, cos) — per anchor, the k most-cosine-similar
     DIFFERENT-label vectors among the candidates in the anchor's
     X27_NPROBE nearest cells (the FAISS probe semantics, applied
     anchor-side: each anchor explodes to its probe cells, candidates
     stay primary-assigned, so a pair can form through at most one
-    cell and no dedup pass is needed)."""
+    cell and no dedup pass is needed).
+
+    ``index`` optionally passes a prebuilt ``(assigned, centers)`` pair
+    from ``ivf_assignments`` so callers sweeping nprobe at a fixed
+    quantizer (the bench recall curve) don't re-fit and re-assign the
+    corpus per grid point — the production shape too, where the index
+    is a written table and probes are the only per-query work."""
     from pyspark.sql import Window
 
     if nprobe is None:
         nprobe = x27_default_nprobe(nlist)
-    assigned, centers = ivf_assignments(with_norm(emb), nlist=nlist)
+    if index is not None:
+        assigned, centers = index
+    else:
+        assigned, centers = ivf_assignments(with_norm(emb), nlist=nlist)
     # assign_cells projects to (vec_id, embedding, nrm, cell) — labels
     # rejoin on the id key (a broadcast-or-shuffle hash join on the
     # corpus key either way; at scale the label column would simply be

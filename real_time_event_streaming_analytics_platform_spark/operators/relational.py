@@ -467,9 +467,8 @@ def _set_sides(spark, sf_dir):
     return c, s
 
 
-def _set_op_result(spark, sf_dir, op: str) -> DataFrame:
-    """One set-op variant's bare (nkey) frame, unordered."""
-    c, s = _set_sides(spark, sf_dir)
+def _set_op_frame(c: DataFrame, s: DataFrame, op: str) -> DataFrame:
+    """One set-op variant over prebuilt sides, unordered."""
     return {
         "UNION": lambda: c.union(s).distinct(),
         "UNION ALL": lambda: c.union(s),
@@ -480,18 +479,27 @@ def _set_op_result(spark, sf_dir, op: str) -> DataFrame:
     }[op]()
 
 
+def _set_op_result(spark, sf_dir, op: str) -> DataFrame:
+    """One set-op variant's bare (nkey) frame, unordered."""
+    c, s = _set_sides(spark, sf_dir)
+    return _set_op_frame(c, s, op)
+
+
 @query(
     "q12_set_ops",
     oracle=f"SELECT op, nkey FROM ({_SET_OPS_SQL}) ORDER BY op, nkey",
 )
 def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All six set-op variants in one op-tagged frame — the
-    consolidated driver-oracle form of the q12 family."""
+    consolidated driver-oracle form of the q12 family. The sides are
+    derived ONCE and shared across the six branches (Spark does not
+    dedup identical scans across separate DataFrame lineages, so
+    re-deriving them per variant would put 12 parquet scan nodes in
+    one plan where 2 suffice)."""
+    c, s = _set_sides(spark, sf_dir)
     out = None
     for op in _SET_OPS:
-        tagged = _set_op_result(spark, sf_dir, op).select(
-            F.lit(op).alias("op"), "nkey"
-        )
+        tagged = _set_op_frame(c, s, op).select(F.lit(op).alias("op"), "nkey")
         out = tagged if out is None else out.unionByName(tagged)
     return out.orderBy("op", "nkey")
 

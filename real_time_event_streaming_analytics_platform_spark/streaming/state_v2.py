@@ -577,6 +577,7 @@ class RunningQuantilesProcessor(StatefulProcessor):
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
         self._state = handle.getValueState("kll", _KLL_STATE_SCHEMA)
+        self._asof = handle.getValueState("asof", "mx timestamp")
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
@@ -592,10 +593,21 @@ class RunningQuantilesProcessor(StatefulProcessor):
         pdf = pdf.sort_values(["ts", "event_id"])
         sk.extend(float(v) for v in pdf["metric"].dropna())
         self._state.update(sk.to_state())
+        # asof is the RUNNING max event time (kept in state), not this
+        # batch's max: a late-arriving batch folds fresher quantiles
+        # into the sketch but carries older timestamps, and the
+        # documented "take each source's max-asof row" selection must
+        # land on the row with the most data — monotone asof (like
+        # monotone n) guarantees that; per-batch max does not.
+        prev = self._asof.get()[0] if self._asof.exists() else None
+        asof = pdf["ts"].max()
+        if prev is not None and prev > asof:
+            asof = prev
+        self._asof.update((asof,))
         yield pd.DataFrame(
             {
                 "source": [key[0]],
-                "asof": [pdf["ts"].max()],
+                "asof": [asof],
                 "n": [sk.n],
                 "p50": [sk.quantile(0.5)],
                 "p95": [sk.quantile(0.95)],
@@ -609,9 +621,11 @@ class RunningQuantilesProcessor(StatefulProcessor):
 
 def running_quantiles_stream(parsed: DataFrame) -> DataFrame:
     """Per-source running p50/p95/p99 of ``metric``; one row per
-    (source, batch) with the max event time seen (`asof`) — take each
-    source's max-asof row for current estimates. Same session
-    requirements as anomaly_stream_v2. Input: parsed events carrying
+    (source, batch) with the RUNNING max event time seen (`asof`,
+    monotone per source — held in state so a late-arriving batch still
+    emits a row that supersedes earlier ones) — take each source's
+    max-(asof, n) row for current estimates. Same session requirements
+    as anomaly_stream_v2. Input: parsed events carrying
     (source, event_id, ts, metric)."""
     if PROTOBUF_BLOCKER is not None:
         raise RuntimeError(f"state API v2 unavailable: {PROTOBUF_BLOCKER}")

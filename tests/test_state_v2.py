@@ -469,3 +469,61 @@ def test_s33_running_quantiles_matches_exact_and_split_invariant(spark, tmpdir):
         assert (a["n"], a["p50"], a["p95"], a["p99"]) == (
             b["n"], b["p50"], b["p95"], b["p99"],
         ), source
+
+
+def test_s33c_asof_monotone_under_late_arrivals(spark, tmpdir):
+    """A late-arriving micro-batch (older event times than an earlier
+    batch) folds FRESHER quantiles into the sketch but carries older
+    timestamps — asof must be the RUNNING max event time (state-held,
+    monotone per source), so the documented max-(asof, n) selection
+    lands on the row with the most data instead of a superseded one."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    newer = generate_events(300, seed=81, base_ts=t0, interval_ms=100)
+    late = generate_events(
+        300, seed=82, base_ts=t0 - timedelta(minutes=10), interval_ms=100
+    )
+    write_jsonl(newer, f"{tmpdir}/in", n_files=1, prefix="a_newer")
+    write_jsonl(late, f"{tmpdir}/in", n_files=1, prefix="b_late")
+    # pin processing order: the newer-timestamped file arrives FIRST
+    now = 1_700_000_000
+    for name, mt in (("a_newer", now), ("b_late", now + 100)):
+        for f in os.listdir(f"{tmpdir}/in"):
+            if f.startswith(name):
+                os.utime(f"{tmpdir}/in/{f}", (mt, mt))
+
+    stream = parse_events(
+        read_event_stream(spark, f"{tmpdir}/in", max_files_per_trigger=1)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", state_v2.ROCKSDB_PROVIDER
+    )
+    try:
+        rows = run_available_now(
+            state_v2.running_quantiles_stream(stream),
+            f"{tmpdir}/ck",
+            output_mode="append",
+            name="s33c",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    multi = {s: rs for s, rs in by_src.items() if len(rs) >= 2}
+    assert multi, "expected at least one source present in both batches"
+    for s, rs in multi.items():
+        asofs = [r["asof"] for r in rs]
+        # monotone per source in emission order (n is monotone too)
+        rs_by_n = sorted(rs, key=lambda r: r["n"])
+        assert [r["asof"] for r in rs_by_n] == sorted(asofs)
+        # max-(asof, n) selection lands on the row with the most data
+        best = max(rs, key=lambda r: (r["asof"], r["n"]))
+        assert best["n"] == max(r["n"] for r in rs), s
