@@ -11,8 +11,14 @@ mid-epoch — a real crash, not a graceful stop. Modes:
 - ``drain``: availableNow trigger, large file batches — the restart
              path; recovers from whatever the checkpoint holds and
              exits 0 when the input is drained.
+- ``shard_run`` / ``shard_drain``: the same two modes over the
+             DOCUMENT pipeline — doc file stream → foreachBatch
+             shard_export_writer (the S35 incremental shard store) —
+             so the exporter's (shard, run, epoch) exactly-once claim
+             is exercised under a real mid-epoch SIGKILL, not only
+             deterministic replay.
 
-Usage: python _crash_stream_worker.py {run|drain} IN_DIR OUT_DIR CK_DIR
+Usage: python _crash_stream_worker.py {run|drain|shard_run|shard_drain} IN_DIR OUT_DIR CK_DIR
 """
 
 from __future__ import annotations
@@ -42,18 +48,35 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    stream = parse_events(
-        read_event_stream(
-            spark, in_dir, max_files_per_trigger=1 if mode == "run" else 1000
+    live = mode in ("run", "shard_run")
+    if mode.startswith("shard_"):
+        from real_time_event_streaming_analytics_platform_spark.streaming.curation import (
+            read_doc_stream,
         )
-    )
-    writer = (
-        stream.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck_dir)
-        .outputMode("append")
-    )
-    if mode == "run":
+        from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+            shard_export_writer,
+        )
+
+        stream = read_doc_stream(
+            spark, in_dir, max_files_per_trigger=1 if live else 1000
+        )
+        writer = (
+            stream.writeStream.foreachBatch(shard_export_writer(out_dir))
+            .option("checkpointLocation", ck_dir)
+        )
+    else:
+        stream = parse_events(
+            read_event_stream(
+                spark, in_dir, max_files_per_trigger=1 if live else 1000
+            )
+        )
+        writer = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+        )
+    if live:
         # throttled trigger: 40 one-file epochs can never drain faster
         # than ~12 s, so the parent's 2-7 s kill always lands mid-run
         # regardless of machine speed

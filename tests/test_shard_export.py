@@ -202,3 +202,97 @@ def test_s36_curated_stream_exports_batch_identical_store(spark, tmpdir):
     assert _canon(shard_store_manifest(spark, f"{tmpdir}/st")) == _canon(
         shard_store_manifest(spark, f"{tmpdir}/batch_st")
     )
+
+
+def test_s37_shard_export_survives_sigkill_exactly_once(spark, tmpdir):
+    """S37 — hard-crash recovery for the incremental shard store: the
+    exporter subprocess is SIGKILLed (whole process group — driver AND
+    JVM, no shutdown hooks) mid-epoch at two seeded kill points; a
+    restart from the same checkpoint must drain to a store holding
+    every document exactly once with the batch-identical manifest. The
+    guarantee under test is (shard, run, epoch) dynamic partition
+    overwrite: an epoch killed after a partial write is re-run and
+    rewrites exactly its own partitions, and an epoch killed after
+    commit but before the checkpoint advance replays idempotently."""
+    import json
+    import os
+    import random
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def worker(mode, in_dir, out_dir, ck_dir, **popen_kw):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(here)
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(here, "_crash_stream_worker.py"),
+                mode,
+                in_dir,
+                out_dir,
+                ck_dir,
+            ],
+            env=env,
+            start_new_session=True,
+            **popen_kw,
+        )
+
+    docs = _docs(spark).select("doc_id", "source", "text").collect()
+    n = len(docs)
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    per = (n + 39) // 40  # 40 one-doc-file epochs -> wide kill window
+    for part in range(40):
+        chunk = docs[part * per : (part + 1) * per]
+        if not chunk:
+            break
+        with open(f"{tmpdir}/in/docs{part:02d}.jsonl", "w") as fh:
+            for i, r in enumerate(chunk):
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "ts": "2024-01-01T00:00:%02dZ" % (i % 60),
+                            "source": r["source"],
+                            "text": r["text"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    rng = random.Random(37)
+    delays = [round(rng.uniform(2.0, 6.0), 1) for _ in range(2)]
+    for i, delay in enumerate(delays):
+        out, ck = f"{tmpdir}/out{i}", f"{tmpdir}/ck{i}"
+        proc = worker(
+            "shard_run", f"{tmpdir}/in", out, ck,
+            stdout=subprocess.PIPE, text=True,
+        )
+        try:
+            line = proc.stdout.readline()
+            assert "STARTED" in line, f"worker never started: {line!r}"
+            time.sleep(delay)
+            assert proc.poll() is None, "worker exited before the kill"
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait(timeout=30)
+        finally:
+            if proc.poll() is None:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+
+        drain = worker("shard_drain", f"{tmpdir}/in", out, ck)
+        assert drain.wait(timeout=300) == 0, f"restart failed (kill point {i})"
+
+        store = spark.read.parquet(out)
+        assert store.count() == n, f"kill at {delay}s: lost/duplicated docs"
+        assert store.select("doc_id").distinct().count() == n
+        got = _canon(shard_store_manifest(spark, out))
+        want = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
+        assert got == want, f"kill at {delay}s: manifest diverged"
