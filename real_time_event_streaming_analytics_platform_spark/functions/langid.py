@@ -484,6 +484,35 @@ def t1b_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_heldout_eval(load(spark, sf_dir, "documents"))
 
 
+def langid_heldout_confusion(docs: DataFrame) -> DataFrame:
+    """The full held-out confusion matrix for t1b — (lang, lang_model,
+    n, frac) with frac the row-normalized share of true-class ``lang``
+    predicted as ``lang_model`` — the per-class companion to
+    langid_heldout_eval's accuracy diagonal (VERDICT r10 #5 asks for
+    the confusion, not only per-class accuracy). Same frozen-model
+    split: train on x5's md5 'train' fold, score the held-out fold."""
+    from pyspark.sql import Window
+
+    prefix = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
+    train = docs.where(prefix < F.lit("cc"))
+    held = docs.where(prefix >= F.lit("cc"))
+    _feats, W, langs = langid_model(train)
+    preds = predict_with_model(held, char_gram_features(held), W, langs)
+    row_n = Window.partitionBy("lang")
+    return (
+        preds.groupBy("lang", "lang_model")
+        .agg(F.count("*").alias("n"))
+        .withColumn("frac", round2(F.col("n") / F.sum("n").over(row_n)))
+        .orderBy("lang", "lang_model")
+    )
+
+
+@query("t1b_heldout_confusion")
+def t1b_heldout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (trained model): held-out confusion matrix of t1b."""
+    return langid_heldout_confusion(load(spark, sf_dir, "documents"))
+
+
 def langid_stream(stream_docs: DataFrame, W, langs: list[str]) -> DataFrame:
     """S31: score an unbounded documents stream with a FROZEN langid
     model — the train-offline / score-online split (S29's discipline).

@@ -474,3 +474,38 @@ def test_x26_heldout_eval_planted_and_corpus(spark):
     assert sorted(r["label"] for r in rows) == [0, 1]
     assert all(r["n_pred_keep"] <= r["n_docs"] for r in rows)
     assert 0.30 <= acc <= 0.80, acc
+
+
+def test_t1b_heldout_confusion_consistent_and_diagonal_on_signal(spark):
+    """The confusion matrix is the eval's per-class companion (VERDICT
+    r10 #5): on the planted separable corpus it must be DIAGONAL-only
+    (every held doc predicted as its true class); on the synthetic
+    corpus each true-class row must sum to the eval query's n_docs and
+    its diagonal cell must equal n_correct — matrix and accuracy view
+    are the same measurement."""
+    from real_time_event_streaming_analytics_platform_spark.functions.langid import (
+        langid_heldout_confusion,
+    )
+
+    planted = langid_heldout_confusion(_three_alphabet_docs(spark)).collect()
+    assert planted and all(r["lang"] == r["lang_model"] for r in planted)
+    assert all(abs(r["frac"] - 1.0) < 1e-9 for r in planted)
+
+    conf = engine.QUERIES["t1b_heldout_confusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = {
+        r["lang"]: r
+        for r in engine.QUERIES["t1b_heldout_eval"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    by_true: dict = {}
+    for r in conf:
+        by_true.setdefault(r["lang"], []).append(r)
+    assert set(by_true) == set(ev)
+    for lang, rows in by_true.items():
+        assert sum(r["n"] for r in rows) == ev[lang]["n_docs"], lang
+        diag = sum(r["n"] for r in rows if r["lang_model"] == lang)
+        assert diag == ev[lang]["n_correct"], lang
+        assert abs(sum(r["frac"] for r in rows) - 1.0) <= 0.02 * len(rows)
