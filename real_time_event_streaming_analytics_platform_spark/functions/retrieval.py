@@ -389,17 +389,19 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grows.
 #
 # Measured on the r11 Heaps'-law fixture (bench.py heaps_vocab:
-# observed vocab ≈ 6000·sqrt(m); 6k/19k/60k types at 1×/10×/100×):
-# x19 factors 10.5 (10×) / 34-43 (100×); x19b 5.9 / 52-62. The
-# vocabulary term ENGAGES — x19b wins 1.5× wall at 10× where x19's
-# combine compression collapses — but the honest physics is that at
-# Heaps β=0.5, V² ∝ n (linear), and x19's tables are bounded by
-# observed pairs regardless, so NEITHER form goes superlinear; at
-# 100× x19b's fixed extra passes (top-V selection, two membership
-# maps) and the fold-to-'<unk>' hot key cost more than x19's combine
-# loss. The cap's 100 TB value is the BOUND itself: a constant-size
-# count table can never outgrow executor memory or a broadcast,
-# while x19's grows with whatever β the real crawl has.
+# observed vocab ≈ 6000·sqrt(m); 6k/19k/60k types at 1×/10×/100×),
+# r11 close run: x19 factors 7.6 (10×) / 76.7 (100×); x19b 5.6 /
+# 44.7 — the capped model wins BOTH decades where the constant-vocab
+# replica fixture shows parity. The vocabulary term ENGAGES. Honest
+# physics: at Heaps β=0.5, V² ∝ n (linear), and x19's tables are
+# bounded by observed pairs regardless, so NEITHER form goes
+# superlinear in table size; the 100× wall ordering is run-sensitive
+# (an earlier same-day run read x19b behind at 100× — x19b's fixed
+# extra passes and '<unk>' hot key vs x19's combine loss trade
+# within the session band). The cap's 100 TB value is the BOUND
+# itself: a constant-size count table can never outgrow executor
+# memory or a broadcast, while x19's grows with whatever β the real
+# crawl has.
 #
 # Vocabulary selection is deterministic (count DESC, token ASC —
 # executed as a V-row TakeOrderedAndProject) and V is a constant, so
