@@ -38,116 +38,97 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness rows for the FIRST 50 queries() entries
 # only; more queries have oracles than slots, so some must yield.
 #
-# Round-11 rotation (the standing alternation) + the slot-economics
-# decision deferred by the r10 ceiling comment, now taken per VERDICT
-# r10 #1/#2:
+# Round-12 rotation (the standing alternation) per VERDICT r11 #1:
 #
-# - The six q12 set-op variants shared one SQL template; their six
-#   oracle slots are CONSOLIDATED into one op-tagged union-of-results
-#   oracle (q12_set_ops — a hash mismatch in ANY variant's slice fails
-#   the single row). The individual variants stay registered rows-only,
-#   pinned locally by a slice-equivalence test plus the 12-case
-#   randomized set-op fuzz differential.
-# - d3b_substring_dedup_clip is PROMOTED into a freed slot: its full
-#   DuckDB differential (raw shingle strings, no xxhash64) becomes the
-#   registered oracle — the semantically trickiest dedup op now holds
-#   the hard driver signal.
-# - t1b_lang_id_model was also nominated for promotion, but it has NO
-#   honest SQL oracle: its features hash with xxhash64 (which DuckDB
-#   cannot reproduce) and its weights come from an iterative IRLS fit.
-#   Its local differential is a numpy replay, not DuckDB — embedding
-#   precomputed predictions in the oracle SQL would game the gate, so
-#   it stays rows-only; its hard signal this round is the NEW held-out
-#   evaluation query (t1b_heldout_eval) instead.
+# - t4b_fingerprint_winnow is PROMOTED into the one spare ceiling slot
+#   as oracle #100: its text.T4B_ORACLE_SQL (exact cross-engine
+#   polynomial rolling hash mod 2^31-1) already passed a full
+#   tuple-level DuckDB differential every session while rows-only in
+#   r11; the registered oracle is that same SQL, unchanged.
+# - The 50 r11 greens (CORRECTNESS_r11.json keys, 50/50 green) yield
+#   their slots and enter _DEMOTED below.
 #
-# Oracle census after the consolidation: 100 − 6 (q12 variants)
-# + 1 (q12_set_ops) + 1 (d3b) = 96 oracle-backed queries, 4 under the
-# 2 × 50 = 100 two-round-freshness ceiling. Three of those spare
-# slots are then SPENT on new oracle-backed curation operators added
-# later in the round (x28 per-source token budget, x29 temperature
-# language resampling, x30 shard manifest — see COVERAGE.md):
-# 96 + 3 = 99 oracle-backed, 1 spare. The named r12 candidate for that
-# spare slot is t4b_fingerprint_winnow (rows-only this round because
-# the window below is exactly full; its text.T4B_ORACLE_SQL already
-# passes a full tuple-level DuckDB differential every session).
+# Oracle census: 99 (r11) + 1 (t4b) = 100 oracle-backed queries —
+# exactly the 2 × 50 two-round-freshness ceiling, zero spare. Any new
+# oracle-backed op must now either wait for a consolidation (the q12
+# pattern) or replace a retiring oracle; new r12 ops register
+# rows-only with a local differential (the d3b/t4b pattern).
 #
-# Window: the 50 r10 greens yield; 49 of them enter _DEMOTED
-# (q12_union was r10-green but is now rows-only, so it simply leaves
-# the oracle set). Priority window = 99 − 49 = 50 oracle-backed
-# queries — every r09 green still oracle-backed, plus q12_set_ops,
-# d3b, and the three new x28/x29/x30 ops — exactly filling the 50
-# driver slots; no demoted keys backfill this round.
+# Window: priority = 100 − 50 demoted = 50 — the 49 r10 greens
+# returning from last round's _DEMOTED plus the newly promoted t4b —
+# exactly filling the 50 driver slots.
 #
-# Net effect: after r11 every oracle-backed query holds a green driver
-# row from r10 or r11. Machine-asserted by tests/test_coverage_counts.py::
+# Net effect: after r12 every oracle-backed query holds a green driver
+# row from r11 or r12. Machine-asserted by tests/test_coverage_counts.py::
 # test_rotation_freshness. Every demoted query remains fully
 # registered and oracle-checked locally each session
 # (tests/test_oracle_queries.py).
 _DEMOTED = [
-    # Reference r-series ops green r10; the returning r1/r2/r5-r7/
-    # r8b/r9/r10/r12-r16 siblings re-verify the family (entry()
-    # smoke-runs r3 every driver pass regardless of the window).
-    "r3_series_minute",
-    "r4_sliding_window",
-    "r8_rolling_median",
-    "r11_kpi_latest_per_key",
-    # Join family green r10; returning q01/q07/q22/q31 re-verify.
-    "q02_join_segment",
-    "q03_multiway_join",
-    "q03b_filtered_multiway",
-    "q04_orders_histogram",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q08_broadcast_join",
-    # Windows/ranking/top-k green r10; returning q09/q09b re-verify.
-    "q10_analytic_window",
-    "q11_topk",
-    "q33_time_range_window",
-    # Distinct/grouping/pivot green r10; returning q14b/q14c/q28
-    # re-verify; NEW q12_set_ops holds the whole set-op family.
-    "q13_count_distinct",
-    "q14_rollup",
-    "q27_pivot",
-    # Scalar/date/share/merge/stat green r10; returning q15-q21
-    # relatives re-verify.
-    "q20_date_shift",
-    "q32_ewma_trend",
-    "q39_group_share",
-    "q40_merge_upsert",
-    "q41_stat_aggregates",
-    "q37_profile",
-    # Sampling green r10; returning q26b/q26c re-verify.
-    "x23_weighted_priority_sample",
-    # Dedup/documents green r10; returning d2/x24 plus NEW d3b hold
+    # Reference r-series ops green r11; the returning r3/r4/r8/r11
+    # siblings re-verify the family (entry() smoke-runs r3 every
+    # driver pass regardless of the window).
+    "r1_project_filter",
+    "r2_keyed_agg",
+    "r5_percentile_cont",
+    "r6_percentile_rank",
+    "r7_rolling_zscore",
+    "r8b_rolling_mad",
+    "r9_alerts_scan",
+    "r10_conditional_agg",
+    "r12_relative_time",
+    "r13_json_extract",
+    "r13b_variant_json",
+    "r14_severity_case",
+    "r15_cooldown_dedup",
+    "r16_alertmanager_ingest",
+    # Join/scan family green r11; returning q02-q08 re-verify.
+    "q01_pricing_summary",
+    "q07_theta_self_join",
+    "q22_asof_prior_click",
+    "q31_lateral_topk",
+    # Windows/ranking green r11; returning q10/q11/q33 re-verify.
+    "q09_ranking_window",
+    "q09b_analytic_funcs",
+    # Set ops / grouping / pivot green r11; returning q13/q14/q27
+    # re-verify.
+    "q12_set_ops",
+    "q14b_cube",
+    "q14c_grouping_sets",
+    "q28_unpivot",
+    # Scalar/date/subquery battery green r11; returning q20/q32/q37/
+    # q39-q41 relatives re-verify.
+    "q15_correlated_subquery",
+    "q16_string_funcs",
+    "q17_in_between",
+    "q18_having",
+    "q19_null_handling",
+    "q20b_date_diff_buckets",
+    "q21_array_explode",
+    "q23_sessionization",
+    "q29_gapfill_series",
+    "q30_recursive_hierarchy",
+    "q34_funnel",
+    "q35_scd2",
+    "q36_cohort_retention",
+    "q38_quality_checks",
+    # Sampling green r11; returning x23 re-verifies.
+    "q26b_hash_sample",
+    "q26c_stratified_sample",
+    # Dedup/documents green r11; returning q24/d1/d3/d4/t7/t8 hold
     # the family.
-    "q24_dedup_exact",
-    "d1_dedup_docs_exact",
-    "d3_substring_dup_spans",
-    "d4_canonical_representative",
-    "t7_chunk_dedup",
-    "t8_fuzzy_dedup",
-    # Similarity green r10 (exact-oracle x3).
-    "x3_cosine_topk",
-    # Text/quality/retrieval green r10; returning t5/t6b re-verify.
-    "q25_text_stats",
-    "q25b_top_tokens",
-    "t1_lang_id",
-    "t2_quality_score",
-    "t3_token_counts",
-    "t6_repetition",
-    "t9_bm25_search",
-    "x16_bm25_topk",
-    "x17_unigram_surprisal",
-    "x19_bigram_surprisal",
-    "x19b_bigram_surprisal_capped",
-    # Multimodal/pipeline green r10; returning x10/x25 re-verify.
-    "x4_multimodal_roundtrip",
-    "x5_train_split",
-    "x6_sequence_pack",
-    "x8_decontaminate",
-    "x9_source_mixing",
-    "x7_embedding_quantize",
-    "x18_chunk_overlap",
+    "d2_jaccard_scoring",
+    "d3b_substring_dedup_clip",
+    "x24_cross_source_contamination",
+    # Text/quality green r11; returning t1-t3/t6/t9/x16-x19b
+    # re-verify; NEW t4b joins the window this round.
+    "t5_pii_scrub",
+    "t6b_gopher_rules",
+    # Pipeline/curation green r11; returning x4-x9/x18/x23 re-verify.
+    "x10_curation_funnel",
+    "x25_dsir_resample",
+    "x28_source_token_budget",
+    "x29_temperature_resample",
+    "x30_shard_manifest",
 ]
 
 

