@@ -289,6 +289,24 @@ _BIGRAM_K = 0.5
 _WORDS_SQL = f"filter(split(lower(trim(text)), '{_TOKEN_SPLIT}'), w -> w != '')"
 
 
+def _adjacent_pairs(bound: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair, from a frame
+    already carrying the bound `_ws` word array. One Generate the scan
+    stage absorbs; shared by x19, x19b, and the model-table audit."""
+    return (
+        bound.where(F.expr("size(_ws) >= 2"))
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(_ws) - 1),"
+                " i -> struct(_ws[i-1] AS w1, _ws[i] AS w2)))"
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+
+
+
 @query(
     "x19_bigram_surprisal",
     oracle=f"""
@@ -340,17 +358,7 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
-    pairs = (
-        bound.where(F.expr("size(_ws) >= 2"))
-        .select(
-            "doc_id",
-            F.expr(
-                "explode(transform(sequence(1, size(_ws) - 1),"
-                " i -> struct(_ws[i-1] AS w1, _ws[i] AS w2)))"
-            ).alias("pr"),
-        )
-        .select("doc_id", "pr.w1", "pr.w2")
-    )
+    pairs = _adjacent_pairs(bound)
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     voc = (
@@ -388,20 +396,24 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combining keeps compressing no matter how the corpus's vocabulary
 # grows.
 #
-# Measured on the r11 Heaps'-law fixture (bench.py heaps_vocab:
-# observed vocab ≈ 6000·sqrt(m); 6k/19k/60k types at 1×/10×/100×),
-# r11 close run: x19 factors 7.6 (10×) / 76.7 (100×); x19b 5.6 /
-# 44.7 — the capped model wins BOTH decades where the constant-vocab
-# replica fixture shows parity. The vocabulary term ENGAGES. Honest
+# Measured on the Heaps'-law fixture (bench.py heaps_vocab: observed
+# vocab ≈ 6000·sqrt(m); 6k/19k/60k types at 1×/10×/100×). The honest
+# record (VERDICT r11 #3): x19/x19b WALL CLOCKS on this fixture are
+# parity-within-the-session-band at both decades — same-day runs
+# ordered them both ways (r11 official artifact: x19 5.49/55.99 vs
+# x19b 5.58/57.14; a close-run read the opposite), so no wall-based
+# win is claimed in either direction. The PRIMARY evidence is the
+# deterministic model-table sizes the bench records per decade
+# (bigram_table_stats → heaps_vocab.table_rows): x19's bigram-count
+# table grows with the corpus's observed distinct pairs, while x19b's
+# is ≤ (V+1)² by construction — exact counts, zero noise. Honest
 # physics: at Heaps β=0.5, V² ∝ n (linear), and x19's tables are
 # bounded by observed pairs regardless, so NEITHER form goes
-# superlinear in table size; the 100× wall ordering is run-sensitive
-# (an earlier same-day run read x19b behind at 100× — x19b's fixed
-# extra passes and '<unk>' hot key vs x19's combine loss trade
-# within the session band). The cap's 100 TB value is the BOUND
-# itself: a constant-size count table can never outgrow executor
-# memory or a broadcast, while x19's grows with whatever β the real
-# crawl has.
+# superlinear in table size at these SFs. The cap's 100 TB value is
+# the BOUND itself: a constant-size count table can never outgrow
+# executor memory or a broadcast, while x19's grows with whatever β
+# the real crawl has — broadcastability and spill are decided by the
+# table size, which is exactly the recorded metric.
 #
 # Vocabulary selection is deterministic (count DESC, token ASC —
 # executed as a V-row TakeOrderedAndProject) and V is a constant, so
@@ -423,17 +435,7 @@ def bigram_surprisal_capped(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> Da
     per doc over vocabulary-mapped adjacent pairs, add-k smoothed with
     the FIXED model vocabulary (V+1 incl. '<unk>')."""
     bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
-    pairs = (
-        bound.where(F.expr("size(_ws) >= 2"))
-        .select(
-            "doc_id",
-            F.expr(
-                "explode(transform(sequence(1, size(_ws) - 1),"
-                " i -> struct(_ws[i-1] AS w1, _ws[i] AS w2)))"
-            ).alias("pr"),
-        )
-        .select("doc_id", "pr.w1", "pr.w2")
-    )
+    pairs = _adjacent_pairs(bound)
     cnt = (
         bound.select(F.explode("_ws").alias("t"))
         .groupBy("t")
@@ -534,3 +536,49 @@ def bigram_surprisal_capped(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> Da
 )
 def x19b_bigram_surprisal_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal_capped(load(spark, sf_dir, "documents"))
+
+
+def bigram_table_stats(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> dict:
+    """Deterministic model-table sizes for the x19-vs-x19b comparison:
+    observed vocabulary, x19's uncapped bigram-count table rows (grows
+    with the corpus's observed distinct pairs), and x19b's capped table
+    rows (≤ (vocab_size+1)² BY CONSTRUCTION — the fold-to-'<unk>'
+    bound). This is the noise-free evidence for the cap (VERDICT r11
+    #3): wall clocks of the two forms on the same fixture trade within
+    the session band, but the table sizes are exact counts a reader can
+    re-derive, and the table size is what decides broadcastability and
+    spill at 100 TB."""
+    bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
+    pairs = _adjacent_pairs(bound)
+    cnt = (
+        bound.select(F.explode("_ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), "t")
+        .limit(vocab_size)
+        .select("t", F.lit(True).alias("_kept"))
+    )
+    mapped = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("t").alias("w1"), F.col("_kept").alias("_k1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("t").alias("w2"), F.col("_kept").alias("_k2"))),
+            "w2",
+            "left",
+        )
+        .select(
+            F.when(F.col("_k1"), F.col("w1")).otherwise(F.lit(_UNK)).alias("m1"),
+            F.when(F.col("_k2"), F.col("w2")).otherwise(F.lit(_UNK)).alias("m2"),
+        )
+    )
+    return {
+        "observed_vocab": cnt.count(),
+        "x19_table_rows": pairs.select("w1", "w2").distinct().count(),
+        "x19b_table_rows": mapped.distinct().count(),
+        "x19b_table_bound": (vocab_size + 1) ** 2,
+    }

@@ -1429,6 +1429,29 @@ def test_x19b_vocab_is_bounded_and_default_matches_registry(spark):
     assert _UNK == "<unk>"
 
 
+def test_bigram_table_stats_cap_bound_engages(spark):
+    """The noise-free cap evidence (VERDICT r11 #3): at a V below the
+    corpus vocabulary, x19b's model-table row count must sit at/below
+    its (V+1)² construction bound AND strictly below x19's uncapped
+    table — exact counts, no walls involved. At the registered default
+    V (above the corpus vocabulary) the two tables must coincide, since
+    nothing folds to '<unk>'."""
+    from real_time_event_streaming_analytics_platform_spark.functions.retrieval import (
+        bigram_table_stats,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    V = 8
+    s = bigram_table_stats(docs, vocab_size=V)
+    assert s["observed_vocab"] > V
+    assert s["x19b_table_bound"] == (V + 1) ** 2
+    assert s["x19b_table_rows"] <= s["x19b_table_bound"]
+    assert s["x19b_table_rows"] < s["x19_table_rows"]
+    # default V exceeds the corpus vocabulary -> identical tables
+    s_default = bigram_table_stats(docs)
+    assert s_default["x19b_table_rows"] == s_default["x19_table_rows"]
+
+
 def test_d3b_clip_keeps_canonical_and_excises_duplicates(spark):
     """Planted verbatim dup: the lexicographically-first occurrence
     keeps its text intact; every later occurrence loses exactly the
