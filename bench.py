@@ -1406,8 +1406,129 @@ def _bench_runtime_filter(spark, sf_dir: str) -> dict | None:
             "shuffle pair isolates the bloom probe with broadcast off — "
             "overhead-only at bench SF, while fact_rows_total vs "
             "fact_rows_surviving is the fraction of the 100 TB fact scan the "
-            "probe drops before the shuffle"
+            "probe drops before the shuffle; filter_fires is the measured "
+            "point where the probe does real work (VERDICT r11 #4)"
         )
+
+        # --- filter_fires (VERDICT r11 #4): the probe measured where it
+        # actually pays. The pair above shows overhead-only on a few-MB
+        # fact; here the fact is replicated RTF_MULT× on disk (join keys
+        # unchanged, the filtered dim stays 1×) so the bloom probe drops
+        # ~80% of a tens-of-millions-row fact scan BEFORE the shuffle.
+        # The production 10 GB application-side threshold still exceeds
+        # even this fact, so the lowered threshold is a DOCUMENTED
+        # bench-only override — what's measured is the probe's effect
+        # where it fires (EXPLAIN-verified in-plan), not default-config
+        # behavior. Skipped in quick/A-B runs (shares the scaleup gates).
+        if (
+            os.environ.get("SPARK_GRAFT_SCALEUP", "1") != "0"
+            and os.environ.get("SPARK_GRAFT_SCALEUP100", "1") != "0"
+        ):
+            import shutil
+            import tempfile
+
+            rtf_mult = int(os.environ.get("SPARK_GRAFT_RTF_MULT", "100"))
+            d = tempfile.mkdtemp(prefix="sgr-bench-rtf-")
+            try:
+                (
+                    li.select(
+                        "*",
+                        F.explode(
+                            F.sequence(F.lit(0), F.lit(rtf_mult - 1))
+                        ).alias("_rep"),
+                    )
+                    .drop("_rep")
+                    .write.mode("overwrite")
+                    .parquet(f"{d}/lineitem.parquet")
+                )
+                big_li = spark.read.parquet(f"{d}/lineitem.parquet")
+                fires: dict = {"mult": rtf_mult}
+                fires["fact_rows_total"] = big_li.count()
+                fires["fact_rows_surviving"] = big_li.join(
+                    orders, big_li.l_orderkey == orders.o_orderkey, "left_semi"
+                ).count()
+
+                def mk_joined():
+                    # rebuilt per measurement so physical planning reads
+                    # the conf state of THAT measurement
+                    b = spark.read.parquet(f"{d}/lineitem.parquet")
+                    return b.join(
+                        orders, b.l_orderkey == orders.o_orderkey
+                    ).agg(
+                        F.count("*").alias("n"),
+                        F.sum("l_extendedprice").alias("rev"),
+                    )
+
+                def timed_big() -> float:
+                    mk_joined().collect()  # warm
+                    samples = []
+                    for _ in range(3):
+                        t0 = time.monotonic()
+                        mk_joined().collect()
+                        samples.append(time.monotonic() - t0)
+                    return round(statistics.median(samples), 3)
+
+                prev_b2 = spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", None
+                )
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                prev_e2 = spark.conf.get(
+                    "spark.sql.optimizer.runtime.bloomFilter.enabled", None
+                )
+                try:
+                    spark.conf.set(
+                        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+                    )
+                    fires["shuffle_nofilter_sec"] = timed_big()
+                    prev_thr = enable_runtime_bloom_filters(
+                        spark,
+                        application_side_min_bytes=1,
+                        creation_side_max_bytes=64 * 1024 * 1024,
+                    )
+                    try:
+                        plan = (
+                            mk_joined()
+                            ._jdf.queryExecution()
+                            .explainString(
+                                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                                    "formatted"
+                                )
+                            )
+                        )
+                        fires["injected"] = "might_contain" in plan
+                        fires["shuffle_filtered_sec"] = timed_big()
+                    finally:
+                        for k, v in prev_thr.items():
+                            if v is None:
+                                spark.conf.unset(k)
+                            else:
+                                spark.conf.set(k, v)
+                finally:
+                    if prev_b2 is None:
+                        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+                    else:
+                        spark.conf.set(
+                            "spark.sql.autoBroadcastJoinThreshold", prev_b2
+                        )
+                    if prev_e2 is None:
+                        spark.conf.unset(
+                            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+                        )
+                    else:
+                        spark.conf.set(
+                            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                            prev_e2,
+                        )
+                fires["note"] = (
+                    "fact replicated on disk, dim 1x, broadcast off; "
+                    "bloom forced via documented bench-only threshold "
+                    "override and verified in-plan (injected); the "
+                    "nofilter-vs-filtered delta is the measured value of "
+                    "dropping non-surviving fact rows before the shuffle"
+                )
+                out["filter_fires"] = fires
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
     except Exception as exc:
         print(f"bench: runtime filter A/B failed: {exc!r}", file=sys.stderr)
         return out or None
