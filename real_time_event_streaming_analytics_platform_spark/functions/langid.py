@@ -478,6 +478,47 @@ def langid_heldout_eval(docs: DataFrame) -> DataFrame:
     )
 
 
+def plant_lang_markers(docs: DataFrame, p: float, salt: str = "mk") -> DataFrame:
+    """Graded content-dependent-label fixture (VERDICT r11 #5).
+
+    The synthetic corpus's lang labels are text-independent by
+    construction, so the held-out evals measure at/below the majority
+    prior — they prove the harness, not the model. This makes the label
+    learnable from text at a CONTROLLABLE strength: a per-lang lexical
+    marker (``zq<lang>qz``, repeated — distinct char-3-grams AND
+    distinct word tokens per lang, so it carries signal for both the
+    t1b char-gram model and the x26 hashed-token model) is appended to
+    a deterministic p-fraction of documents. The selection is the x29
+    /256-quantized md5 decision on a SALTED doc_id — the salt keeps the
+    marker decision independent of x5's split bytes (md5 of the
+    unsalted id), so marked docs land in train and held folds alike.
+
+    The pinned bars (tests/test_classifier.py): held-out accuracy must
+    rise monotonically with p over {0.25, 0.5, 1.0} and beat the
+    majority-class prior at p >= 0.5, for BOTH models."""
+    thresh = int(round(p * 256))
+    marked = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < F.lit(thresh)
+    )
+    one = F.concat(F.lit("zq"), F.col("lang"), F.lit("qz"))
+    marker = F.concat_ws(" ", *([one] * 8))
+    return docs.withColumn(
+        "text",
+        F.when(marked, F.concat_ws(" ", F.col("text"), marker)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
 @query("t1b_heldout_eval")
 def t1b_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (trained model): held-out per-class eval of t1b."""
