@@ -362,10 +362,20 @@ def shard_export_writer(path: str, run: str | None = None):
       ``_batch_run_signature``) and APPENDS instead of clobbering —
       the same hazard closure as kll_sketch_writer;
     - readers see one parquet table whose union over (run, epoch) is
-      exactly-once per input document.
+      exactly-once per input document UNDER same-checkpoint replay
+      (any epoch, any number of times) and under fresh-checkpoint
+      restarts whose batch contents are identical or disjoint to the
+      committed ones. A fresh-checkpoint first batch that OVERLAPS a
+      committed batch without equaling it (old docs plus new) gets a
+      new signature and appends, duplicating the overlap — the
+      signature level cannot distinguish that from genuinely new data
+      (ADVICE r11). Restart-prone deployments should pass an explicit
+      checkpoint-stable ``run`` id instead, which restores clobbering
+      semantics for that run's epochs.
 
     Pass ``run`` explicitly (e.g. the streaming query's checkpoint-
-    stable id) to skip the per-batch signature job."""
+    stable id) to skip the per-batch signature job and to pin the
+    restart semantics above."""
     from ..functions.pipeline import X30_SHARDS, _sharded
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
@@ -392,6 +402,171 @@ def shard_export_writer(path: str, run: str | None = None):
         )
 
     return write
+
+
+def compact_shard_store(
+    spark, path: str, shards=None, target_files: int = 1
+) -> dict:
+    """S38 — manifest-preserving compaction of an incremental shard
+    store (VERDICT r11 #6). The exporter adds one (run, epoch)
+    partition per micro-batch; at daily-ingest scale that is the
+    classic small-files failure — a year of 1-minute batches is ~500k
+    directories per shard. This rewrites each shard's accumulated
+    (run, epoch) partitions into ``target_files`` h-sorted files under
+    ONE synthetic compaction run, preserving the store's read contract
+    exactly: same rows exactly once, same within-file ascending h,
+    identical shard_store_manifest (pinned by tests/test_shard_export.py).
+
+    Crash safety is an idempotent intent-file protocol, not luck —
+    re-running this function after a SIGKILL at ANY point restores
+    exactly-once (S38 kill harness):
+
+    1. recovery: an existing ``_compaction.json`` intent means a prior
+       attempt died. If its compacted run directory holds _SUCCESS the
+       data is complete — finish by deleting whatever listed inputs
+       remain; otherwise the write died mid-flight — delete the
+       partial run directory. Either way the intent is then removed
+       and the store is exactly-once again.
+    2. list the shard's current (run, epoch) leaf directories as the
+       compaction INPUTS; the compacted run id is deterministic from
+       that list ("c" + md5 of the sorted relative paths), so a crashed
+       attempt and its retry name the same output.
+    3. write the intent file (inputs + crun) via temp + rename, then
+       write the inputs' rows — explicitly those directories, so rows
+       appended by a concurrent exporter are neither compacted nor
+       deleted — range-partitioned and sorted by h into
+       ``run=<crun>/epoch=0``.
+    4. only after _SUCCESS: delete the input directories, then the
+       intent.
+
+    Readers that race a mid-compaction store can observe duplicates
+    between steps 3 and 4 (single-writer maintenance windows or a
+    transactional table format are the production answer for
+    reader-concurrent compaction); the exactly-once guarantee is for
+    the store at rest and after recovery. The scale path is
+    ``target_files > 1``: repartitionByRange keeps a global h order
+    ACROSS a shard's files, so a shard compacts to bounded-size sorted
+    files with one shuffle and no global sort."""
+    import json as _json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {}
+
+    def _list_dirs(p):
+        return [
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+
+    def _leaf_inputs(shard_dir):
+        leaves = []
+        for run_dir in _list_dirs(shard_dir):
+            leaves.extend(_list_dirs(run_dir))
+        return sorted(leaves, key=lambda q: str(q))
+
+    def _data_files(p):
+        n = 0
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                n += 1
+            elif st.isDirectory():
+                n += _data_files(st.getPath())
+        return n
+
+    def _recover(shard_dir, intent_path):
+        if not fs.exists(intent_path):
+            return
+        stream = fs.open(intent_path)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        intent = _json.loads(raw)
+        crun_dir = HPath(shard_dir, f"run={intent['crun']}")
+        done = fs.exists(HPath(crun_dir, "epoch=0/_SUCCESS"))
+        if done:
+            for rel in intent["inputs"]:
+                leftover = HPath(shard_dir, rel)
+                if fs.exists(leftover):
+                    fs.delete(leftover, True)
+            # prune now-empty run directories the leaf deletes left
+            for run_dir in _list_dirs(shard_dir):
+                if len(fs.listStatus(run_dir)) == 0:
+                    fs.delete(run_dir, True)
+        elif fs.exists(crun_dir):
+            fs.delete(crun_dir, True)
+        fs.delete(intent_path, False)
+
+    report: dict = {}
+    for shard_st in fs.listStatus(root):
+        if not shard_st.isDirectory():
+            continue
+        shard_dir = shard_st.getPath()
+        name = shard_dir.getName()
+        if not name.startswith("shard="):
+            continue
+        shard_val = name.split("=", 1)[1]
+        if shards is not None and int(shard_val) not in set(shards):
+            continue
+        intent_path = HPath(shard_dir, "_compaction.json")
+        _recover(shard_dir, intent_path)
+
+        inputs = _leaf_inputs(shard_dir)
+        files_before = _data_files(shard_dir)
+        if len(inputs) <= 1 and files_before <= target_files:
+            report[shard_val] = {
+                "inputs": len(inputs),
+                "files_before": files_before,
+                "files_after": files_before,
+                "compacted": False,
+            }
+            continue
+        rels = [
+            f"{q.getParent().getName()}/{q.getName()}" for q in inputs
+        ]
+        import hashlib
+
+        crun = "c" + hashlib.md5("|".join(rels).encode()).hexdigest()[:16]
+        tmp_intent = HPath(shard_dir, "._compaction.json.tmp")
+        out = fs.create(tmp_intent, True)
+        try:
+            out.write(
+                _json.dumps({"crun": crun, "inputs": rels}).encode("utf-8")
+            )
+        finally:
+            out.close()
+        if fs.exists(intent_path):
+            fs.delete(intent_path, False)
+        fs.rename(tmp_intent, intent_path)
+
+        dest = f"{path}/{name}/run={crun}/epoch=0"
+        (
+            spark.read.parquet(*[str(q) for q in inputs])
+            .repartitionByRange(max(1, int(target_files)), "h")
+            .sortWithinPartitions("h")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        for q in inputs:
+            fs.delete(q, True)
+        for run_dir in _list_dirs(shard_dir):
+            if run_dir.getName() != f"run={crun}" and len(fs.listStatus(run_dir)) == 0:
+                fs.delete(run_dir, True)
+        fs.delete(intent_path, False)
+        report[shard_val] = {
+            "inputs": len(inputs),
+            "files_before": files_before,
+            "files_after": _data_files(shard_dir),
+            "compacted": True,
+        }
+    return report
 
 
 def shard_store_manifest(spark, path: str) -> DataFrame:

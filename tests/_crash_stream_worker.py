@@ -18,7 +18,13 @@ mid-epoch — a real crash, not a graceful stop. Modes:
              is exercised under a real mid-epoch SIGKILL, not only
              deterministic replay.
 
-Usage: python _crash_stream_worker.py {run|drain|shard_run|shard_drain} IN_DIR OUT_DIR CK_DIR
+- ``shard_compact``: S38 — run compact_shard_store over the existing
+             store at OUT_DIR (IN_DIR/CK_DIR unused; the intent files
+             inside the store are the recovery state), so the
+             compaction protocol's crash recovery is exercised under a
+             real mid-protocol SIGKILL.
+
+Usage: python _crash_stream_worker.py {run|drain|shard_run|shard_drain|shard_compact} IN_DIR OUT_DIR CK_DIR
 """
 
 from __future__ import annotations
@@ -47,6 +53,21 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "shard_compact":
+        # S38: compact an EXISTING shard store (in_dir ignored; out_dir
+        # is the store). Prints STARTED, then compacts shard by shard —
+        # 16 sequential Spark jobs give the parent a wide mid-protocol
+        # kill window. ck_dir is unused (the intent files inside the
+        # store ARE the recovery state).
+        from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+            compact_shard_store,
+        )
+
+        print("STARTED", flush=True)
+        compact_shard_store(spark, out_dir)
+        spark.stop()
+        return
 
     live = mode in ("run", "shard_run")
     if mode.startswith("shard_"):

@@ -296,3 +296,156 @@ def test_s37_shard_export_survives_sigkill_exactly_once(spark, tmpdir):
         got = _canon(shard_store_manifest(spark, out))
         want = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
         assert got == want, f"kill at {delay}s: manifest diverged"
+
+
+def _store_files(path):
+    import glob
+    import os
+
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "shard=*", "run=*", "epoch=*", "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+def test_s38_compaction_preserves_manifest_rows_and_order(spark, tmpdir):
+    """S38 — manifest-preserving compaction (VERDICT r11 #6): a store
+    accumulated over many epochs is rewritten to one h-sorted file per
+    shard. Pins: (a) shard_store_manifest identical before/after,
+    (b) every document exactly once with identical
+    (doc_id, text, lang, source, h) content, (c) within-file ascending
+    h in the compacted files, (d) the small-files count actually drops
+    to one data file per shard, intent files cleaned up, and (e) a
+    second compaction is a structural no-op."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+    )
+
+    docs = _docs(spark)
+    write = shard_export_writer(f"{tmpdir}/st")
+    for i in range(8):
+        write(docs.where(F.col("doc_id") % 8 == i), i)
+
+    before_manifest = _canon(shard_store_manifest(spark, f"{tmpdir}/st"))
+    before_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/st")
+        .select("doc_id", "text", "lang", "source", "h")
+        .collect()
+    )
+    files_before = len(_store_files(f"{tmpdir}/st"))
+
+    report = compact_shard_store(spark, f"{tmpdir}/st")
+    assert report and all(v["compacted"] for v in report.values()), report
+    assert all(v["files_after"] == 1 for v in report.values()), report
+
+    after_manifest = _canon(shard_store_manifest(spark, f"{tmpdir}/st"))
+    assert after_manifest == before_manifest
+    after_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/st")
+        .select("doc_id", "text", "lang", "source", "h")
+        .collect()
+    )
+    assert after_rows == before_rows
+    files_after = _store_files(f"{tmpdir}/st")
+    assert len(files_after) < files_before
+    assert len(files_after) <= 16  # one data file per occupied shard
+
+    # (c) within-file ascending h
+    rows = (
+        spark.read.parquet(f"{tmpdir}/st")
+        .select("h", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["h"])
+    for f, hs in by_file.items():
+        assert hs == sorted(hs), f"unsorted compacted file {f}"
+
+    # no intent files left behind
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(f"{tmpdir}/st", "shard=*", "_compaction.json"))
+
+    # (e) idempotent re-run: already one file per shard -> no-op
+    report2 = compact_shard_store(spark, f"{tmpdir}/st")
+    assert all(not v["compacted"] for v in report2.values()), report2
+    assert _canon(shard_store_manifest(spark, f"{tmpdir}/st")) == before_manifest
+
+
+def test_s38_compaction_survives_sigkill_exactly_once(spark, tmpdir):
+    """S38 kill harness — the compaction subprocess is SIGKILLed
+    (whole process group) mid-protocol; re-running the compaction
+    in-process must recover via the intent files to a store holding
+    every document exactly once with the pre-compaction manifest.
+    Covers both crash phases: an intent whose compacted run never
+    reached _SUCCESS is rolled back, one whose inputs were partially
+    deleted is rolled forward."""
+    import os
+    import random
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    docs = _docs(spark)
+    n = docs.count()
+
+    rng = random.Random(38)
+    for i in range(2):
+        store = f"{tmpdir}/st{i}"
+        write = shard_export_writer(store)
+        for e in range(8):
+            write(docs.where(F.col("doc_id") % 8 == e), e)
+        want = _canon(shard_store_manifest(spark, store))
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(here)
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(here, "_crash_stream_worker.py"),
+                "shard_compact",
+                f"{tmpdir}/unused_in",
+                store,
+                f"{tmpdir}/unused_ck",
+            ],
+            env=env,
+            start_new_session=True,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            line = proc.stdout.readline()
+            assert "STARTED" in line, f"worker never started: {line!r}"
+            time.sleep(rng.uniform(1.0, 6.0))
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait(timeout=30)
+        finally:
+            if proc.poll() is None:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+
+        # recovery = just run the compaction again in-process
+        compact_shard_store(spark, store)
+
+        table = spark.read.parquet(store)
+        assert table.count() == n, f"kill point {i}: lost/duplicated docs"
+        assert table.select("doc_id").distinct().count() == n
+        assert _canon(shard_store_manifest(spark, store)) == want, (
+            f"kill point {i}: manifest diverged"
+        )
+        import glob
+
+        assert not glob.glob(os.path.join(store, "shard=*", "_compaction.json"))
