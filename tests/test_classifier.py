@@ -476,6 +476,37 @@ def test_x26_heldout_eval_planted_and_corpus(spark):
     assert 0.30 <= acc <= 0.80, acc
 
 
+def test_t1b_heldout_memo_is_value_identical_to_fresh_fit(spark):
+    """The registered held-out eval and confusion queries share one
+    train-fold fit via the session memo (they previously refit the
+    identical model). Honesty check: the memoized results must equal a
+    fresh unmemoized fit row-for-row — the memo may only change the
+    wall, never a value — and ad-hoc frames (no memo key) must never
+    hit the memo."""
+    from real_time_event_streaming_analytics_platform_spark.functions import langid
+
+    sf = "/root/testdata/sf0.001"
+    via_query_eval = [
+        tuple(r) for r in engine.QUERIES["t1b_heldout_eval"](spark, sf).collect()
+    ]
+    via_query_conf = [
+        tuple(r)
+        for r in engine.QUERIES["t1b_heldout_confusion"](spark, sf).collect()
+    ]
+    assert sf in langid._TRAIN_FOLD_MODEL_MEMO  # the query path memoizes
+    docs = load(spark, sf, "documents")
+    assert via_query_eval == [
+        tuple(r) for r in langid.langid_heldout_eval(docs).collect()
+    ]
+    assert via_query_conf == [
+        tuple(r) for r in langid.langid_heldout_confusion(docs).collect()
+    ]
+    # planted fixtures pass no key: the memo must not leak across frames
+    n_keys = len(langid._TRAIN_FOLD_MODEL_MEMO)
+    langid.langid_heldout_eval(_three_alphabet_docs(spark)).collect()
+    assert len(langid._TRAIN_FOLD_MODEL_MEMO) == n_keys
+
+
 def test_heldout_evals_rise_with_graded_content_signal(spark):
     """VERDICT r11 #5: the corpus evals above honestly measure at/below
     the majority prior because the synthetic labels are text-independent
