@@ -449,3 +449,63 @@ def test_s38_compaction_survives_sigkill_exactly_once(spark, tmpdir):
         import glob
 
         assert not glob.glob(os.path.join(store, "shard=*", "_compaction.json"))
+
+
+def test_s39_two_day_ingest_loop_with_compaction_between_days(spark, tmpdir):
+    """S39 — the real daily loop: day-1 files stream into the store,
+    the store is COMPACTED, day-2 files arrive in the same input dir
+    and the SAME checkpoint drains them into the compacted store, and
+    a second compaction folds old-compact + new epochs together. After
+    each day the store must hold exactly the documents seen so far,
+    exactly once, with the batch-identical manifest and ascending h
+    within every file — compaction between ingest days must be
+    invisible to the exporter and to readers."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+    )
+
+    docs = _docs(spark)
+    day1 = docs.where(F.col("doc_id") % 2 == 0)
+    day2 = docs.where(F.col("doc_id") % 2 == 1)
+    store, ck = f"{tmpdir}/st", f"{tmpdir}/ck"
+
+    def _assert_h_sorted():
+        rows = (
+            spark.read.parquet(store)
+            .select("h", F.input_file_name().alias("f"))
+            .collect()
+        )
+        by_file: dict = {}
+        for r in rows:
+            by_file.setdefault(r["f"], []).append(r["h"])
+        for f, hs in by_file.items():
+            assert hs == sorted(hs), f"unsorted file {f}"
+
+    # day 1: 2 micro-batches, then compact
+    day1.repartition(2).write.parquet(f"{tmpdir}/in")
+    _stream_store(spark, f"{tmpdir}/in", store, ck, 1)
+    report1 = compact_shard_store(spark, store)
+    assert any(v["compacted"] for v in report1.values())
+    t = spark.read.parquet(store)
+    n1 = day1.count()
+    assert t.count() == n1 and t.select("doc_id").distinct().count() == n1
+    _assert_h_sorted()
+
+    # day 2 arrives in the SAME input dir; the SAME checkpoint drains
+    # only the new files into the compacted store
+    day2.repartition(2).write.mode("append").parquet(f"{tmpdir}/in")
+    _stream_store(spark, f"{tmpdir}/in", store, ck, 1)
+    t = spark.read.parquet(store)
+    n = docs.count()
+    assert t.count() == n and t.select("doc_id").distinct().count() == n
+
+    # second compaction folds day-1's compact run + day-2's epochs
+    report2 = compact_shard_store(spark, store)
+    assert any(v["compacted"] for v in report2.values())
+    t = spark.read.parquet(store)
+    assert t.count() == n and t.select("doc_id").distinct().count() == n
+    want = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
+    assert _canon(shard_store_manifest(spark, store)) == want
+    _assert_h_sorted()
+    assert len(_store_files(store)) <= 16
