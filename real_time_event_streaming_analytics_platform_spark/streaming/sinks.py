@@ -383,9 +383,9 @@ def shard_export_writer(path: str, run: str | None = None):
         if rid is None:
             cols = [c for c in ("doc_id", "text") if c in batch_df.columns]
             rid = _batch_run_signature(batch_df, cols or batch_df.columns[:1])
+        sharded = _sharded(batch_df)
         (
-            _sharded(batch_df)
-            .repartition(X30_SHARDS, "shard")
+            sharded.repartition(X30_SHARDS, "shard")
             .withColumn("run", F.lit(rid))
             .withColumn("epoch", F.lit(int(epoch_id)))
             # sort leads with ALL partition columns (run/epoch are
@@ -400,8 +400,48 @@ def shard_export_writer(path: str, run: str | None = None):
             .partitionBy("shard", "run", "epoch")
             .parquet(path)
         )
+        # Incremental manifest partial for this batch — the 100 TB
+        # manifest shape: one tiny mergeable row per (shard, run,
+        # epoch), so manifest reads fold O(epochs) partial rows instead
+        # of rescanning the whole store (shard_store_manifest_fast).
+        # Same partition keys + dynamic overwrite as the data, so a
+        # replay rewrites its own partials identically; the whole side
+        # table lives under an underscore directory the store's data
+        # readers ignore.
+        (
+            _shard_partials(sharded)
+            .withColumn("run", F.lit(rid))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard", "run", "epoch")
+            .parquet(_partials_path(path))
+        )
 
     return write
+
+
+def _partials_path(path: str) -> str:
+    # underscore prefix: ignored by the store's parquet data listing
+    return f"{path}/_manifest_partials"
+
+
+def _shard_partials(sharded: DataFrame) -> DataFrame:
+    """Per-shard mergeable manifest partial of a frame already carrying
+    (h, shard): counts, token sums, and the (h, doc_id) extremes. These
+    merge exactly because h = md5(doc_id) is unique per document and
+    every aggregate here is associative."""
+    from ..functions.pipeline import _WS_TOK_SPARK
+
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr(_WS_TOK_SPARK)).cast("bigint").alias("total_tokens"),
+        F.min("h").alias("h_min"),
+        F.expr("min_by(doc_id, h)").cast("bigint").alias("doc_min"),
+        F.max("h").alias("h_max"),
+        F.expr("max_by(doc_id, h)").cast("bigint").alias("doc_max"),
+    )
 
 
 def compact_shard_store(
@@ -480,6 +520,38 @@ def compact_shard_store(
                 n += _data_files(st.getPath())
         return n
 
+    def _write_crun_partial(name, crun):
+        """(Re)build the compacted run's manifest partial from its
+        committed data — idempotent, so roll-forward recovery can
+        always call it."""
+        dest = f"{path}/{name}/run={crun}/epoch=0"
+        shard_val = name.split("=", 1)[1]
+        (
+            _shard_partials(
+                spark.read.parquet(dest).withColumn(
+                    "shard", F.lit(int(shard_val))
+                )
+            )
+            # shard/run/epoch live in the directory names here, exactly
+            # like the exporter's partitionBy layout — embedding shard
+            # in the data files too would collide with the inferred
+            # partition column on read
+            .drop("shard")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{_partials_path(path)}/{name}/run={crun}/epoch=0")
+        )
+
+    def _partial_dir(name, rel):
+        return HPath(f"{_partials_path(path)}/{name}", rel)
+
+    def _prune_empty_runs(shard_dir, keep_run=None):
+        for run_dir in _list_dirs(shard_dir):
+            if keep_run is not None and run_dir.getName() == f"run={keep_run}":
+                continue
+            if len(fs.listStatus(run_dir)) == 0:
+                fs.delete(run_dir, True)
+
     def _recover(shard_dir, intent_path):
         if not fs.exists(intent_path):
             return
@@ -489,19 +561,29 @@ def compact_shard_store(
         finally:
             stream.close()
         intent = _json.loads(raw)
+        name = shard_dir.getName()
         crun_dir = HPath(shard_dir, f"run={intent['crun']}")
         done = fs.exists(HPath(crun_dir, "epoch=0/_SUCCESS"))
         if done:
+            # roll forward: (re)write the compacted partial, then
+            # finish the input deletes (data + partials)
+            _write_crun_partial(name, intent["crun"])
             for rel in intent["inputs"]:
-                leftover = HPath(shard_dir, rel)
-                if fs.exists(leftover):
-                    fs.delete(leftover, True)
-            # prune now-empty run directories the leaf deletes left
-            for run_dir in _list_dirs(shard_dir):
-                if len(fs.listStatus(run_dir)) == 0:
-                    fs.delete(run_dir, True)
-        elif fs.exists(crun_dir):
-            fs.delete(crun_dir, True)
+                for leftover in (HPath(shard_dir, rel), _partial_dir(name, rel)):
+                    if fs.exists(leftover):
+                        fs.delete(leftover, True)
+            _prune_empty_runs(shard_dir)
+            pshard = HPath(f"{_partials_path(path)}/{name}")
+            if fs.exists(pshard):
+                _prune_empty_runs(pshard, keep_run=intent["crun"])
+        else:
+            # roll back: the write died mid-flight — remove the partial
+            # data and any partial-manifest debris
+            if fs.exists(crun_dir):
+                fs.delete(crun_dir, True)
+            pcrun = _partial_dir(name, f"run={intent['crun']}")
+            if fs.exists(pcrun):
+                fs.delete(pcrun, True)
         fs.delete(intent_path, False)
 
     report: dict = {}
@@ -554,11 +636,16 @@ def compact_shard_store(
             .write.mode("overwrite")
             .parquet(dest)
         )
+        _write_crun_partial(name, crun)
         for q in inputs:
             fs.delete(q, True)
-        for run_dir in _list_dirs(shard_dir):
-            if run_dir.getName() != f"run={crun}" and len(fs.listStatus(run_dir)) == 0:
-                fs.delete(run_dir, True)
+            prel = _partial_dir(name, f"{q.getParent().getName()}/{q.getName()}")
+            if fs.exists(prel):
+                fs.delete(prel, True)
+        _prune_empty_runs(shard_dir, keep_run=crun)
+        pshard = HPath(f"{_partials_path(path)}/{name}")
+        if fs.exists(pshard):
+            _prune_empty_runs(pshard, keep_run=crun)
         fs.delete(intent_path, False)
         report[shard_val] = {
             "inputs": len(inputs),
@@ -569,6 +656,31 @@ def compact_shard_store(
     return report
 
 
+def shard_store_manifest_fast(spark, path: str) -> DataFrame:
+    """shard_store_manifest without the full-store scan — the 100 TB
+    manifest shape: fold the tiny per-(shard, run, epoch) partials the
+    exporter maintains (and compaction rewrites), O(epochs) rows
+    instead of O(documents). Every aggregate is associative and h =
+    md5(doc_id) is unique per document, so the fold is exact — pinned
+    row-for-row against the full-scan manifest after export, replay,
+    fresh-restart append, compaction, and the two-day loop
+    (tests/test_shard_export.py). Only valid for stores written by
+    shard_export_writer / compacted by compact_shard_store; batch
+    write_shards stores carry no partials (use the full-scan form or
+    the x30_shard_manifest query there)."""
+    p = spark.read.parquet(_partials_path(path))
+    return (
+        p.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            F.expr("min_by(doc_min, h_min)").cast("bigint").alias("first_doc"),
+            F.expr("max_by(doc_max, h_max)").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 def shard_store_manifest(spark, path: str) -> DataFrame:
     """Per-shard manifest of an incremental shard store — the same
     (n_docs, total_tokens, first_doc, last_doc) shape as the batch
@@ -576,7 +688,9 @@ def shard_store_manifest(spark, path: str) -> DataFrame:
     epoch). After streaming a corpus through shard_export_writer this
     must equal the batch manifest of the same corpus row-for-row
     (pinned by tests/test_shard_export.py), regardless of how the
-    stream was micro-batched."""
+    stream was micro-batched. Full-store scan — works on ANY store
+    layout; ``shard_store_manifest_fast`` is the O(epochs) form for
+    exporter-maintained stores."""
     from ..functions.pipeline import _WS_TOK_SPARK
 
     t = spark.read.parquet(path)

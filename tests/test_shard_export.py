@@ -446,6 +446,14 @@ def test_s38_compaction_survives_sigkill_exactly_once(spark, tmpdir):
         assert _canon(shard_store_manifest(spark, store)) == want, (
             f"kill point {i}: manifest diverged"
         )
+        # the incremental partials must also recover to exactness
+        from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+            shard_store_manifest_fast,
+        )
+
+        assert _canon(shard_store_manifest_fast(spark, store)) == want, (
+            f"kill point {i}: fast manifest diverged after recovery"
+        )
         import glob
 
         assert not glob.glob(os.path.join(store, "shard=*", "_compaction.json"))
@@ -509,3 +517,49 @@ def test_s39_two_day_ingest_loop_with_compaction_between_days(spark, tmpdir):
     assert _canon(shard_store_manifest(spark, store)) == want
     _assert_h_sorted()
     assert len(_store_files(store)) <= 16
+
+
+def test_s40_fast_manifest_equals_full_scan_everywhere(spark, tmpdir):
+    """The incremental manifest partials (the O(epochs) manifest read a
+    100 TB store needs — shard_store_manifest_fast) must equal the
+    full-scan manifest row-for-row after every store lifecycle event:
+    multi-batch export, same-epoch replay, fresh-checkpoint append,
+    compaction, and post-compaction ingest."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+        shard_store_manifest_fast,
+    )
+
+    docs = _docs(spark)
+    t1 = docs.where(F.col("doc_id") % 2 == 0)
+    t2 = docs.where(F.col("doc_id") % 2 == 1)
+    store = f"{tmpdir}/st"
+    write = shard_export_writer(store)
+
+    def _agree(tag):
+        full = _canon(shard_store_manifest(spark, store))
+        fast = _canon(shard_store_manifest_fast(spark, store))
+        assert fast == full, f"fast manifest diverged after {tag}"
+
+    write(t1, 0)
+    _agree("first batch")
+    write(t2, 1)
+    _agree("second batch")
+    write(t1, 0)  # same-epoch replay overwrites its own partials too
+    _agree("replay")
+
+    # fresh-checkpoint twin (epoch ids restart, new rows -> new run)
+    write2 = shard_export_writer(f"{tmpdir}/st2")
+    write2(t1, 0)
+    write2(t2, 0)
+    full2 = _canon(shard_store_manifest(spark, f"{tmpdir}/st2"))
+    fast2 = _canon(shard_store_manifest_fast(spark, f"{tmpdir}/st2"))
+    assert fast2 == full2
+
+    compact_shard_store(spark, store)
+    _agree("compaction")
+    # ingest continues after compaction; partials for new epochs append
+    write(docs.where(F.col("doc_id") % 10 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    ), 7)
+    _agree("post-compaction ingest")
