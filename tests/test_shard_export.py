@@ -563,3 +563,54 @@ def test_s40_fast_manifest_equals_full_scan_everywhere(spark, tmpdir):
         "doc_id", F.col("doc_id") + 1000000
     ), 7)
     _agree("post-compaction ingest")
+
+
+def test_s38b_compaction_target_files_keeps_global_shard_order(spark, tmpdir):
+    """The 100 TB compaction path is target_files > 1: a shard compacts
+    to bounded-size files via repartitionByRange on the order key, so
+    the h order must hold not only WITHIN each file but ACROSS a
+    shard's files (non-overlapping h ranges) — a reader streaming a
+    shard's files in name order sees one globally sorted sequence.
+    Manifest and exactly-once invariants unchanged."""
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+        shard_store_manifest_fast,
+    )
+
+    docs = _docs(spark)
+    store = f"{tmpdir}/st"
+    write = shard_export_writer(store)
+    for e in range(6):
+        write(docs.where(F.col("doc_id") % 6 == e), e)
+    want = _canon(shard_store_manifest(spark, store))
+    n = docs.count()
+
+    report = compact_shard_store(spark, store, target_files=3)
+    assert any(v["compacted"] for v in report.values())
+    t = spark.read.parquet(store)
+    assert t.count() == n and t.select("doc_id").distinct().count() == n
+    assert _canon(shard_store_manifest(spark, store)) == want
+    assert _canon(shard_store_manifest_fast(spark, store)) == want
+
+    rows = (
+        t.select("shard", "h", F.input_file_name().alias("f")).collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault((r["shard"], r["f"]), []).append(r["h"])
+    # within-file sorted, and per shard the files' [min,max] h ranges
+    # must not overlap (range partitioning guarantee)
+    per_shard: dict = {}
+    for (shard, f), hs in by_file.items():
+        assert hs == sorted(hs), f"unsorted file {f}"
+        per_shard.setdefault(shard, []).append((min(hs), max(hs), f))
+    multi = 0
+    for shard, ranges in per_shard.items():
+        ranges.sort()
+        if len(ranges) > 1:
+            multi += 1
+        for (lo1, hi1, f1), (lo2, hi2, f2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (
+                f"shard {shard}: overlapping h ranges {f1} vs {f2}"
+            )
+    assert multi > 0, "no shard actually split into multiple files"
