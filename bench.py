@@ -112,6 +112,7 @@ def _vs_prev(timings: dict[str, float], floor: float, reps: int) -> dict | None:
     if not prev_q or not prev_floor or not floor:
         return None
     ratios = {}
+    raw = {}
     excluded = []
     for k, now in timings.items():
         if k in BUILD_CARRYING or k.endswith("_build_sec"):
@@ -120,9 +121,11 @@ def _vs_prev(timings: dict[str, float], floor: float, reps: int) -> dict | None:
         p = prev_q.get(k)
         if p and p > 0 and now > 0:
             ratios[k] = round((now / floor) / (p / prev_floor), 2)
+            raw[k] = round(now / p, 2)
     if not ratios:
         return None
     vals = sorted(ratios.values())
+    rvals = sorted(raw.values())
     method_note = None
     if "reps_per_query" not in prev:
         method_note = (
@@ -148,13 +151,23 @@ def _vs_prev(timings: dict[str, float], floor: float, reps: int) -> dict | None:
         "floor_now_sec": floor,
         "n_common": len(ratios),
         "median_ratio": round(statistics.median(vals), 2),
+        # raw (un-normalized) twins: the floor estimate swings up to
+        # 4× between same-machine sessions (r11/r12), so raw is the
+        # trustworthy cross-round signal (the A/B discipline) and is
+        # what the repeat-on-outlier rule triggers on
+        "median_ratio_raw": round(statistics.median(rvals), 2),
         # nearest-rank p90 (ceil(0.9n)-1): flooring the index biases the
         # published tail-regression metric low
         "p90_ratio": round(vals[max(0, -(-9 * len(vals) // 10) - 1)], 2),
+        "p90_ratio_raw": round(rvals[max(0, -(-9 * len(rvals) // 10) - 1)], 2),
         "worst": dict(
             sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
         ),
+        "worst_raw": dict(
+            sorted(raw.items(), key=lambda kv: -kv[1])[:5]
+        ),
         "ratios": ratios,
+        "ratios_raw": raw,
     }
 
 
@@ -254,16 +267,20 @@ def main() -> None:
     # Repeat-on-outlier for the official bench (VERDICT r10 #6 — the
     # A/B and scaleup paths already re-time suspicious samples; the
     # vs_prev block published first-pass medians unchecked). Any entry
-    # whose floor-normalized ratio vs the previous round exceeds 1.15
-    # is re-timed within the same session (fresh median of `reps`,
-    # after a GC + cache clear); the SMALLER median wins — a genuine
-    # regression reproduces, session noise doesn't. The block records
-    # what was re-timed either way, so a published outlier is always a
-    # twice-measured one.
+    # whose RAW ratio vs the previous round exceeds 1.15 is re-timed
+    # within the same session (fresh median of `reps`, after a GC +
+    # cache clear); the SMALLER median wins — a genuine regression
+    # reproduces, session noise doesn't. The trigger moved from the
+    # floor-normalized ratio to the raw one in r12: the floor estimate
+    # swings up to 4× between same-machine sessions, and on a
+    # fast-floor session the normalized rule fired on 136/141 entries
+    # (pure churn) while on a slow-floor one it would mask genuine
+    # regressions. The block records what was re-timed either way, so
+    # a published outlier is always a twice-measured one.
     retimed: dict[str, dict] = {}
     if vs_prev:
         for name in sorted(
-            k for k, r in vs_prev["ratios"].items() if r > 1.15
+            k for k, r in vs_prev["ratios_raw"].items() if r > 1.15
         ):
             fn = engine.QUERIES.get(name)
             if fn is None:
@@ -410,8 +427,11 @@ def main() -> None:
                 "floor_now_sec",
                 "n_common",
                 "median_ratio",
+                "median_ratio_raw",
                 "p90_ratio",
+                "p90_ratio_raw",
                 "worst",
+                "worst_raw",
             )
         }
         vs_compact["outliers_retimed"] = sorted(
