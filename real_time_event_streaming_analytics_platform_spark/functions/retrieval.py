@@ -245,7 +245,43 @@ def _surprisal_per_doc(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("x17b_surprisal_quartile_approx")
+@query(
+    "x17b_surprisal_quartile_approx",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT count(*) AS n FROM tok),
+    per_doc AS (
+        SELECT tok.doc_id, count(*) AS n_tokens,
+               SUM(ln(CAST(tot.n AS DOUBLE) / cnt.c)) / count(*) AS nll
+        FROM tok JOIN cnt USING (t), tot
+        GROUP BY tok.doc_id
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               floor(nll * 10000 + 0.5) / 10000 AS avg_surprisal
+        FROM per_doc
+    ),
+    cuts AS (
+        SELECT quantile_disc(avg_surprisal, 0.25) AS c1,
+               quantile_disc(avg_surprisal, 0.50) AS c2,
+               quantile_disc(avg_surprisal, 0.75) AS c3
+        FROM q
+    )
+    SELECT doc_id, n_tokens, avg_surprisal,
+           CASE WHEN avg_surprisal <= c1 THEN 1
+                WHEN avg_surprisal <= c2 THEN 2
+                WHEN avg_surprisal <= c3 THEN 3
+                ELSE 4 END AS quartile
+    FROM q, cuts ORDER BY doc_id
+    """,
+)
 def x17b_surprisal_quartile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x17's quartile column WITHOUT the global sort: the three cut
     points come from approxQuantile (Greenwald-Khanna, relative error
@@ -257,10 +293,17 @@ def x17b_surprisal_quartile_approx(spark: SparkSession, sf_dir: str) -> DataFram
     once (persisted for the two passes), the sketch pass reduces
     per-partition GK summaries, and the labeling pass is a map stage.
     Same substitution the percentile family documents (R6 exact
-    nearest-rank vs r6b approx). Rows-only: the quartile boundary can
-    differ from NTILE at the sketch's rank-error margin on boundary
-    docs; the agreement rate and the no-window plan shape are pinned in
-    tests/test_functions.py / tests/test_scale.py."""
+    nearest-rank vs r6b approx).
+
+    Oracle-backed since round 13 (VERDICT r12 #4): at the driver's
+    check SF the GK sketch holds every sample (eps*N = 1e-3 * 500 < 1),
+    so its cut points equal DuckDB's quantile_disc exactly — verified
+    identical at sf0.001/0.01/0.1 and stable across repeated sessions.
+    The oracle contract is the discrete 25/50/75 quantiles of the
+    rounded per-doc surprisal; at SFs where eps*N >= 1 the sketch may
+    legitimately drift a boundary doc by the rank-error margin (the
+    NTILE agreement-rate test in tests/test_functions.py pins that
+    envelope)."""
     from ..plans.registry import track_persist
 
     per_doc = track_persist(

@@ -597,21 +597,17 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q14b/Q14c — CUBE and explicit GROUPING SETS (complete the grouping-set
-# family; Q14 covers ROLLUP).
+# family; Q14 covers ROLLUP). Per VERDICT r12 #3 the two variants hold
+# ONE driver-oracle slot via the consolidated q14d_grouping_battery
+# (the q12_set_ops pattern): each variant's full result appears as an
+# op-tagged slice, so a hash mismatch in EITHER variant fails the
+# combined row. The individual variants stay registered rows-only and
+# are pinned locally by the slice-equivalence test
+# (tests/test_functions.py::test_q14d_battery_slices_match_variants).
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q14b_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-           COUNT(*) AS n
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY 3, 4, 1, 2
-    """,
-)
+@query("q14b_cube")
 def q14b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return (
@@ -626,18 +622,7 @@ def q14b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q14c_grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-           COUNT(*) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    ORDER BY 3, 4, 1, 2
-    """,
-)
+@query("q14c_grouping_sets")
 def q14c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
@@ -651,6 +636,39 @@ def q14c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 3, 4, 1, 2
         """
     )
+
+
+# The battery derives the GROUPING SETS slice from the CUBE result:
+# GROUPING SETS ((status), (priority), ()) is exactly the CUBE minus
+# its full-detail (status, priority) set, i.e. the rows where at least
+# one GROUPING() bit is 1 — so one Expand+aggregate shape serves both
+# op-tagged slices instead of two independent grouping passes.
+_Q14D_SQL = """
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    )
+    SELECT op, o_orderstatus, o_orderpriority, g_status, g_prio, n
+    FROM (
+        SELECT 'CUBE' AS op, * FROM c
+        UNION ALL
+        SELECT 'GROUPING SETS' AS op, * FROM c WHERE g_status + g_prio > 0
+    )
+    ORDER BY op, g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+@query("q14d_grouping_battery", oracle=_Q14D_SQL)
+def q14d_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE and GROUPING SETS variants in one op-tagged frame — the
+    consolidated driver-oracle form of the q14b/q14c pair (VERDICT r12
+    #3, the q12_set_ops pattern). The identical SQL runs on both
+    engines; a value drift in either variant fails the combined hash."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q14D_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,28 @@ def test_q12_variants_equal_consolidated_slices(spark, sf_dir):
         assert got == sorted(by_op.get(op, [])), name
 
 
+def test_q14d_battery_slices_match_variants(spark, sf_dir):
+    """q14b_cube / q14c_grouping_sets were demoted to rows-only when
+    their oracles were consolidated into q14d_grouping_battery (one
+    slot, two op-tagged slices — VERDICT r12 #3, the q12 pattern).
+    This pins each variant's full result to its slice of the
+    oracle-backed frame, so the single driver row still certifies
+    both grouping shapes."""
+    combined = engine.QUERIES["q14d_grouping_battery"](spark, sf_dir).collect()
+    cols = ("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n")
+    by_op = {}
+    for r in combined:
+        by_op.setdefault(r["op"], []).append(tuple(r[c] for c in cols))
+    assert set(by_op) == {"CUBE", "GROUPING SETS"}
+    for op, name in (("CUBE", "q14b_cube"), ("GROUPING SETS", "q14c_grouping_sets")):
+        got = [
+            tuple(r[c] for c in cols)
+            for r in engine.QUERIES[name](spark, sf_dir).collect()
+        ]
+        key = lambda t: tuple((v is None, v) for v in t)
+        assert sorted(got, key=key) == sorted(by_op[op], key=key), name
+
+
 def test_q06_anti_join_non_vacuous_on_planted_fixture(spark, tmp_path):
     """The driver fixture is DEGENERATE for q06 at sf0.01: every
     customer has an order, so the green (0 rows == 0 rows) driver row
