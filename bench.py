@@ -1420,7 +1420,13 @@ def _bench_runtime_filter(spark, sf_dir: str) -> dict | None:
             else:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
             v = prev_f["spark.sql.optimizer.runtime.bloomFilter.enabled"]
-            if v is not None:
+            if v is None:
+                # originally unset: unset, don't leave it pinned to the
+                # block's "false" for the rest of the session (ADVICE r12)
+                spark.conf.unset(
+                    "spark.sql.optimizer.runtime.bloomFilter.enabled"
+                )
+            else:
                 spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
         out["note"] = (
             "default = production thresholds, injection is a deliberate no-op "

@@ -457,6 +457,17 @@ _TRAIN_FOLD_MODEL_MEMO: dict[str, tuple] = {}
 
 
 def _train_fold_model(train: DataFrame, memo_key: str | None = None):
+    """Fit (or recall) the train-fold langid model.
+
+    KEY CONTRACT (ADVICE r12): on a memo hit the ``train`` frame is
+    IGNORED, and the process-global memo is never invalidated — so
+    ``memo_key`` must uniquely determine the training fold's CONTENT
+    for the life of the process. The registered queries satisfy this
+    by keying on sf_dir + the fold boundary (both split sites below
+    append their boundary literal), which is unique as long as the
+    testdata under a given sf_dir is immutable within a session — the
+    driver's contract. Callers with ad-hoc frames (planted fixtures)
+    must pass ``None`` and always fit fresh."""
     if memo_key is not None and memo_key in _TRAIN_FOLD_MODEL_MEMO:
         return _TRAIN_FOLD_MODEL_MEMO[memo_key]
     _feats, W, langs = langid_model(train)
@@ -481,7 +492,11 @@ def langid_heldout_eval(docs: DataFrame, memo_key: str | None = None) -> DataFra
     prefix = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
     train = docs.where(prefix < F.lit("cc"))
     held = docs.where(prefix >= F.lit("cc"))
-    W, langs = _train_fold_model(train, memo_key)
+    # fold the split boundary into the memo key: the key must uniquely
+    # determine the train fold (_train_fold_model's contract)
+    W, langs = _train_fold_model(
+        train, None if memo_key is None else f"{memo_key}|<cc"
+    )
     preds = predict_with_model(held, char_gram_features(held), W, langs)
     return (
         preds.groupBy("lang")
@@ -561,7 +576,11 @@ def langid_heldout_confusion(
     prefix = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
     train = docs.where(prefix < F.lit("cc"))
     held = docs.where(prefix >= F.lit("cc"))
-    W, langs = _train_fold_model(train, memo_key)
+    # fold the split boundary into the memo key: the key must uniquely
+    # determine the train fold (_train_fold_model's contract)
+    W, langs = _train_fold_model(
+        train, None if memo_key is None else f"{memo_key}|<cc"
+    )
     preds = predict_with_model(held, char_gram_features(held), W, langs)
     row_n = Window.partitionBy("lang")
     return (

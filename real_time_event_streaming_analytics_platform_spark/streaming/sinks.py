@@ -342,7 +342,9 @@ def kll_store_quantiles(
     return est.select("key", "n", *cols)
 
 
-def shard_export_writer(path: str, run: str | None = None):
+def shard_export_writer(
+    path: str, run: str | None = None, checkpoint: str | None = None
+):
     """foreachBatch incremental shard exporter — the streaming twin of
     the x30 batch export (functions/pipeline.write_shards): a curated
     document stream is appended to a WebDataset-style K-shard store as
@@ -353,30 +355,41 @@ def shard_export_writer(path: str, run: str | None = None):
     keys as the batch export (shard = first md5 hex char of doc_id,
     within-shard order = the full md5), repartitioned by shard so K
     writer tasks stream their shard in shuffle order, and written to
-    (shard, run, epoch) partitions with dynamic partition overwrite:
+    (shard, run, epoch) partitions with dynamic partition overwrite.
+
+    Exactly-once envelope (S35/S37/S41):
 
     - a same-checkpoint REPLAY of epoch N rewrites exactly its own
       partitions with identical content — idempotent, no dedup pass;
     - a FRESH-checkpoint restart (epoch ids restart at 0 with
-      different rows) lands on a different ``run`` (content signature,
-      ``_batch_run_signature``) and APPENDS instead of clobbering —
-      the same hazard closure as kll_sketch_writer;
-    - readers see one parquet table whose union over (run, epoch) is
-      exactly-once per input document UNDER same-checkpoint replay
-      (any epoch, any number of times) and under fresh-checkpoint
-      restarts whose batch contents are identical or disjoint to the
-      committed ones. A fresh-checkpoint first batch that OVERLAPS a
-      committed batch without equaling it (old docs plus new) gets a
-      new signature and appends, duplicating the overlap — the
-      signature level cannot distinguish that from genuinely new data
-      (ADVICE r11). Restart-prone deployments should pass an explicit
-      checkpoint-stable ``run`` id instead, which restores clobbering
-      semantics for that run's epochs.
+      different rows) lands on a different ``run`` and APPENDS instead
+      of clobbering — the same hazard closure as kll_sketch_writer;
+    - a fresh-checkpoint first batch that OVERLAPS a committed batch
+      without equaling it (old docs plus new) appends the overlap as
+      duplicate rows — no run-id scheme can distinguish that from
+      genuinely new data at write time. The store-level closure is
+      ``compact_shard_store(..., reconcile_docs=True)`` (S41), which
+      folds the accumulated (run, epoch) partitions while keeping
+      exactly one row per document — the first-committed occurrence —
+      so the store is exactly-once again after the next maintenance
+      pass regardless of how the restart overlapped.
 
-    Pass ``run`` explicitly (e.g. the streaming query's checkpoint-
-    stable id) to skip the per-batch signature job and to pin the
-    restart semantics above."""
+    ``run`` resolution, in precedence order: an explicit ``run`` id;
+    a ``checkpoint`` location (the string passed to the query's
+    ``checkpointLocation`` — hashed to a stable id, so every epoch of
+    one checkpointed query shares a run and replay clobbering needs no
+    per-batch job); else a per-batch content signature
+    (``_batch_run_signature``), which costs one tiny aggregate job per
+    batch but needs no wiring."""
     from ..functions.pipeline import X30_SHARDS, _sharded
+
+    if run is None and checkpoint is not None:
+        import hashlib
+        import os as _os
+
+        run = "k" + hashlib.md5(
+            _os.path.abspath(checkpoint).encode("utf-8")
+        ).hexdigest()[:16]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         rid = run
@@ -445,7 +458,11 @@ def _shard_partials(sharded: DataFrame) -> DataFrame:
 
 
 def compact_shard_store(
-    spark, path: str, shards=None, target_files: int = 1
+    spark,
+    path: str,
+    shards=None,
+    target_files: int = 1,
+    reconcile_docs: bool = False,
 ) -> dict:
     """S38 — manifest-preserving compaction of an incremental shard
     store (VERDICT r11 #6). The exporter adds one (run, epoch)
@@ -486,7 +503,20 @@ def compact_shard_store(
     the store at rest and after recovery. The scale path is
     ``target_files > 1``: repartitionByRange keeps a global h order
     ACROSS a shard's files, so a shard compacts to bounded-size sorted
-    files with one shuffle and no global sort."""
+    files with one shuffle and no global sort.
+
+    ``reconcile_docs=True`` (S41, VERDICT r12 #2) additionally keeps
+    exactly ONE row per document across the shard's inputs — the
+    first-committed occurrence (lowest epoch, then run) — closing the
+    overlapping-fresh-checkpoint-restart hole the exporter cannot
+    close at write time: shard = first md5 hex char of doc_id, so all
+    copies of a document live in one shard and the per-shard dedup is
+    complete. Cost is one row_number window over the shard's rows,
+    partitioned by the (unique) order key h — an extra sort within the
+    same one-shuffle compaction budget — plus one count job for the
+    report's ``docs_dropped``. The compacted run id folds the mode in,
+    so a crashed plain compaction is never rolled forward as if it had
+    reconciled."""
     import json as _json
 
     jvm = spark._jvm
@@ -615,7 +645,10 @@ def compact_shard_store(
         ]
         import hashlib
 
-        crun = "c" + hashlib.md5("|".join(rels).encode()).hexdigest()[:16]
+        mode_tag = "dedup|" if reconcile_docs else ""
+        crun = "c" + hashlib.md5(
+            (mode_tag + "|".join(rels)).encode()
+        ).hexdigest()[:16]
         tmp_intent = HPath(shard_dir, "._compaction.json.tmp")
         out = fs.create(tmp_intent, True)
         try:
@@ -629,9 +662,31 @@ def compact_shard_store(
         fs.rename(tmp_intent, intent_path)
 
         dest = f"{path}/{name}/run={crun}/epoch=0"
+        docs_dropped = 0
+        if reconcile_docs:
+            from pyspark.sql import Window as _W
+
+            # basePath keeps the (run, epoch) partition columns so the
+            # winner is deterministic: first-committed = lowest epoch,
+            # then run. h = md5(doc_id) is the document identity.
+            ranked = (
+                spark.read.option("basePath", str(shard_dir))
+                .parquet(*[str(q) for q in inputs])
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        _W.partitionBy("h").orderBy(
+                            F.col("epoch").asc(), F.col("run").asc()
+                        )
+                    ),
+                )
+            )
+            docs_dropped = ranked.where(F.col("_rn") > 1).count()
+            src = ranked.where(F.col("_rn") == 1).drop("_rn", "run", "epoch")
+        else:
+            src = spark.read.parquet(*[str(q) for q in inputs])
         (
-            spark.read.parquet(*[str(q) for q in inputs])
-            .repartitionByRange(max(1, int(target_files)), "h")
+            src.repartitionByRange(max(1, int(target_files)), "h")
             .sortWithinPartitions("h")
             .write.mode("overwrite")
             .parquet(dest)
@@ -653,6 +708,8 @@ def compact_shard_store(
             "files_after": _data_files(shard_dir),
             "compacted": True,
         }
+        if reconcile_docs:
+            report[shard_val]["docs_dropped"] = docs_dropped
     return report
 
 
@@ -667,7 +724,17 @@ def shard_store_manifest_fast(spark, path: str) -> DataFrame:
     (tests/test_shard_export.py). Only valid for stores written by
     shard_export_writer / compacted by compact_shard_store; batch
     write_shards stores carry no partials (use the full-scan form or
-    the x30_shard_manifest query there)."""
+    the x30_shard_manifest query there).
+
+    Divergence window (ADVICE r12): the exporter's data write and
+    partials write are two separate jobs, so a crash BETWEEN them
+    leaves the epoch's rows committed but its partial missing — the
+    fast manifest under-reports while the full scan stays correct.
+    A same-checkpoint restart heals it (the replayed epoch rewrites
+    both sides — the S37 kill harness asserts fast == full after every
+    drain), and a reconciling/compacting pass rebuilds partials from
+    the data; only a crash followed by checkpoint ABANDONMENT with no
+    subsequent compaction leaves the gap standing."""
     p = spark.read.parquet(_partials_path(path))
     return (
         p.groupBy(F.col("shard").cast("bigint").alias("shard"))

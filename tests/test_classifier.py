@@ -493,7 +493,9 @@ def test_t1b_heldout_memo_is_value_identical_to_fresh_fit(spark):
         tuple(r)
         for r in engine.QUERIES["t1b_heldout_confusion"](spark, sf).collect()
     ]
-    assert sf in langid._TRAIN_FOLD_MODEL_MEMO  # the query path memoizes
+    # the query path memoizes under sf_dir + the fold-boundary token
+    # (ADVICE r12: the key must uniquely determine the train fold)
+    assert f"{sf}|<cc" in langid._TRAIN_FOLD_MODEL_MEMO
     docs = load(spark, sf, "documents")
     assert via_query_eval == [
         tuple(r) for r in langid.langid_heldout_eval(docs).collect()

@@ -296,6 +296,17 @@ def test_s37_shard_export_survives_sigkill_exactly_once(spark, tmpdir):
         got = _canon(shard_store_manifest(spark, out))
         want = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
         assert got == want, f"kill at {delay}s: manifest diverged"
+        # ADVICE r12: the data write and the manifest-partials write
+        # are two jobs; a kill BETWEEN them leaves the partial missing
+        # until the same-checkpoint replay rewrites both sides — after
+        # the drain the incremental partials must have healed to the
+        # full-scan manifest exactly.
+        from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+            shard_store_manifest_fast,
+        )
+
+        fast = _canon(shard_store_manifest_fast(spark, out))
+        assert fast == want, f"kill at {delay}s: fast manifest diverged"
 
 
 def _store_files(path):
@@ -563,6 +574,202 @@ def test_s40_fast_manifest_equals_full_scan_everywhere(spark, tmpdir):
         "doc_id", F.col("doc_id") + 1000000
     ), 7)
     _agree("post-compaction ingest")
+
+
+def test_s41_reconcile_compaction_closes_overlapping_restart(spark, tmpdir):
+    """S41 (VERDICT r12 #2) — the one write-time-unclosable hole: a
+    fresh-checkpoint restart whose first batch OVERLAPS a committed
+    batch without equaling it (old docs plus new) gets a new run id
+    and appends, duplicating the overlap. The store-level closure is
+    compact_shard_store(reconcile_docs=True): keep exactly one row per
+    document (first-committed occurrence) while folding partitions.
+    Pins: duplicates exist before, exactly-once after, batch-identical
+    manifest, fast == full manifest, docs_dropped reported, ascending
+    h preserved, and plain compaction (reconcile_docs=False) would NOT
+    have closed it (mode folded into the compacted run id)."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+        shard_store_manifest_fast,
+    )
+
+    docs = _docs(spark)
+    n = docs.count()
+    committed = docs.where(F.col("doc_id") % 3 == 0)
+    overlap_plus_new = docs  # committed ∪ new — the S41 shape
+    store = f"{tmpdir}/st"
+
+    # original run commits epochs 0 and 1, then the checkpoint is
+    # abandoned; the restarted query's first batch re-reads everything
+    write = shard_export_writer(store, checkpoint=f"{tmpdir}/ck_old")
+    write(committed.where(F.col("doc_id") % 2 == 0), 0)
+    write(committed.where(F.col("doc_id") % 2 == 1), 1)
+    write_fresh = shard_export_writer(store, checkpoint=f"{tmpdir}/ck_new")
+    write_fresh(overlap_plus_new, 0)
+
+    n_committed = committed.count()
+    t = spark.read.parquet(store)
+    assert t.count() == n + n_committed, "overlap did not duplicate"
+    assert t.select("doc_id").distinct().count() == n
+
+    report = compact_shard_store(spark, store, reconcile_docs=True)
+    assert any(v.get("compacted") for v in report.values()), report
+    assert (
+        sum(v.get("docs_dropped", 0) for v in report.values()) == n_committed
+    ), report
+
+    t = spark.read.parquet(store)
+    assert t.count() == n and t.select("doc_id").distinct().count() == n
+    want = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
+    assert _canon(shard_store_manifest(spark, store)) == want
+    assert _canon(shard_store_manifest_fast(spark, store)) == want
+
+    # winner is the FIRST-COMMITTED occurrence: every surviving row's
+    # content must match the original document exactly (same text)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in t.select("doc_id", "text").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == r["text"]
+
+    # within-file h order survives the dedup window
+    rows = (
+        t.select("h", F.input_file_name().alias("f")).collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["h"])
+    for f, hs in by_file.items():
+        assert hs == sorted(hs), f"unsorted file {f}"
+
+
+def test_s41_sigkill_then_fresh_checkpoint_then_reconcile(spark, tmpdir):
+    """S41 kill form — the full operational story: the exporter is
+    SIGKILLed mid-run, the checkpoint is ABANDONED (not drained), a
+    fresh-checkpoint query re-reads the whole input (its first batch =
+    committed docs ∪ the rest), and the next maintenance compaction
+    with reconcile_docs=True restores exactly-once. docs_dropped may
+    be zero (kill can land before the first commit) but the final
+    store must always be exact."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.streaming.sinks import (
+        compact_shard_store,
+        shard_store_manifest_fast,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    docs = _docs(spark).select("doc_id", "source", "text").collect()
+    n = len(docs)
+    os.makedirs(f"{tmpdir}/in", exist_ok=True)
+    per = (n + 39) // 40
+    for part in range(40):
+        chunk = docs[part * per : (part + 1) * per]
+        if not chunk:
+            break
+        with open(f"{tmpdir}/in/docs{part:02d}.jsonl", "w") as fh:
+            for i, r in enumerate(chunk):
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "ts": "2024-01-01T00:00:%02dZ" % (i % 60),
+                            "source": r["source"],
+                            "text": r["text"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(here)
+
+    def worker(mode, ck, **kw):
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(here, "_crash_stream_worker.py"),
+                mode,
+                f"{tmpdir}/in",
+                f"{tmpdir}/out",
+                ck,
+            ],
+            env=env,
+            start_new_session=True,
+            **kw,
+        )
+
+    proc = worker("shard_run", f"{tmpdir}/ck_old", stdout=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()
+        assert "STARTED" in line, f"worker never started: {line!r}"
+        time.sleep(4.0)
+        assert proc.poll() is None, "worker exited before the kill"
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
+    # checkpoint abandoned: drain with a FRESH checkpoint instead
+    drain = worker("shard_drain", f"{tmpdir}/ck_new")
+    assert drain.wait(timeout=300) == 0, "fresh-checkpoint drain failed"
+
+    t = spark.read.parquet(f"{tmpdir}/out")
+    assert t.select("doc_id").distinct().count() == n
+    dups_before = t.count() - n
+    assert dups_before >= 0
+
+    compact_shard_store(spark, f"{tmpdir}/out", reconcile_docs=True)
+    t = spark.read.parquet(f"{tmpdir}/out")
+    assert t.count() == n, f"{dups_before} dups before, store not exact after"
+    assert t.select("doc_id").distinct().count() == n
+    want = _canon(engine.QUERIES["x30_shard_manifest"](spark, SF_DIR))
+    assert _canon(shard_store_manifest(spark, f"{tmpdir}/out")) == want
+    assert _canon(shard_store_manifest_fast(spark, f"{tmpdir}/out")) == want
+
+
+def test_s41_checkpoint_stable_run_id_skips_signature_and_clobbers(
+    spark, tmpdir
+):
+    """shard_export_writer(checkpoint=...) derives ONE stable run id
+    for the whole query: every epoch lands under the same run=k...
+    directory (no per-batch signature job), and a same-epoch replay
+    clobbers its own partitions exactly as the signature path does."""
+    import glob
+    import os
+
+    docs = _docs(spark)
+    t1 = docs.where(F.col("doc_id") % 2 == 0)
+    t2 = docs.where(F.col("doc_id") % 2 == 1)
+    store = f"{tmpdir}/st"
+    write = shard_export_writer(store, checkpoint=f"{tmpdir}/ck")
+    write(t1, 0)
+    write(t2, 1)
+    write(t1, 0)  # replay
+
+    runs = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(store, "shard=*", "run=*"))
+    }
+    assert len(runs) == 1 and next(iter(runs)).startswith("run=k"), runs
+    t = spark.read.parquet(store)
+    assert t.count() == docs.count()
+    assert t.select("doc_id").distinct().count() == docs.count()
+    # same checkpoint string in a later session -> same run id
+    write_again = shard_export_writer(store, checkpoint=f"{tmpdir}/ck")
+    write_again(t2, 1)  # replay from a rebuilt writer
+    assert spark.read.parquet(store).count() == docs.count()
 
 
 def test_s38b_compaction_target_files_keeps_global_shard_order(spark, tmpdir):
