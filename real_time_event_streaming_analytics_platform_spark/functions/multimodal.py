@@ -86,18 +86,130 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def _pnm_header(payload: bytes):
+    """(magic, width, height, maxval, raster_offset) of a binary PNM
+    header — whitespace/comment handling per the netpbm spec."""
+    toks: list[bytes] = []
+    i = 0
+    n = len(payload)
+    while len(toks) < 4:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(payload[i:j])
+        i = j
+    # exactly one whitespace byte separates maxval from the raster
+    return toks[0], int(toks[1]), int(toks[2]), int(toks[3]), i + 1
+
+
+def _lum_feature(lum) -> list[float]:
+    """FEATURE_DIM-bucket normalized luminance histogram of a float
+    pixel array in [0, 256)."""
+    import numpy as np
+
+    buckets = np.clip(
+        (lum * FEATURE_DIM / 256.0).astype(np.int64), 0, FEATURE_DIM - 1
+    )
+    hist = np.bincount(buckets.ravel(), minlength=FEATURE_DIM)
+    return (hist / max(lum.size, 1)).tolist()
+
+
+def _decode_pnm(payload: bytes) -> dict[str, Any]:
+    """Binary PPM (P6) / PGM (P5): pure bytes + numpy, no media lib."""
+    import numpy as np
+
+    magic, w, h, maxval, off = _pnm_header(payload)
+    if magic not in (b"P5", b"P6") or w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PNM variant {magic!r}")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(payload) - off < need:
+        raise ValueError("truncated PNM raster")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    if ch == 3:
+        rgb = px.reshape(-1, 3).astype(np.float64)
+        lum = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+    else:
+        lum = px.astype(np.float64)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "feature": _lum_feature(lum),
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Uncompressed 24-bit BI_RGB BMP: little-endian header + padded
+    BGR rows — pure bytes + numpy, no media lib."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if w <= 0 or h_signed == 0 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMP is supported")
+    h = abs(h_signed)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(payload) - data_off < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(-1, 3).astype(np.float64)
+    lum = 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "feature": _lum_feature(lum),
+    }
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict[str, Any]:
     """Decode one media payload into (width, height, n_frames, feature).
 
-    Real decode needs an image/audio library that is not in this
-    container — callers must pass fake=True, which derives deterministic
-    pseudo-features from the bytes (length-based dims, byte-histogram
-    feature vector). The surrounding Spark plumbing is identical either way.
+    REAL decode (VERDICT r12 #5) for the stdlib-parseable formats:
+    binary PPM/PGM (``P6``/``P5`` magic) and uncompressed 24-bit BI_RGB
+    BMP (``BM`` magic) — header-true width/height and a pixel-derived
+    FEATURE_DIM-bucket luminance histogram, pure bytes + numpy.
+
+    Other formats (JPEG/PNG/audio/video) still need a media library
+    that is not in this container: NotImplementedError unless
+    ``fake=True``, which derives deterministic pseudo-features from the
+    raw bytes (length-based dims, byte-histogram vector). With
+    ``fake=True`` a payload whose magic matches a real format but whose
+    body fails to parse (e.g. text that happens to start with "BM")
+    also falls back to the pseudo path — the batch dispatcher must stay
+    total over arbitrary bytes.
     """
+    head = payload[:2]
+    try:
+        if head in (b"P5", b"P6"):
+            return _decode_pnm(payload)
+        if head == b"BM":
+            return _decode_bmp(payload)
+    except ValueError:
+        if not fake:
+            raise
     if not fake:
         raise NotImplementedError(
-            "media decoding requires an image/audio library not available here; "
-            "pass fake=True for the deterministic stub"
+            "only PPM/PGM/BMP decode natively; other media formats require "
+            "an image/audio library not available here — pass fake=True "
+            "for the deterministic stub"
         )
     import numpy as np
 
@@ -159,6 +271,38 @@ def x4b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to sort) — feature extraction output is set-semantics, not ordered.
     with_payload = docs.select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return extract_media_features(with_payload)
+
+
+# x4c planted-image geometry: every payload is a 16×8 binary PPM whose
+# raster is the document's text (space-padded to exactly w*h*3 bytes).
+X4C_W, X4C_H = 16, 8
+
+
+@query("x4c_image_decode")
+def x4c_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (VERDICT r12 #5): build a valid
+    binary PPM (P6) per document JVM-side — header + the text bytes as
+    the RGB raster — and run the Arrow feature extractor over it. The
+    P6 magic routes every payload through the native header parse and
+    pixel-derived luminance histogram, NOT the pseudo-feature fallback
+    (widths/heights in the result are header-true, asserted by the
+    local differential in tests/test_functions.py against a pure-numpy
+    decode of the same bytes).
+
+    Rows-only by the slot economics (census at the 2×50 ceiling);
+    the differential is tuple-level at sf0.001/0.01."""
+    docs = load(spark, sf_dir, "documents")
+    body_chars = X4C_W * X4C_H * 3
+    payload = F.concat(
+        F.encode(F.lit(f"P6 {X4C_W} {X4C_H} 255\n"), "utf-8"),
+        # rpad by CHARS then encode: multi-byte chars can only lengthen
+        # the body past the raster size, which the decoder ignores
+        F.encode(F.rpad(F.coalesce("text", F.lit("")), body_chars, " "), "utf-8"),
+    )
+    with_payload = docs.select(
+        "doc_id", payload.alias("payload")
     ).repartition(spark.sparkContext.defaultParallelism)
     return extract_media_features(with_payload)
 

@@ -169,6 +169,105 @@ def test_x4_media_features_schema_and_batches(spark):
         assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalization
 
 
+def _np_lum_hist(lum):
+    import numpy as np
+
+    buckets = np.clip((lum * FEATURE_DIM / 256.0).astype(np.int64), 0, FEATURE_DIM - 1)
+    return (np.bincount(buckets.ravel(), minlength=FEATURE_DIM) / lum.size).tolist()
+
+
+def test_x4_real_ppm_pgm_bmp_decode():
+    """VERDICT r12 #5: decode_image natively parses binary PPM/PGM/BMP
+    (pure bytes + numpy) — header-true dims, pixel-derived luminance
+    histogram, NO fake flag needed. Other formats keep the documented
+    NotImplementedError; a known magic with a garbage body falls back
+    to pseudo-features only under fake=True."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(45)
+
+    # P6 with a header comment; 5x4 RGB
+    rgb = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    ppm = b"P6\n# planted\n5 4\n255\n" + rgb.tobytes()
+    d = decode_image(ppm)
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 4, 1)
+    flat = rgb.reshape(-1, 3).astype(np.float64)
+    lum = 0.299 * flat[:, 0] + 0.587 * flat[:, 1] + 0.114 * flat[:, 2]
+    assert d["feature"] == pytest.approx(_np_lum_hist(lum))
+
+    # P5 grayscale 7x2
+    gray = rng.randint(0, 256, size=(2, 7), dtype=np.uint8)
+    pgm = b"P5 7 2 255\n" + gray.tobytes()
+    d = decode_image(pgm)
+    assert (d["width"], d["height"]) == (7, 2)
+    assert d["feature"] == pytest.approx(_np_lum_hist(gray.astype(np.float64)))
+
+    # BMP: 3x2, 24-bit BI_RGB, bottom-up, stride 12 (3 pad bytes/row)
+    w, h = 3, 2
+    stride = ((w * 3 + 3) // 4) * 4
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)  # BGR rows
+    raster = b"".join(
+        px[r].tobytes() + b"\0" * (stride - w * 3) for r in range(h - 1, -1, -1)
+    )
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    d = decode_image(bmp)
+    assert (d["width"], d["height"]) == (w, h)
+    flat = px.reshape(-1, 3).astype(np.float64)
+    lum = 0.299 * flat[:, 2] + 0.587 * flat[:, 1] + 0.114 * flat[:, 0]
+    assert d["feature"] == pytest.approx(_np_lum_hist(lum))
+
+    # unknown format still stubbed; bad body behind a real magic falls
+    # back only under fake=True
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+    with pytest.raises(ValueError):
+        decode_image(b"BMgarbage")
+    fb = decode_image(b"BMgarbage", fake=True)
+    assert len(fb["feature"]) == FEATURE_DIM
+
+
+def test_x4c_image_decode_matches_numpy_differential(spark):
+    """x4c (rows-only, d3b/t4b pattern): the registered query builds a
+    valid P6 payload per document and must route through the REAL
+    decode — header-true 16x8 dims and a luminance histogram equal to
+    a pure-numpy decode of the same planted bytes, tuple-for-tuple."""
+    import numpy as np
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        X4C_H,
+        X4C_W,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in engine.QUERIES["x4c_image_decode"](spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    body = X4C_W * X4C_H * 3
+    for r in docs:
+        out = got[r["doc_id"]]
+        assert (out["width"], out["height"], out["n_frames"]) == (
+            X4C_W,
+            X4C_H,
+            1,
+        )
+        text = (r["text"] or "").ljust(body, " ")
+        raw = text.encode("utf-8")[:body]
+        rgb = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+        lum = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+        want = _np_lum_hist(lum)
+        assert out["feature"] == pytest.approx(want, abs=1e-6), r["doc_id"]
+
+
 def test_t4_fingerprint_deterministic(spark):
     import real_time_event_streaming_analytics_platform_spark as engine
 
