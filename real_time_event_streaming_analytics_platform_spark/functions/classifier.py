@@ -405,7 +405,43 @@ def x26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_heldout_eval(docs: DataFrame, target=None) -> DataFrame:
+# Session-scoped memo for x26's train-fold weights, shared by the
+# held-out eval and the threshold-curve queries (the langid
+# _TRAIN_FOLD_MODEL_MEMO pattern; VERDICT r12 #7 — the pair would
+# otherwise each pay the IRLS fit). KEY CONTRACT (ADVICE r12, same as
+# langid): on a hit the train frame is ignored and the memo is never
+# invalidated, so the key must uniquely determine the fold CONTENT and
+# the target — the registered queries key on sf_dir + fold boundary +
+# target tag; ad-hoc frames (planted fixtures, custom targets) pass
+# None and always fit fresh. The fit is deterministic, so memo-vs-fresh
+# is value-identical (pinned in tests/test_classifier.py).
+_QUALITY_FOLD_MEMO: dict[str, object] = {}
+
+# x5's md5 train-fold boundary, shared by every held-out x26 surface
+_FOLD_PREFIX_SQL = "substring(md5(cast(doc_id as string)), 1, 2)"
+_FOLD_BOUNDARY = "cc"
+
+
+def _quality_train_fold_model(train: DataFrame, target, memo_key: str | None):
+    if memo_key is not None and memo_key in _QUALITY_FOLD_MEMO:
+        return _QUALITY_FOLD_MEMO[memo_key]
+    w = fit_quality_lr(track_persist(hashed_features(train, target)))
+    if memo_key is not None:
+        _QUALITY_FOLD_MEMO[memo_key] = w
+    return w
+
+
+def _heldout_split(docs: DataFrame):
+    prefix = F.expr(_FOLD_PREFIX_SQL)
+    return (
+        docs.where(prefix < F.lit(_FOLD_BOUNDARY)),
+        docs.where(prefix >= F.lit(_FOLD_BOUNDARY)),
+    )
+
+
+def quality_heldout_eval(
+    docs: DataFrame, target=None, memo_key: str | None = None
+) -> DataFrame:
     """Held-out generalization measurement for the x26 quality LR
     (VERDICT r10 #5): train ONLY on x5's deterministic md5 'train'
     fold against the weak labels (default: lang = 'en', x26's target),
@@ -420,10 +456,8 @@ def quality_heldout_eval(docs: DataFrame, target=None) -> DataFrame:
     separable corpus the same pipeline is perfect held-out."""
     if target is None:
         target = F.col("lang") == "en"
-    prefix = F.expr("substring(md5(cast(doc_id as string)), 1, 2)")
-    train = docs.where(prefix < F.lit("cc"))
-    held = docs.where(prefix >= F.lit("cc"))
-    w = fit_quality_lr(track_persist(hashed_features(train, target)))
+    train, held = _heldout_split(docs)
+    w = _quality_train_fold_model(train, target, memo_key)
     scored = held.select(
         "doc_id", target.cast("long").alias("label")
     ).join(
@@ -446,8 +480,167 @@ def quality_heldout_eval(docs: DataFrame, target=None) -> DataFrame:
 
 @query("x26_heldout_eval")
 def x26_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (trained model): held-out per-class eval of x26."""
-    return quality_heldout_eval(load(spark, sf_dir, "documents"))
+    """Rows-only (trained model): held-out per-class eval of x26.
+    Shares the train-fold fit with x26b_threshold_curve via the
+    session memo (identical model by determinism)."""
+    return quality_heldout_eval(
+        load(spark, sf_dir, "documents"),
+        memo_key=f"{sf_dir}|<{_FOLD_BOUNDARY}|en",
+    )
+
+
+# Threshold grid for the operating-point curve: 0.05 steps, open ends
+# (t = 0 keeps everything, t = 1 keeps nothing — neither is a usable
+# operating point).
+THRESHOLD_GRID_STEP = 0.05
+
+
+def quality_threshold_curve(
+    docs: DataFrame, target=None, memo_key: str | None = None
+) -> DataFrame:
+    """Held-out precision/recall curve for the x26 quality filter
+    (VERDICT r12 #6) — the missing step between TRAINING a filter and
+    RUNNING it at 100 TB: model_keep_list was wired with a hard-coded
+    0.5; this measures, per candidate threshold t over the held fold,
+    what the filter would do, so the funnel can pick an operating
+    point instead of guessing.
+
+    Output: (threshold, n_keep, tp, precision, recall, f1) — one row
+    per grid threshold, keep-rule ``prob >= t``.
+
+    100 TB shape: the corpus-sized work is ONE aggregation — each
+    held-out doc's score is bucketed (floor(prob/step)) and reduced to
+    ≤ 1/step+1 (bucket, n, positives) rows; the per-threshold
+    cumulative counts come from a broadcast inequality-join over that
+    tiny frame (threshold t keeps bucket >= t/step exactly, no float
+    boundary ambiguity). No per-threshold rescan, no global sort, no
+    driver-side score collection. f1 uses the identity
+    2TP/(2TP+FP+FN) = 2·tp/(n_keep + P)."""
+    if target is None:
+        target = F.col("lang") == "en"
+    spark = docs.sparkSession
+    train, held = _heldout_split(docs)
+    w = _quality_train_fold_model(train, target, memo_key)
+    scored = held.select(
+        "doc_id", target.cast("long").alias("label")
+    ).join(
+        quality_scores(held, hashed_features(held, target), w), "doc_id"
+    )
+    step = THRESHOLD_GRID_STEP
+    buckets = (
+        scored.select(
+            F.floor(F.col("prob") / F.lit(step)).cast("int").alias("b"),
+            "label",
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("n"), F.sum("label").alias("pos"))
+    )
+    totals = scored.agg(
+        F.sum("label").cast("long").alias("P"),
+        F.count("*").alias("n_held"),
+    )
+    n_grid = int(round(1.0 / step)) - 1
+    grid = spark.range(1, n_grid + 1).select(F.col("id").cast("int").alias("i"))
+    cum = (
+        grid.join(F.broadcast(buckets), buckets["b"] >= grid["i"], "left")
+        .groupBy("i")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_keep"),
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.round(F.col("i") * step, 2).alias("threshold"),
+            "n_keep",
+            "tp",
+            round2(
+                F.when(
+                    F.col("n_keep") > 0, F.col("tp") / F.col("n_keep")
+                )
+            ).alias("precision"),
+            round2(
+                F.when(F.col("P") > 0, F.col("tp") / F.col("P"))
+            ).alias("recall"),
+            round2(
+                F.when(
+                    F.col("n_keep") + F.col("P") > 0,
+                    2.0 * F.col("tp") / (F.col("n_keep") + F.col("P")),
+                ).otherwise(0.0)
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def select_operating_point(
+    curve: DataFrame,
+    mode: str = "max_f1",
+    precision_floor: float | None = None,
+) -> DataFrame:
+    """Pick ONE operating point off a quality_threshold_curve frame.
+
+    - ``max_f1``: the threshold maximizing f1 (ties → lowest
+      threshold, i.e. highest recall — deterministic).
+    - ``precision_floor``: the lowest threshold whose measured
+      precision >= the floor (max recall subject to the floor) —
+      empty frame if the floor is unachievable, which callers must
+      treat as "do not deploy the filter".
+
+    Tiny-frame op (≤ 19 rows in, 1 row out) — orderBy/limit here is
+    driver-trivial at any corpus scale because the curve is already
+    reduced."""
+    if mode == "max_f1":
+        return curve.orderBy(F.col("f1").desc(), F.col("threshold").asc()).limit(1)
+    if mode == "precision_floor":
+        if precision_floor is None:
+            raise ValueError("precision_floor mode needs a floor value")
+        return (
+            curve.where(F.col("precision") >= precision_floor)
+            .orderBy(F.col("threshold").asc())
+            .limit(1)
+        )
+    raise ValueError(f"unknown operating-point mode {mode!r}")
+
+
+def quality_keep_auto(
+    docs: DataFrame,
+    target,
+    mode: str = "max_f1",
+    precision_floor: float | None = None,
+) -> tuple[DataFrame, float]:
+    """The measured-threshold funnel stage: pick the operating point
+    from the HELD-OUT curve (never from training scores), then fit the
+    deployment model on all of ``docs`` and return (keep_list,
+    chosen_threshold) — quality_keep with the hard-coded threshold
+    replaced by the measurement. The 1-row collect is the bounded
+    driver transfer (a float), not data."""
+    point = select_operating_point(
+        quality_threshold_curve(docs, target),
+        mode=mode,
+        precision_floor=precision_floor,
+    ).collect()
+    if not point:
+        raise ValueError(
+            f"no threshold meets precision_floor={precision_floor}; "
+            "refusing to deploy the filter blind"
+        )
+    t = float(point[0]["threshold"])
+    return quality_keep(docs, target, threshold=t), t
+
+
+@query("x26b_threshold_curve")
+def x26b_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (trained model): held-out precision/recall/f1 at each
+    grid threshold for the x26 quality filter. Shares the train-fold
+    fit with x26_heldout_eval via the session memo; tuple-level numpy
+    differential + graded-signal non-degeneracy pinned in
+    tests/test_classifier.py."""
+    return quality_threshold_curve(
+        load(spark, sf_dir, "documents"),
+        memo_key=f"{sf_dir}|<{_FOLD_BOUNDARY}|en",
+    )
 
 
 def score_docs_stream(stream_docs: DataFrame, w) -> DataFrame:

@@ -115,6 +115,122 @@ def test_funnel_model_stage_composes(spark):
         assert m["kept_tokens"] <= b["kept_tokens"]
 
 
+def test_x26b_threshold_curve_matches_numpy_differential(spark):
+    """x26b (VERDICT r12 #6): the registered held-out threshold curve
+    must equal a numpy recomputation from the held-fold scores under
+    the SAME (memoized) train-fold weights — exact tp/n_keep per grid
+    threshold, metric columns to round2 tolerance. Also pins the memo
+    honesty (query path memoizes; memo values equal a fresh fit) and
+    the x26_heldout_eval/x26b fit sharing."""
+    import math
+
+    from real_time_event_streaming_analytics_platform_spark.functions import classifier as C
+
+    sf = "/root/testdata/sf0.001"
+    curve = engine.QUERIES["x26b_threshold_curve"](spark, sf).collect()
+    key = f"{sf}|<{C._FOLD_BOUNDARY}|en"
+    assert key in C._QUALITY_FOLD_MEMO, "query path must memoize the fold fit"
+    # eval query shares the SAME memo entry (one fit for the pair)
+    via_eval = engine.QUERIES["x26_heldout_eval"](spark, sf).collect()
+    fresh_eval = C.quality_heldout_eval(load(spark, sf, "documents")).collect()
+    assert [tuple(r) for r in via_eval] == [tuple(r) for r in fresh_eval]
+
+    docs = load(spark, sf, "documents")
+    target = F.col("lang") == "en"
+    _, held = C._heldout_split(docs)
+    w = C._QUALITY_FOLD_MEMO[key]
+    scored = (
+        held.select("doc_id", target.cast("long").alias("label"))
+        .join(
+            C.quality_scores(held, C.hashed_features(held, target), w),
+            "doc_id",
+        )
+        .collect()
+    )
+    labels = np.array([r["label"] for r in scored])
+    probs = np.array([r["prob"] for r in scored])
+    P = int(labels.sum())
+    step = C.THRESHOLD_GRID_STEP
+    b = np.floor(probs / step).astype(int)
+    got = {r["threshold"]: r for r in curve}
+    assert len(curve) == 19 and len(got) == 19
+    for i in range(1, 20):
+        t = round(i * step, 2)
+        mask = b >= i
+        n_keep, tp = int(mask.sum()), int(labels[mask].sum())
+        r = got[t]
+        assert (r["n_keep"], r["tp"]) == (n_keep, tp), t
+        if n_keep:
+            assert r["precision"] == math.floor(tp / n_keep * 100 + 0.5) / 100, t
+        else:
+            assert r["precision"] is None, t
+        assert r["recall"] == math.floor(tp / P * 100 + 0.5) / 100, t
+        want_f1 = math.floor(2.0 * tp / (n_keep + P) * 100 + 0.5) / 100
+        assert r["f1"] == want_f1, t
+
+
+def test_threshold_curve_operating_point_and_auto_keep_on_signal(spark):
+    """On the planted full-signal corpus (plant_lang_markers p=1.0) the
+    curve is non-degenerate and the measured operating point is nearly
+    perfect; quality_keep_auto deploys exactly the measured threshold
+    into the funnel's model stage (the funnel-wiring done-condition of
+    VERDICT r12 #6)."""
+    from real_time_event_streaming_analytics_platform_spark.functions.classifier import (
+        quality_keep_auto,
+        quality_threshold_curve,
+        select_operating_point,
+    )
+    from real_time_event_streaming_analytics_platform_spark.functions.langid import (
+        plant_lang_markers,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    planted = plant_lang_markers(docs, 1.0)
+    target = F.col("lang") == "en"
+    curve_df = quality_threshold_curve(planted, target)
+    curve = curve_df.collect()
+    assert len(curve) == 19
+    # monotone structure: keep-count and recall never increase with t
+    for a, c in zip(curve, curve[1:]):
+        assert c["n_keep"] <= a["n_keep"]
+        assert c["recall"] <= a["recall"]
+    best = select_operating_point(curve_df).collect()[0]
+    assert best["f1"] == max(r["f1"] for r in curve)
+    assert best["f1"] >= 0.97, best  # full signal is fully separable
+    # ties resolve to the lowest threshold deterministically
+    tied = min(r["threshold"] for r in curve if r["f1"] == best["f1"])
+    assert best["threshold"] == tied
+
+    # precision-floor mode: lowest threshold whose precision meets the
+    # floor; an unachievable floor returns an EMPTY frame (refuse to
+    # deploy), never a silent fallback
+    pf = select_operating_point(
+        curve_df, "precision_floor", precision_floor=0.9
+    ).collect()
+    assert pf and pf[0]["precision"] >= 0.9
+    assert pf[0]["threshold"] == min(
+        r["threshold"] for r in curve
+        if r["precision"] is not None and r["precision"] >= 0.9
+    )
+    assert (
+        select_operating_point(
+            curve_df, "precision_floor", precision_floor=1.1
+        ).count()
+        == 0
+    )
+
+    # funnel wiring: the deployed threshold IS the measured point
+    keep, t = quality_keep_auto(planted, target)
+    assert t == best["threshold"]
+    modeled = {
+        r["source"]: r.asDict()
+        for r in curation_funnel(planted, model_keep=keep).collect()
+    }
+    assert modeled and all(
+        m["n_model"] <= m["n_quality"] for m in modeled.values()
+    )
+
+
 def test_s29_streaming_scorer_matches_batch(spark, tmp_path):
     """S29: a frozen-model streaming scorer over arriving documents
     must produce bitwise-identical probabilities to the batch scorer —
