@@ -1626,12 +1626,26 @@ def _bench_shard_store(spark, sf_dir: str) -> dict | None:
         out["manifest_fast_sec"] = med3(
             lambda: shard_store_manifest_fast(spark, f"{d}/st").collect()
         )
+        # S41: an overlapping fresh-checkpoint restart appends duplicate
+        # rows; the reconcile compaction (row_number over h inside the
+        # same one-shuffle fold) is the store-level closure — measure
+        # what the dedup adds over the plain compact above.
+        write_fresh = shard_export_writer(f"{d}/st", checkpoint=f"{d}/ck2")
+        write_fresh(docs.where(F.col("doc_id") % 2 == 0), 0)
+        t0 = time.monotonic()
+        rep2 = compact_shard_store(spark, f"{d}/st", reconcile_docs=True)
+        out["reconcile_compact_sec"] = round(time.monotonic() - t0, 3)
+        out["reconcile_docs_dropped"] = sum(
+            v.get("docs_dropped", 0) for v in rep2.values()
+        )
         out["note"] = (
             "8-batch export into (shard, run, epoch) partitions + "
             "partials, then compaction to 1 sorted file/shard; manifest "
             "walls are median-of-3 warm. fast folds O(epochs) partial "
             "rows; full re-scans every document — at bench SF both are "
-            "small, the claim the pair evidences is the SHAPE"
+            "small, the claim the pair evidences is the SHAPE. "
+            "reconcile_compact folds an overlapping-restart store "
+            "(50% duplicated) back to exactly-once (S41)"
         )
     except Exception as exc:
         print(f"bench: shard store lifecycle failed: {exc!r}", file=sys.stderr)
