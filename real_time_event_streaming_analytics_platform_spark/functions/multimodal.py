@@ -122,8 +122,9 @@ def _lum_feature(lum) -> list[float]:
     return (hist / max(lum.size, 1)).tolist()
 
 
-def _decode_pnm(payload: bytes) -> dict[str, Any]:
-    """Binary PPM (P6) / PGM (P5): pure bytes + numpy, no media lib."""
+def _pnm_lum(payload: bytes):
+    """Binary PPM (P6) / PGM (P5) → (width, height, flat float64
+    luminance array): pure bytes + numpy, no media lib."""
     import numpy as np
 
     magic, w, h, maxval, off = _pnm_header(payload)
@@ -139,6 +140,11 @@ def _decode_pnm(payload: bytes) -> dict[str, Any]:
         lum = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
     else:
         lum = px.astype(np.float64)
+    return w, h, lum
+
+
+def _decode_pnm(payload: bytes) -> dict[str, Any]:
+    w, h, lum = _pnm_lum(payload)
     return {
         "width": w,
         "height": h,
@@ -147,9 +153,9 @@ def _decode_pnm(payload: bytes) -> dict[str, Any]:
     }
 
 
-def _decode_bmp(payload: bytes) -> dict[str, Any]:
-    """Uncompressed 24-bit BI_RGB BMP: little-endian header + padded
-    BGR rows — pure bytes + numpy, no media lib."""
+def _bmp_lum(payload: bytes):
+    """Uncompressed 24-bit BI_RGB BMP → (width, height, flat float64
+    luminance): little-endian header + padded bottom-up BGR rows."""
     import struct
 
     import numpy as np
@@ -169,8 +175,16 @@ def _decode_bmp(payload: bytes) -> dict[str, Any]:
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off
     ).reshape(h, stride)[:, : w * 3]
+    if h_signed > 0:  # positive height = bottom-up storage: flip to
+        rows = rows[::-1]  # top-down so geometry (not just histograms)
+        # is true for consumers like the dHash grid below
     bgr = rows.reshape(-1, 3).astype(np.float64)
     lum = 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
+    return w, h, lum
+
+
+def _decode_bmp(payload: bytes) -> dict[str, Any]:
+    w, h, lum = _bmp_lum(payload)
     return {
         "width": w,
         "height": h,
@@ -305,6 +319,221 @@ def x4c_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", payload.alias("payload")
     ).repartition(spark.sparkContext.defaultParallelism)
     return extract_media_features(with_payload)
+
+
+# ---------------------------------------------------------------------------
+# X4D — perceptual-hash image dedup (dHash over REAL decoded pixels).
+#
+# dHash ("difference hash") is the standard public perceptual-hash
+# scheme: block-mean the luminance grid to (GRID_H x GRID_W+1), emit one
+# bit per horizontal neighbor comparison — invariant to uniform
+# brightness shift and robust to small pixel edits. The dedup shape is
+# the image twin of x2c's SimHash text path: exact groups first (groupBy
+# the full 64-bit hash — constant-background images collapse here, not
+# in LSH buckets), then hamming-banded candidates over DISTINCT hashes
+# only. With 4 x 16-bit bands and max_distance <= 3, the band join is
+# EXACT by pigeonhole (<= 3 differing bits cannot touch all 4 bands), so
+# uncapped buckets lose zero recall — asserted tuple-for-tuple against a
+# brute-force numpy all-pairs in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+DHASH_GRID_H, DHASH_GRID_W = 8, 8  # 8 rows x 8 diff-bits = 64-bit hash
+
+
+def _image_lum(payload: bytes):
+    """(width, height, flat luminance) for the natively decodable
+    formats; ValueError/NotImplementedError mirror decode_image."""
+    head = payload[:2]
+    if head in (b"P5", b"P6"):
+        return _pnm_lum(payload)
+    if head == b"BM":
+        return _bmp_lum(payload)
+    raise NotImplementedError("only PPM/PGM/BMP decode natively")
+
+
+def dhash64(w: int, h: int, lum) -> int:
+    """64-bit dHash of a flat luminance array: integral-image block
+    means to a (GRID_H, GRID_W+1) grid — O(w*h) regardless of grid
+    size — then bit i*GRID_W+j = mean[i,j] > mean[i,j+1], packed
+    big-endian and returned as a SIGNED 64-bit int (Spark LongType).
+
+    All arithmetic is EXACT: luminance is integerized (x1000 — the
+    0.299/0.587/0.114 weights become integer 299/587/114 sums, recovered
+    via rint), the integral image is int64, and the 64 mean comparisons
+    cross-multiply (sum_a * area_b > sum_b * area_a) in Python ints. A
+    float integral image would be wrong here, not just imprecise: its
+    inclusion-exclusion cancellation error (~1e-13) flips comparisons
+    between EXACTLY tied block means — e.g. a constant padded region —
+    so a one-pixel edit anywhere would perturb far-away tie bits and
+    inflate every hamming distance."""
+    import numpy as np
+
+    li = np.rint(np.asarray(lum, dtype=np.float64) * 1000.0).astype(np.int64)
+    img = li.reshape(h, w)
+    ys = (np.arange(DHASH_GRID_H + 1) * h) // DHASH_GRID_H
+    xs = (np.arange(DHASH_GRID_W + 2) * w) // (DHASH_GRID_W + 1)
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = img.cumsum(0).cumsum(1)
+    sums = (
+        ii[np.ix_(ys[1:], xs[1:])]
+        - ii[np.ix_(ys[:-1], xs[1:])]
+        - ii[np.ix_(ys[1:], xs[:-1])]
+        + ii[np.ix_(ys[:-1], xs[:-1])]
+    )
+    # degenerate dims (h < GRID_H or w < GRID_W+1) leave empty blocks:
+    # sum 0 with area clamped to 1 -> mean 0, still deterministic
+    areas = np.maximum(
+        (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :], 1
+    )
+    # object dtype: the cross-products can exceed int64 for ~100 MP
+    # images (sum <= 255000*w*h, area <= w*h); it's 64 comparisons on an
+    # 8x9 grid, so arbitrary-precision costs nothing
+    s = sums.astype(object)
+    a = areas.astype(object)
+    bits = (s[:, :-1] * a[:, 1:] > s[:, 1:] * a[:, :-1]).ravel()
+    v = int.from_bytes(np.packbits(bits.astype(bool)).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def phash_images(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → (doc_id, phash long) via Arrow-batched
+    native decode. Null or undecodable payloads yield a null hash (the
+    batch dispatcher stays total, like extract_media_features)."""
+
+    def one(p) -> int | None:
+        if p is None:
+            return None
+        try:
+            return dhash64(*_image_lum(bytes(p)))
+        except (ValueError, NotImplementedError):
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "phash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_distance: int = 3, cap: int | None = None
+) -> DataFrame:
+    """Near-dup image pairs from a (doc_id, phash) frame:
+    (doc_a, doc_b, hamming, n_a, n_b) at exact-group representative
+    level (rep = min doc_id per hash; n_* = that hash's group size).
+
+    Scale shape: the groupBy collapses every exact duplicate BEFORE the
+    LSH self-join, so band buckets are bounded by DISTINCT hashes; with
+    4 bands and max_distance <= 3 the candidate join is exact
+    (pigeonhole), and ``cap`` stays available as the x2c-style hot-
+    bucket valve for corpora whose distinct-hash space is itself
+    skewed."""
+    from ..plans.registry import track_persist
+    from .dedup import cap_buckets
+
+    # persist the (tiny: one row per DISTINCT hash) rep frame — the LSH
+    # self-join otherwise re-runs the Arrow decode+hash of the whole
+    # corpus once per side (both subtrees feed separate exchanges, so
+    # ReuseExchange does not collapse them)
+    reps = track_persist(
+        hashes.where(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_docs"))
+    )
+    banded = reps.select(
+        "rep",
+        "phash",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "rep", "phash", "n_docs", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    banded = cap_buckets(banded, ["band", "bh"], cap)
+    a = banded.select(
+        F.col("rep").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        F.col("n_docs").alias("n_a"),
+        "band",
+        "bh",
+    )
+    b = banded.select(
+        F.col("rep").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("n_docs").alias("n_b"),
+        "band",
+        "bh",
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b", "n_a", "n_b")
+        .distinct()
+        .where(hamming <= max_distance)
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("int").alias("hamming"),
+            "n_a",
+            "n_b",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+X4D_VARIANT_OFFSET = 1_000_000_000
+
+
+@query("x4d_phash_near_dup")
+def x4d_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over planted P6 images: every document
+    becomes an x4c-style 16x8 PPM, and every doc_id % 4 == 0 also
+    plants a VARIANT (doc_id + 1e9) whose first pixel is overlaid with
+    0xFFFFFF JVM-side — a single-grid-cell edit, so each variant sits
+    within hamming 1 of its base (or collapses into its exact group).
+    The pipeline is decode → dHash → exact-group → banded near-join;
+    rows-only by the slot economics (pixel decode has no DuckDB twin);
+    the tuple-level brute-force numpy differential and the planted-pair
+    recall assertion live in tests/test_functions.py."""
+    docs = load(spark, sf_dir, "documents")
+    body_chars = X4C_W * X4C_H * 3
+    header = F.encode(F.lit(f"P6 {X4C_W} {X4C_H} 255\n"), "utf-8")
+    body = F.encode(F.rpad(F.coalesce("text", F.lit("")), body_chars, " "), "utf-8")
+    base = docs.select("doc_id", F.concat(header, body).alias("payload"))
+    variants = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(X4D_VARIANT_OFFSET)).alias("doc_id"),
+        F.concat(
+            header, F.lit(bytes([255, 255, 255])), F.substring(body, 4, body_chars)
+        ).alias("payload"),
+    )
+    imgs = base.unionAll(variants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return phash_near_dup_pairs(phash_images(imgs), max_distance=3)
 
 
 # ---------------------------------------------------------------------------

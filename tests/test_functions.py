@@ -268,6 +268,87 @@ def test_x4c_image_decode_matches_numpy_differential(spark):
         assert out["feature"] == pytest.approx(want, abs=1e-6), r["doc_id"]
 
 
+def test_x4d_dhash_properties():
+    """dHash invariants: uniform brightness shift leaves the hash
+    unchanged (differences are preserved); a single-grid-cell pixel
+    edit moves hamming by at most 2 (the cell's left and right
+    comparisons) even when the rest of the image is constant — the
+    exact-integer tie handling is what makes the second property hold
+    (a float integral image flips far-away tie bits)."""
+    import numpy as np
+
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        dhash64,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 16, 8
+    lum = rng.randint(0, 200, size=w * h).astype(np.float64)
+    assert dhash64(w, h, lum) == dhash64(w, h, lum + 55.0)
+
+    flat = np.full(w * h, 32.0)  # constant image: every comparison ties
+    base = dhash64(w, h, flat)
+    edited = flat.copy()
+    edited[0] = 255.0  # pixel (0,0) = grid cell (0,0) alone at 16x8
+    d = dhash64(w, h, edited)
+    assert bin((base ^ d) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_x4d_phash_near_dup_matches_numpy_differential(spark):
+    """x4d (rows-only, d3b/t4b pattern): tuple-for-tuple equality with
+    a brute-force numpy replication — same planted payloads, dhash64
+    per image, exact groups by hash, all-pairs hamming <= 3 at
+    representative level. Equality also proves the 4x16-band join is
+    exact at this threshold (pigeonhole: <= 3 differing bits leave at
+    least one band identical). Planted variants must pair with their
+    base at hamming <= 1 whenever the hashes differ."""
+    import itertools
+
+    import numpy as np
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        X4C_H,
+        X4C_W,
+        X4D_VARIANT_OFFSET,
+        _image_lum,
+        dhash64,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["n_a"], r["n_b"])
+        for r in engine.QUERIES["x4d_phash_near_dup"](spark, SF_DIR).collect()
+    }
+
+    body = X4C_W * X4C_H * 3
+    header = f"P6 {X4C_W} {X4C_H} 255\n".encode()
+    hashes: dict[int, int] = {}
+    for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        raw = (r["text"] or "").ljust(body, " ")[:body].encode("utf-8")
+        hashes[r["doc_id"]] = dhash64(*_image_lum(header + raw))
+        if r["doc_id"] % 4 == 0:
+            var = header + bytes([255, 255, 255]) + raw[3 : 3 + body]
+            hashes[r["doc_id"] + X4D_VARIANT_OFFSET] = dhash64(*_image_lum(var))
+
+    groups: dict[int, list[int]] = {}
+    for doc_id, ph in hashes.items():
+        groups.setdefault(ph, []).append(doc_id)
+    reps = {min(ids): (ph, len(ids)) for ph, ids in groups.items()}
+    want = {}
+    for (a, (ph_a, n_a)), (b, (ph_b, n_b)) in itertools.combinations(
+        sorted(reps.items()), 2
+    ):
+        ham = bin((ph_a ^ ph_b) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            want[(a, b)] = (ham, n_a, n_b)
+    assert got == want
+
+    for doc_id, ph in hashes.items():
+        if doc_id >= X4D_VARIANT_OFFSET:
+            base_ph = hashes[doc_id - X4D_VARIANT_OFFSET]
+            assert bin((ph ^ base_ph) & ((1 << 64) - 1)).count("1") <= 1
+
+
 def test_t4_fingerprint_deterministic(spark):
     import real_time_event_streaming_analytics_platform_spark as engine
 
