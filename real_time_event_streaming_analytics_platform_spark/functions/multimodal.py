@@ -505,6 +505,190 @@ def phash_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# X4E — native WAV (RIFF PCM) audio decode: the audio twin of the
+# PPM/BMP image path. Pure struct + numpy — chunk-walked RIFF container,
+# PCM 8/16-bit, channel-averaged mono — so the audio half of the
+# multimodal story also runs a REAL decode with no media library.
+# Features are the standard cheap audio descriptors: duration, RMS
+# level, zero-crossing rate.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zcr", FloatType()),
+    ]
+)
+
+
+def _wav_pcm(payload: bytes):
+    """RIFF/WAVE PCM → (sample_rate, n_channels, mono float64 samples).
+
+    Chunk-walked per the RIFF spec (fmt may precede data with other
+    chunks interleaved; odd-sized chunks are word-padded). PCM 16-bit
+    signed LE and 8-bit unsigned (centered at 128) are supported; the
+    data chunk is read to its DECLARED size, trailing bytes ignored.
+    Multi-channel audio mono-mixes by channel mean."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is not None and data is not None:
+            break
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit integer PCM WAV is supported")
+    if bits == 16:
+        usable = len(data) - (len(data) % (2 * n_ch))
+        raw = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(np.float64)
+    else:
+        usable = len(data) - (len(data) % n_ch)
+        raw = (
+            np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.float64)
+            - 128.0
+        )
+    mono = raw.reshape(-1, n_ch).mean(axis=1)
+    return rate, n_ch, mono
+
+
+def decode_audio(payload: bytes) -> dict[str, Any]:
+    """(sample_rate, n_channels, n_samples, duration_ms, rms, zcr) of a
+    PCM WAV payload. zcr = sign changes / (n_samples - 1); zero samples
+    carry the previous sign (np.sign ties broken toward the preceding
+    non-zero run would be stateful — the simple convention here counts
+    transitions between strict sign values, treating 0 as positive),
+    deterministic either way."""
+    import numpy as np
+
+    rate, n_ch, mono = _wav_pcm(payload)
+    n = mono.size
+    if n == 0:
+        return {
+            "sample_rate": rate,
+            "n_channels": n_ch,
+            "n_samples": 0,
+            "duration_ms": 0.0,
+            "rms": 0.0,
+            "zcr": 0.0,
+        }
+    signs = np.where(mono >= 0, 1, -1)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / max(n - 1, 1)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": int(n),
+        "duration_ms": float(n) * 1000.0 / rate,
+        "rms": float(np.sqrt(np.mean(mono * mono))),
+        "zcr": zcr,
+    }
+
+
+def extract_audio_features(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → AUDIO_SCHEMA via Arrow-batched native
+    WAV decode; null or undecodable payloads yield null feature fields
+    (total over arbitrary bytes, like phash_images)."""
+
+    def one(p):
+        if p is None:
+            return None
+        try:
+            return decode_audio(bytes(p))
+        except (ValueError, NotImplementedError):
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": pd.array(
+                        [d and d["sample_rate"] for d in decoded], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [d and d["n_channels"] for d in decoded], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [d["n_samples"] if d else None for d in decoded],
+                        dtype="Int64",
+                    ),
+                    "duration_ms": [d and d["duration_ms"] for d in decoded],
+                    "rms": [d and d["rms"] for d in decoded],
+                    "zcr": [d and d["zcr"] for d in decoded],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+X4E_RATE = 8000
+X4E_DATA_BYTES = 1600  # 800 16-bit mono samples = 100 ms at 8 kHz
+
+
+def _x4e_wav_header() -> bytes:
+    """Constant 44-byte canonical WAV header: PCM, mono, 8 kHz, 16-bit,
+    X4E_DATA_BYTES of data."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + X4E_DATA_BYTES)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, X4E_RATE, X4E_RATE * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", X4E_DATA_BYTES)
+    )
+
+
+@query("x4e_audio_decode")
+def x4e_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: build a valid 16-bit mono PCM WAV
+    per document JVM-side (canonical 44-byte header + the document's
+    first X4E_DATA_BYTES text bytes as little-endian samples) and run
+    the Arrow audio extractor over it — header-true rate/duration,
+    sample-derived RMS and zero-crossing rate. Rows-only by the slot
+    economics (WAV decode has no DuckDB twin); tuple-level numpy
+    differential in tests/test_functions.py."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.substring(
+        F.encode(
+            F.rpad(F.coalesce("text", F.lit("")), X4E_DATA_BYTES, " "), "utf-8"
+        ),
+        1,
+        X4E_DATA_BYTES,
+    )
+    with_payload = docs.select(
+        "doc_id", F.concat(F.lit(_x4e_wav_header()), body).alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return extract_audio_features(with_payload)
+
+
 X4D_VARIANT_OFFSET = 1_000_000_000
 
 

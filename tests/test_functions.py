@@ -349,6 +349,105 @@ def test_x4d_phash_near_dup_matches_numpy_differential(spark):
             assert bin((ph ^ base_ph) & ((1 << 64) - 1)).count("1") <= 1
 
 
+def test_x4e_wav_decode_unit():
+    """decode_audio parses a hand-built RIFF: chunk walking past an
+    extra chunk before data, 16-bit and 8-bit PCM, stereo mono-mix,
+    declared-size discipline (trailing bytes ignored), and rejection of
+    non-PCM / truncated containers."""
+    import struct
+
+    import numpy as np
+
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        decode_audio,
+    )
+
+    def wav(rate, bits, channels, frames, extra_chunk=False, fmt_code=1):
+        if bits == 16:
+            data = np.asarray(frames, dtype="<i2").tobytes()
+        else:
+            data = bytes(int(v) + 128 for v in frames)
+        chunks = b""
+        if extra_chunk:
+            chunks += b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\0"  # padded odd chunk
+        chunks += b"fmt " + struct.pack(
+            "<IHHIIHH",
+            16,
+            fmt_code,
+            channels,
+            rate,
+            rate * channels * bits // 8,
+            channels * bits // 8,
+            bits,
+        )
+        chunks += b"data" + struct.pack("<I", len(data)) + data + b"XX"  # trailing junk
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    d = decode_audio(wav(8000, 16, 1, [0, 100, -100, 100], extra_chunk=True))
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (8000, 1, 4)
+    assert d["duration_ms"] == pytest.approx(0.5)
+    assert d["zcr"] == pytest.approx(2 / 3)  # +,+,-,+ -> 2 sign changes
+    assert d["rms"] == pytest.approx(math.sqrt((0 + 3 * 100**2) / 4))
+
+    st = decode_audio(wav(16000, 16, 2, [10, 30, -50, -30]))  # stereo pairs
+    assert (st["n_channels"], st["n_samples"]) == (2, 2)
+    assert st["rms"] == pytest.approx(math.sqrt((20**2 + 40**2) / 2))
+
+    u8 = decode_audio(wav(8000, 8, 1, [0, -10, 10]))
+    assert u8["n_samples"] == 3 and u8["rms"] == pytest.approx(
+        math.sqrt(200 / 3)
+    )
+
+    with pytest.raises(ValueError):
+        decode_audio(wav(8000, 16, 1, [1, 2], fmt_code=3))  # float PCM
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS" + b"\0" * 40)  # not RIFF
+
+
+def test_x4e_audio_decode_matches_numpy_differential(spark):
+    """x4e (rows-only, d3b/t4b pattern): the registered query plants a
+    canonical 16-bit mono 8 kHz WAV per document; every output row must
+    match an independent numpy recomputation of RMS/ZCR over the same
+    little-endian sample bytes, and carry the header-true rate and
+    100 ms duration."""
+    import numpy as np
+
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        X4E_DATA_BYTES,
+        X4E_RATE,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in engine.QUERIES["x4e_audio_decode"](spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    n = X4E_DATA_BYTES // 2
+    for r in docs:
+        out = got[r["doc_id"]]
+        body = (r["text"] or "").ljust(X4E_DATA_BYTES, " ")[
+            :X4E_DATA_BYTES
+        ].encode("utf-8")[:X4E_DATA_BYTES]
+        mono = np.frombuffer(body, dtype="<i2").astype(np.float64)
+        assert (out["sample_rate"], out["n_channels"], out["n_samples"]) == (
+            X4E_RATE,
+            1,
+            n,
+        )
+        assert out["duration_ms"] == pytest.approx(n * 1000.0 / X4E_RATE)
+        assert out["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(mono * mono))), rel=1e-6
+        )
+        signs = np.where(mono >= 0, 1, -1)
+        assert out["zcr"] == pytest.approx(
+            float(np.count_nonzero(signs[1:] != signs[:-1])) / (n - 1), rel=1e-6
+        )
+
+
 def test_t4_fingerprint_deterministic(spark):
     import real_time_event_streaming_analytics_platform_spark as engine
 
