@@ -448,6 +448,41 @@ def test_x4e_audio_decode_matches_numpy_differential(spark):
         )
 
 
+def test_x4_extractors_total_over_null_and_garbage(spark):
+    """The Arrow batch dispatchers must stay total over arbitrary
+    binary columns: null payloads and undecodable bytes yield null
+    feature fields from phash_images and extract_audio_features
+    instead of killing the Python worker."""
+    from real_time_event_streaming_analytics_platform_spark.functions.multimodal import (
+        _x4e_wav_header,
+        extract_audio_features,
+        phash_images,
+    )
+
+    rows = [
+        (1, None),
+        (2, b"\x00\x01garbage-not-a-container"),
+        (3, b"P6 2 2 255\n" + bytes(12)),  # valid tiny PPM
+        (4, b"RIFF\x00\x00\x00\x00WAVE"),  # RIFF but no chunks
+        (5, _x4e_wav_header() + bytes(1600)),  # valid silent WAV
+        (6, b"P6 9 9 255\nshort"),  # truncated raster
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    ph = {r["doc_id"]: r["phash"] for r in phash_images(df).collect()}
+    assert set(ph) == {1, 2, 3, 4, 5, 6}
+    assert ph[3] is not None
+    assert ph[1] is None and ph[2] is None and ph[4] is None and ph[6] is None
+
+    au = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert set(au) == {1, 2, 3, 4, 5, 6}
+    ok = au[5]
+    assert (ok["sample_rate"], ok["n_samples"]) == (8000, 800)
+    assert ok["rms"] == 0.0 and ok["zcr"] == 0.0
+    for bad in (1, 2, 3, 4, 6):
+        assert au[bad]["sample_rate"] is None, bad
+
+
 def test_t4_fingerprint_deterministic(spark):
     import real_time_event_streaming_analytics_platform_spark as engine
 
