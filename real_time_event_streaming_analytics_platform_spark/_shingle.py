@@ -72,13 +72,20 @@ def shingles_df(docs: DataFrame) -> DataFrame:
 def signature_df(docs: DataFrame) -> DataFrame:
     """(doc_id, sig: array<bigint>[NUM_HASHES]) MinHash signatures.
 
-    Shape: explode distinct shingles → one groupBy(doc_id) with
-    NUM_HASHES min-aggregates (seed-lanes via a literal hash prefix).
-    Measured against a per-row array_min(transform(...)) variant at
-    sf0.1: the explode+agg wins ~2× — tight codegen'd agg loops over
-    deduplicated shingles beat 64 array materializations per row.
-    """
-    sh = shingles_df(docs)
+    Shape: explode raw (non-deduplicated) shingles → one
+    groupBy(doc_id) with NUM_HASHES min-aggregates (seed-lanes via a
+    literal hash prefix). Measured against a per-row
+    array_min(transform(...)) variant at sf0.1: the explode+agg wins
+    ~2× — tight codegen'd agg loops beat 64 array materializations per
+    row. The shingle-dedup shuffle ``shingles_df`` pays (needed for
+    exact Jaccard) is skipped here on purpose: min() over a multiset
+    equals min() over its set, so signatures are identical, and
+    because the input is already hash-partitioned by doc_id
+    (``_parallelize``) the aggregation completes map-side — the
+    signature build has NO exchange beyond the initial spread."""
+    sh = with_words(_parallelize(docs)).select(
+        "doc_id", F.explode(_grams_expr()).alias("shingle")
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(NUM_HASHES)

@@ -46,7 +46,7 @@ from .._shingle import WORDS_EXPR, _parallelize
 from ..catalog import load
 from ..operators.helpers import round2
 from ..plans.registry import query, track_persist
-from .pipeline import DSIR_BUCKETS, GRAMS_SQL_W, _bucket_sql
+from .pipeline import DSIR_BUCKETS, GRAMS_SQL_W, _bucket_spark_sql
 
 LR_BUCKETS = DSIR_BUCKETS  # share x25's feature space
 LR_ITERS = 4
@@ -64,13 +64,15 @@ def hashed_features(docs: DataFrame, target) -> DataFrame:
     per-doc collect_list; sort_array makes the sparse layout (and hence
     every float dot product downstream) order-deterministic.
 
-    A shuffle-free per-row variant exists (``row_features``) and
-    produces value- and order-identical output — but it is NOT the
-    batch plan: measured at sf0.1 the interpreted higher-order-lambda
-    counting runs ~18× slower warm (8.7 s vs 0.45 s) than these two
-    codegen'd hash aggregations, whose shuffle rows are a few hundred
-    bytes per document. The row form is used only where a shuffle is
-    illegal: the Structured-Streaming scorer."""
+    A shuffle-free per-row variant exists (``row_features``, the RLE
+    form) and produces value- and order-identical output; the
+    aggregated form here remains the batch plan — the word+bigram gram
+    arrays are long enough that the codegen'd explode+agg still beats
+    the interpreted RLE lambdas at the measured SFs (r13 re-measure:
+    0.9 s vs 2.8 s warm with the one-md5 bucket on both sides), while
+    for the short char-gram arrays the RLE form won and langid switched
+    to it. The row form is used where a shuffle is illegal: the
+    Structured-Streaming scorer."""
     dbc = (
         _dsir_style_grams(docs, target)
         .groupBy("doc_id", "_t", "b")
@@ -90,43 +92,52 @@ def hashed_features(docs: DataFrame, target) -> DataFrame:
 
 
 def _dsir_style_grams(docs: DataFrame, target) -> DataFrame:
-    """(doc_id, _t, b) — one row per gram occurrence with its bucket."""
+    """(doc_id, _t, b) — one row per gram occurrence with its bucket.
+
+    The bucket is computed AFTER the explode, in a codegen'd
+    projection, not inside the transform() lambda: higher-order lambdas
+    run interpreted with no subexpression elimination, so the nibble
+    form of the bucket paid four md5 calls per gram there; post-explode
+    it is one md5 (``_bucket_spark_sql``) in generated code."""
     bound = _parallelize(docs).select(
         "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
     )
     return bound.select(
-        "doc_id",
-        "_t",
-        F.explode(
-            F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_sql('g')})")
-        ).alias("b"),
-    )
+        "doc_id", "_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g")
+    ).select("doc_id", "_t", F.expr(_bucket_spark_sql("g")).alias("b"))
 
 
 def row_features(docs: DataFrame, target) -> DataFrame:
     """The shuffle-free twin of ``hashed_features`` — pure scan-local
     array algebra, legal inside Structured Streaming (stateless
-    projection). Value- and order-identical output (pinned by the S29
-    bitwise-parity test); slower than the aggregated batch form
-    (interpreted lambdas vs codegen — see hashed_features), so batch
-    callers use that one."""
+    projection): sort the bucket array once and run-length-scan it
+    (the langid RLE shape — O(n log n) per row, one md5 per gram).
+    Value- and order-identical output (pinned by the S29 bitwise-parity
+    test)."""
     bound = _parallelize(docs).select(
         "doc_id", target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
     )
-    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_sql('g')})")
-    return (
-        bound.withColumn("_ba", ba)
-        .where(F.size("_ba") > 0)
-        .withColumn("_bs", F.expr("array_sort(array_distinct(_ba))"))
-        .select(
-            "doc_id",
-            F.col("_t").cast("int").alias("y"),
-            F.col("_bs").alias("bs"),
+    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_spark_sql('g')})")
+    b = (
+        bound.withColumn("_sa", F.array_sort(ba))
+        .withColumn("_n", F.expr("size(_sa)"))
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "_st",
             F.expr(
-                "transform(_bs, b -> CAST(size(filter(_ba, x -> x = b)) AS DOUBLE)"
-                " / size(_ba))"
-            ).alias("xs"),
+                "filter(sequence(0, _n - 1),"
+                " i -> i = 0 OR _sa[i] != _sa[i-1])"
+            ),
         )
+    )
+    return b.select(
+        "doc_id",
+        F.col("_t").cast("int").alias("y"),
+        F.expr("transform(_st, i -> _sa[i])").alias("bs"),
+        F.expr(
+            "zip_with(_st, concat(slice(_st, 2, size(_st) - 1), array(_n)),"
+            " (s, e) -> CAST(e - s AS DOUBLE) / _n)"
+        ).alias("xs"),
     )
 
 

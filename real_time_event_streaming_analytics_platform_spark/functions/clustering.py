@@ -98,7 +98,13 @@ def kmeans_fit(
     C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
     k = len(C)
     dim = C.shape[1]
-    vectors = emb.select("embedding")
+    # Persist the projected vectors: every Lloyd iteration re-scans this
+    # frame, and without the persist each of up to max_iters jobs pays
+    # the parquet scan + row decode again (guide §5: reuse across
+    # iterations is exactly when caching earns its memory).
+    from ..plans.registry import track_persist
+
+    vectors = track_persist(emb.select("embedding"))
     it = 0
     for it in range(1, max_iters + 1):
         Cb = C.copy()
@@ -171,7 +177,12 @@ def x21_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     C, _ = kmeans_fit(emb.select("vec_id", "embedding"))
     c_sq = (np.asarray(C) ** 2).sum(axis=1)
 
-    assigned = _assign(emb, C)
+    # Both profile passes (rms-distance agg and majority-label window)
+    # read the assignment; persisting it runs the Arrow assign scan once
+    # instead of once per subtree.
+    from ..plans.registry import track_persist
+
+    assigned = track_persist(_assign(emb, C))
     # ||x - c||² = ||x||² + ||c||² - 2 x·c ; recompute the distance via
     # the same closure-shipped centroid matrix, JVM-free only in the
     # Arrow batch (one einsum per batch).

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.helpers import round2
-from ..plans.registry import query
+from ..plans.registry import query, track_persist
 from .._shingle import NUM_HASHES, BANDS, ROWS_PER_BAND, signature_df
 
 # ---------------------------------------------------------------------------
@@ -642,7 +642,10 @@ def x2c_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    banded = cap_buckets(banded, ["band", "bh"], MAX_BUCKET)
+    # Both self-join sides read the banded index, and the simhash build
+    # behind it (shingle hashing + 64-lane bit aggregation) is the
+    # expensive part — persist so it runs once (the x2d discipline).
+    banded = track_persist(cap_buckets(banded, ["band", "bh"], MAX_BUCKET))
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bh")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -910,8 +913,14 @@ def cross_source_contamination(
     directed source pair (zero-overlap pairs emit 0 rows explicitly);
     contamination = overlap/total_a (NOT symmetric — the denominators
     differ)."""
+    from ..plans.registry import track_persist
+
     words = docs.select("source", F.split(F.trim(F.col("text")), _WS).alias("w"))
-    sh = (
+    # sh has three consumers (totals, and both sides of the overlap
+    # self-join); persisting it runs the shingle Generate + distinct
+    # once instead of three times — sh is (source, 8-byte hash) rows,
+    # far smaller than the text it derives from.
+    sh = track_persist(
         words.where(F.size("w") >= span_k)
         .select(
             "source",

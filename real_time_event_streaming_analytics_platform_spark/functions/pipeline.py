@@ -887,6 +887,20 @@ def _bucket_sql(g: str) -> str:
     return f"(({terms}) % {DSIR_BUCKETS})"
 
 
+# Spark-side twin of _bucket_sql computing the identical value with ONE
+# md5 call: the first four hex nibbles read as a base-16 integer are
+# exactly the nibble-weighted sum above. The 4-md5 form matters inside
+# higher-order-function lambdas, which run interpreted — no codegen
+# subexpression elimination — so each gram paid four md5s; value-equal
+# by construction and pinned against _bucket_sql in tests. DuckDB
+# oracles keep _bucket_sql (its conv() has different semantics).
+def _bucket_spark_sql(g: str) -> str:
+    return (
+        f"(CAST(conv(substring(md5({g}), 1, 4), 16, 10) AS INT)"
+        f" % {DSIR_BUCKETS})"
+    )
+
+
 # Dyadic uniform in (0, 1]: six md5 nibbles as exact negative powers of
 # 16 (the x23 construction — every term and the sum are exact doubles).
 def _uniform_sql(key: str) -> str:
@@ -929,7 +943,7 @@ def _dsir_doc_buckets(docs: DataFrame, target: "F.Column") -> DataFrame:
         "doc_id", "_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g")
     )
     return (
-        grams.select("doc_id", "_t", F.expr(_bucket_sql("g")).alias("b"))
+        grams.select("doc_id", "_t", F.expr(_bucket_spark_sql("g")).alias("b"))
         .groupBy("doc_id", "_t", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -941,10 +955,29 @@ def dsir_bucket_stats(docs: DataFrame, target: "F.Column") -> DataFrame:
     admitting a new document batch is a union + groupBy-sum
     (dsir_merge_stats), never a corpus rescan. The standing-model
     discipline of the dedup/ANN families (x2f, x3f) applied to the
-    importance-resampling model."""
-    return _dsir_doc_buckets(docs, target).groupBy("b").agg(
-        F.sum("cnt").alias("cr"),
-        F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+    importance-resampling model.
+
+    Aggregates gram occurrences straight to the B-bucket space — the
+    per-doc (doc_id, b, cnt) grouping the scorer needs is NOT computed
+    here, so the only exchange after the corpus scan is the map-side
+    partially-aggregated ≤B-rows-per-partition bucket merge (value-
+    identical: Σ_docs cnt = occurrence count, Σ_{target docs} cnt =
+    target-occurrence count)."""
+    from .._shingle import WORDS_EXPR, _parallelize
+
+    bound = _parallelize(docs).select(
+        target.alias("_t"), F.expr(WORDS_EXPR).alias("_w")
+    )
+    grams = bound.select("_t", F.explode(F.expr(GRAMS_SQL_W)).alias("g"))
+    return (
+        grams.select("_t", F.expr(_bucket_spark_sql("g")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("_t"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "ct"
+            ),
+        )
     )
 
 
@@ -1008,20 +1041,27 @@ def dsir_score_stream(stream_docs: DataFrame, lnr_rows, buckets: int = DSIR_BUCK
     (bucket, count) pairs before its Σ cnt·lnr while this fold adds
     lnr once per gram occurrence — same terms, different addition
     order, so parity is to ~1e-9, not bitwise."""
-    arr = [0.0] * buckets
-    for r in lnr_rows:
-        arr[r["b"]] = float(r["lnr"])
-    lit = "array(" + ", ".join(repr(v) + "D" for v in arr) + ")"
     from .._shingle import WORDS_EXPR
 
+    lit = _lnr_array_literal(lnr_rows, buckets)
     bound = stream_docs.select("doc_id", F.expr(WORDS_EXPR).alias("_w"))
-    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_sql('g')})")
+    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_spark_sql('g')})")
     return bound.withColumn("_ba", ba).select(
         "doc_id",
         F.expr(
             f"aggregate(_ba, 0D, (acc, b) -> acc + element_at({lit}, b + 1))"
         ).alias("logw"),
     )
+
+
+def _lnr_array_literal(lnr_rows, buckets: int = DSIR_BUCKETS) -> str:
+    """The frozen (b, lnr) table as a constant-folded SQL array literal;
+    buckets absent from ``lnr_rows`` contribute 0, exactly like the
+    batch scorer's inner join dropping them."""
+    arr = [0.0] * buckets
+    for r in lnr_rows:
+        arr[r["b"]] = float(r["lnr"])
+    return "array(" + ", ".join(repr(v) + "D" for v in arr) + ")"
 
 
 def dsir_log_weights(
@@ -1086,18 +1126,38 @@ def dsir_log_weights(
     """,
 )
 def x25_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass frozen-model execution (the dsir_score_stream shape in
+    batch): pass 1 reduces the corpus straight to the B-row bucket
+    stats, the ≤B-row ln-ratio table is collected (driver state bounded
+    by the constant B, the same envelope as dsir_score_stream's S30
+    deployment), and pass 2 scores every document with a zero-join,
+    zero-shuffle per-row fold feeding TakeOrderedAndProject. The prior
+    single-plan form built the gram→md5-bucket subtree three times
+    (stats, totals, scoring join) and shuffled twice more; results are
+    identical (same per-doc sum terms, float order absorbed by the
+    1e-4 quantization like the S30 parity)."""
+    from .._shingle import WORDS_EXPR, _parallelize
+
     docs = load(spark, sf_dir, "documents")
-    logw = dsir_log_weights(docs, F.col("lang") == _DSIR_TARGET_LANG)
-    lw = F.coalesce(F.col("logw"), F.lit(0.0))
+    target = F.col("lang") == _DSIR_TARGET_LANG
+    lnr_rows = dsir_lnr(dsir_bucket_stats(docs, target)).collect()
+    lit = _lnr_array_literal(lnr_rows)
+    bound = _parallelize(docs).select(
+        "doc_id", "lang", F.expr(WORDS_EXPR).alias("_w")
+    )
+    ba = F.expr(f"transform(({GRAMS_SQL_W}), g -> {_bucket_spark_sql('g')})")
+    lw = F.expr(
+        f"aggregate(_ba, 0D, (acc, b) -> acc + element_at({lit}, b + 1))"
+    )
     u = F.expr(_uniform_sql("CAST(doc_id AS STRING)"))
     return (
-        docs.select("doc_id", "lang")
-        .join(logw, "doc_id", "left")
+        bound.withColumn("_ba", ba)
+        .withColumn("_lw", lw)
         .select(
             "doc_id",
             "lang",
-            _round4(lw).alias("logw"),
-            _round4(F.log(u) - lw).alias("skey"),
+            _round4(F.col("_lw")).alias("logw"),
+            _round4(F.log(u) - F.col("_lw")).alias("skey"),
         )
         .orderBy("skey", "doc_id")
         .limit(DSIR_SAMPLE_K)

@@ -119,22 +119,37 @@ def tokens(docs: DataFrame) -> DataFrame:
 def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents per query. Ties break on the quantized
     score then doc_id, so both engines produce the identical ranking."""
+    from ..plans.registry import track_persist
+
     docs = load(spark, sf_dir, "documents")
-    tok = tokens(docs)
-    # Query terms are literals, so the prune is a map-side isin BELOW
-    # the (doc_id, t) aggregation: only query-term postings ever enter
-    # the tf/df shuffles — corpus-sized token traffic is confined to
-    # the per-doc length branch (an unavoidable groupBy doc_id; at
-    # 100 TB dl is the precomputed doc-stats table a pipeline keeps).
+    # One bound token-array frame; dl is size(toks) — the per-doc length
+    # needs NO corpus groupBy (the old tok.groupBy(doc_id).count()
+    # shuffled every token row) and rides through the tf aggregation as
+    # a grouping column (functionally dependent on doc_id), so the old
+    # corpus-keyed dl join disappears too. Query terms are literals, so
+    # the isin prune is map-side BELOW the (doc_id, t) aggregation:
+    # only query-term postings ever enter the tf/df shuffles. The two
+    # multi-consumer frames (dl: stats + nothing else now; tf: df_ +
+    # scored) are tiny — dl is two ints per doc, tf is bounded by
+    # docs × |query terms| — and persisted so their subtrees run once.
     terms = sorted({t for _, t in _BM25_QUERIES})
-    tf = (
-        tok.where(F.col("t").isin(terms))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("tf"))
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            f"filter(split(lower(trim(text)), '{_TOKEN_SPLIT}'), t -> t != '')"
+        ).alias("toks"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = track_persist(
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t")
+        )
+        .where(F.col("t").isin(terms))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
     q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
@@ -151,7 +166,6 @@ def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(qdf), tf["t"] == F.col("term"))
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(F.sum(term_score).alias("s"))
@@ -223,8 +237,16 @@ def x17_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _surprisal_per_doc(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, nll) — the shared per-document mean unigram
-    surprisal frame behind x17 (exact NTILE) and x17b (approx cuts)."""
-    tok = tokens(docs)
+    surprisal frame behind x17 (exact NTILE) and x17b (approx cuts).
+
+    The postings frame is persisted: both consumers (the vocabulary
+    count and the scoring join) otherwise re-run the tokenize+explode
+    scan — no ReusedExchange fires because the aggregation side wraps
+    the exchange in a partial HashAggregate (different canonical
+    subtree). One tokenize pass instead of two."""
+    from ..plans.registry import track_persist
+
+    tok = track_persist(tokens(docs))
     cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
     # total-token scalar derives from cnt (one less tokenize pass)
     tot = cnt.agg(F.sum("c").alias("n"))
@@ -399,9 +421,19 @@ def x19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, the battery's broadcast-scalar pattern). Docs with < 2 tokens
     have no bigrams and are excluded by both engines.
     """
+    from ..plans.registry import track_persist
+
     docs = load(spark, sf_dir, "documents")
-    bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
-    pairs = _adjacent_pairs(bound)
+    # bound is projected to (doc_id, _ws) and persisted: its two
+    # consumers (pair explode, vocabulary explode) otherwise each
+    # re-run the scan+split. pairs is persisted for the same reason —
+    # the count chain and the scoring join both read it, and no
+    # ReusedExchange can fire across those differently-shaped parents.
+    # Tokenize+pair-explode now run once each instead of twice.
+    bound = track_persist(
+        docs.select("doc_id", F.expr(_WORDS_SQL).alias("_ws"))
+    )
+    pairs = track_persist(_adjacent_pairs(bound))
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     voc = (
@@ -476,8 +508,17 @@ _UNK = "<unk>"
 def bigram_surprisal_capped(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> DataFrame:
     """(doc_id, n_bigrams, oov_rate, avg_surprisal): mean −ln P̂(m2|m1)
     per doc over vocabulary-mapped adjacent pairs, add-k smoothed with
-    the FIXED model vocabulary (V+1 incl. '<unk>')."""
-    bound = docs.withColumn("_ws", F.expr(_WORDS_SQL))
+    the FIXED model vocabulary (V+1 incl. '<unk>').
+
+    Multi-consumer persist discipline (same as x19): bound feeds the
+    pair explode AND the vocabulary count; mapped feeds the
+    bigram-count chain AND the scoring join. Persisting them runs
+    tokenize / vocab-mapping once each instead of twice."""
+    from ..plans.registry import track_persist
+
+    bound = track_persist(
+        docs.select("doc_id", F.expr(_WORDS_SQL).alias("_ws"))
+    )
     pairs = _adjacent_pairs(bound)
     cnt = (
         bound.select(F.explode("_ws").alias("t"))
@@ -489,7 +530,7 @@ def bigram_surprisal_capped(docs: DataFrame, vocab_size: int = X19B_VOCAB) -> Da
         .limit(vocab_size)
         .select("t", F.lit(True).alias("_kept"))
     )
-    mapped = (
+    mapped = track_persist(
         pairs.join(
             F.broadcast(vocab.select(F.col("t").alias("w1"), F.col("_kept").alias("_k1"))),
             "w1",

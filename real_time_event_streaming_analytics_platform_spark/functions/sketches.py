@@ -202,9 +202,14 @@ def x12_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ε·N error bound on a planted heavy hitter, and merged==direct
     bit-equality.
     """
+    from ..plans.registry import track_persist
+
     docs = load(spark, sf_dir, "documents")
     sharded = docs.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
-    toks = _token_rows(sharded, "shard")
+    # toks feeds both the per-shard sketch build and the exact
+    # candidate counts; persisting it runs the tokenize+explode scan
+    # once instead of twice.
+    toks = track_persist(_token_rows(sharded, "shard"))
     per_shard = cms_build(
         toks.withColumn("grp", F.concat_ws("|", "grp", "shard")).drop("shard")
     ).select(

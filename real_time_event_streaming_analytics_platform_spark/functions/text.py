@@ -850,15 +850,24 @@ def _bm25_sql_component(t: str) -> str:
 def t9_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..plans.registry import track_persist
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
-    t = toks.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        *[
-            F.expr(f"size(filter(toks, w -> w = '{term}'))").alias(f"tf_{term}")
-            for term in _BM25_TERMS
-        ],
+    # t is read twice (corpus-stats aggregate + the scored top-k) and is
+    # tiny — doc_id plus five ints — so persisting it runs the
+    # tokenize+count scan once instead of twice.
+    t = track_persist(
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            *[
+                F.expr(f"size(filter(toks, w -> w = '{term}'))").alias(
+                    f"tf_{term}"
+                )
+                for term in _BM25_TERMS
+            ],
+        )
     )
     c = t.agg(
         F.count("*").alias("n_docs"),

