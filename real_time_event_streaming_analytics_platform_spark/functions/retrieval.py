@@ -119,7 +119,7 @@ def tokens(docs: DataFrame) -> DataFrame:
 def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents per query. Ties break on the quantized
     score then doc_id, so both engines produce the identical ranking."""
-    from ..plans.registry import track_persist
+    from ..plans.registry import adaptive_persist
 
     docs = load(spark, sf_dir, "documents")
     # One bound token-array frame; dl is size(toks) — the per-doc length
@@ -128,10 +128,11 @@ def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a grouping column (functionally dependent on doc_id), so the old
     # corpus-keyed dl join disappears too. Query terms are literals, so
     # the isin prune is map-side BELOW the (doc_id, t) aggregation:
-    # only query-term postings ever enter the tf/df shuffles. The two
-    # multi-consumer frames (dl: stats + nothing else now; tf: df_ +
-    # scored) are tiny — dl is two ints per doc, tf is bounded by
-    # docs × |query terms| — and persisted so their subtrees run once.
+    # only query-term postings ever enter the tf/df shuffles. tf has
+    # two consumers (df_ + scored); adaptive_persist caches it only
+    # past the input-size threshold — below it (bench SFs) the cache
+    # constant measurably loses to recomputation, and tf's own exchange
+    # is reused at runtime by AQE anyway (registry.adaptive_persist).
     terms = sorted({t for _, t in _BM25_QUERIES})
     toks = docs.select(
         "doc_id",
@@ -139,11 +140,19 @@ def x16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"filter(split(lower(trim(text)), '{_TOKEN_SPLIT}'), t -> t != '')"
         ).alias("toks"),
     )
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    # dl > 0 keeps the declared oracle's corpus-stats semantics exactly:
+    # the oracle's dl CTE derives from exploded tokens, so a document
+    # that tokenizes to NOTHING is absent from n_docs/avgdl there, while
+    # size(toks) would count it. No such docs exist in the test corpora
+    # (checked at every SF) — this is equivalence insurance, free on the
+    # two-ints-per-doc frame.
+    dl = toks.select("doc_id", F.size("toks").alias("dl")).where(
+        F.col("dl") > 0
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = track_persist(
+    tf = adaptive_persist(
         toks.select(
             "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t")
         )
@@ -239,14 +248,16 @@ def _surprisal_per_doc(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, nll) — the shared per-document mean unigram
     surprisal frame behind x17 (exact NTILE) and x17b (approx cuts).
 
-    The postings frame is persisted: both consumers (the vocabulary
-    count and the scoring join) otherwise re-run the tokenize+explode
-    scan — no ReusedExchange fires because the aggregation side wraps
-    the exchange in a partial HashAggregate (different canonical
-    subtree). One tokenize pass instead of two."""
-    from ..plans.registry import track_persist
+    The postings frame feeds two consumers (the vocabulary count and
+    the scoring join); no ReusedExchange fires across them because the
+    aggregation side wraps the exchange in a partial HashAggregate
+    (different canonical subtree). adaptive_persist caches it only past
+    the input-size threshold — one tokenize pass instead of two where
+    the scan is big enough for that to win (registry.adaptive_persist
+    has the measured trade-off)."""
+    from ..plans.registry import adaptive_persist
 
-    tok = track_persist(tokens(docs))
+    tok = adaptive_persist(tokens(docs))
     cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
     # total-token scalar derives from cnt (one less tokenize pass)
     tot = cnt.agg(F.sum("c").alias("n"))
@@ -326,9 +337,9 @@ def x17b_surprisal_quartile_approx(spark: SparkSession, sf_dir: str) -> DataFram
     legitimately drift a boundary doc by the rank-error margin (the
     NTILE agreement-rate test in tests/test_functions.py pins that
     envelope)."""
-    from ..plans.registry import track_persist
+    from ..plans.registry import adaptive_persist
 
-    per_doc = track_persist(
+    per_doc = adaptive_persist(
         _surprisal_per_doc(load(spark, sf_dir, "documents")).select(
             "doc_id",
             "n_tokens",

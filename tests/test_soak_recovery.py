@@ -206,7 +206,23 @@ def test_s21_soak_state_plateau_and_bounded_lag(spark, tmpdir):
         .start()
     )
     try:
-        time.sleep(soak_s)
+        # soak_s is the FLOOR of the observation window. The assertions
+        # below are duration-independent by construction, but they need
+        # ≥9 data-carrying committed batches to judge the plateau; on a
+        # session aged by a long suite run the first microbatch alone
+        # (state-store + Python-worker init under driver-GC backlog) can
+        # exceed the whole window, so extend adaptively — up to 4× —
+        # until enough batches committed. A healthy session runs tens of
+        # batches inside soak_s and never enters the extension loop.
+        deadline = time.monotonic() + soak_s
+        hard_cap = time.monotonic() + 4 * soak_s
+        while time.monotonic() < deadline:
+            time.sleep(1)
+        while (
+            len(_progress_series(agg_q)) < 12
+            and time.monotonic() < hard_cap
+        ):
+            time.sleep(2)
     finally:
         agg_q.stop()
         anom_q.stop()
