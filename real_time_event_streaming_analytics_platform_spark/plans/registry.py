@@ -76,30 +76,39 @@ def track_persist(df: DataFrame) -> DataFrame:
 # scan size, not hard-coded for either regime (guide §5's "only when
 # recomputing is more expensive than the pressure caching creates",
 # applied adaptively).
-_PERSIST_MIN_BYTES = int(
-    __import__("os").environ.get(
-        "SPARK_GRAFT_PERSIST_MIN_BYTES", str(256 * 1024 * 1024)
-    )
-)
+_PERSIST_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
 
 
 def adaptive_persist(df: DataFrame) -> DataFrame:
     """track_persist(df) when the frame's input scans exceed
-    SPARK_GRAFT_PERSIST_MIN_BYTES (default 256 MiB) on disk; identity
-    below that. Non-local or unlistable inputs (object stores, streaming
-    — the production shapes) take the persist path: at that scale the
-    avoided re-scan always exceeds the cache constant."""
+    SPARK_GRAFT_PERSIST_MIN_BYTES (default 256 MiB, read per call) on
+    disk; identity below that. Non-local, unlistable, or non-file-backed
+    inputs — empty ``inputFiles()``, object stores, streaming: the
+    production shapes — take the persist path: at that scale the avoided
+    re-scan always exceeds the cache constant."""
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
+    min_bytes = int(
+        os.environ.get(
+            "SPARK_GRAFT_PERSIST_MIN_BYTES", str(_PERSIST_MIN_BYTES_DEFAULT)
+        )
+    )
     try:
+        files = df.inputFiles()
+        if not files:
+            # no file-based sources (in-memory relations, streams): the
+            # size heuristic has nothing to measure — take the safe path
+            return track_persist(df)
         total = 0
-        for f in df.inputFiles():
+        for f in files:
             p = urlparse(f)
             if p.scheme not in ("", "file"):
                 return track_persist(df)
-            total += os.path.getsize(p.path)
-            if total > _PERSIST_MIN_BYTES:
+            # inputFiles() returns percent-encoded URIs; unquote so
+            # local paths with spaces/special chars stat correctly
+            total += os.path.getsize(unquote(p.path))
+            if total > min_bytes:
                 return track_persist(df)
         return df
     except Exception:

@@ -17,6 +17,8 @@ inline here as the reference implementation:
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -138,15 +140,23 @@ def test_adaptive_persist_size_gated(spark, sf_dir):
     assert out.storageLevel.useMemory is False  # small input: no cache
     assert registry.release_tracked() == 0
 
-    old = registry._PERSIST_MIN_BYTES
-    registry._PERSIST_MIN_BYTES = 0
+    # threshold is read from the environment per call (ADVICE r13)
+    os.environ["SPARK_GRAFT_PERSIST_MIN_BYTES"] = "0"
     try:
         out = registry.adaptive_persist(docs)
         assert out.storageLevel.useMemory is True
         assert registry.release_tracked() == 1
         assert out.storageLevel.useMemory is False  # released
     finally:
-        registry._PERSIST_MIN_BYTES = old
+        del os.environ["SPARK_GRAFT_PERSIST_MIN_BYTES"]
+
+    # non-file-backed input (empty inputFiles()): takes the persist
+    # path — the size heuristic has nothing to measure (ADVICE r13)
+    mem = spark.range(10)
+    assert mem.inputFiles() == []
+    out = registry.adaptive_persist(mem)
+    assert out.storageLevel.useMemory is True
+    assert registry.release_tracked() == 1
 
 
 def test_dsir_stats_direct_agg_equals_per_doc_form(spark, sf_dir):
