@@ -94,11 +94,14 @@ def _merge_expr(a: str, b: str) -> str:
     """
 
 
-def bpe_merges(
+def bpe_merges_with_state(
     spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
-) -> list[tuple[int, str, str, str, int]]:
-    """Run n_merges BPE rounds; returns [(step, left, right, merged,
-    pair_freq)]. Stops early if no adjacent pair remains."""
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run n_merges BPE rounds; returns ([(step, left, right, merged,
+    pair_freq)], final_syms) where final_syms is the word table in its
+    post-last-merge symbol state — i.e. every training-corpus word
+    ALREADY ENCODED under the full merge list. Stops early if no
+    adjacent pair remains."""
     # Lazy checkpoints (eager=False): each round's merge fold then
     # materializes INSIDE that round's argmax job instead of paying a
     # separate eager-materialization job first — same lineage cut, half
@@ -120,7 +123,14 @@ def bpe_merges(
         syms = syms.select(
             "word", "freq", F.expr(_merge_expr(a, b)).alias("syms")
         ).localCheckpoint(eager=False)
-    return out
+    return out, syms
+
+
+def bpe_merges(
+    spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Merge list only — see bpe_merges_with_state."""
+    return bpe_merges_with_state(spark, words, n_merges)[0]
 
 
 @query("x20_bpe_vocab")
@@ -157,20 +167,25 @@ def x22_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     token statistics (the pretraining-cost estimator: BPE token counts,
     not whitespace counts, are what a token budget is denominated in).
 
-    Plan: ONE corpus pass explodes words; the merge folds run on the
-    DISTINCT word table only; a word-keyed shuffle join carries each
-    word's encoded length back to the corpus (deliberately NOT
-    broadcast-hinted — the word vocabulary outgrows broadcast at
-    100 TB, same doctrine as x19's count joins); one groupBy rolls up
-    per-document totals. Rows-only (the induction is iterative);
-    encode parity vs a pure-Python replay is pinned in
-    tests/test_vocab_bpe.py."""
+    Plan: ONE corpus pass explodes words; the encoded form of every
+    corpus word is the TRAINER'S OWN final symbol state (r14, guide
+    §5/§2.4 — the corpus being tokenized IS the training corpus, so
+    re-deriving the distinct-word table and re-applying all N merge
+    folds to it recomputed, word for word, exactly the frame the last
+    training round already produced; parity is pinned by
+    tests/test_vocab_bpe.py::test_x22_trainer_state_equals_reencoding).
+    A word-keyed shuffle join carries each word's encoded length back
+    to the corpus (deliberately NOT broadcast-hinted — the word
+    vocabulary outgrows broadcast at 100 TB, same doctrine as x19's
+    count joins); one groupBy rolls up per-document totals. Rows-only
+    (the induction is iterative); encode parity vs a pure-Python
+    replay is pinned in tests/test_vocab_bpe.py."""
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_merges(spark, word_freq(docs))
+    _merges, final_syms = bpe_merges_with_state(spark, word_freq(docs))
     words = docs.select(
         "doc_id", F.explode(F.expr(_WORDS_SQL)).alias("word")
     )
-    enc = encode_words(words.select("word").distinct(), merges)
+    enc = final_syms.select("word", F.size("syms").alias("n_toks"))
     return (
         words.join(enc.select("word", "n_toks"), "word")
         .groupBy("doc_id")

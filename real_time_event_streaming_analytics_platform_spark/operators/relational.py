@@ -485,22 +485,86 @@ def _set_op_result(spark, sf_dir, op: str) -> DataFrame:
     return _set_op_frame(c, s, op)
 
 
+# Replicating a row ``mult`` times via explode(sequence(1, mult))
+# materializes one array of length mult per key; chunking bounds that
+# array regardless of per-key multiplicity (a 100 TB hot key would
+# otherwise have to build a billion-element array in one task).
+_REPL_CHUNK = 65536
+
+
+def _replicate(df: DataFrame, mult) -> DataFrame:
+    """One output row per input row per unit of ``mult`` (column expr),
+    rows with mult <= 0 dropped; constant-bounded memory per task."""
+    m = mult.cast("long")
+    return (
+        df.withColumn("_m", m)
+        .where(F.col("_m") > 0)
+        .withColumn(
+            "_chunk",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(_m - 1) div {_REPL_CHUNK}"),
+                )
+            ),
+        )
+        .withColumn(
+            "_i",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(
+                        F.lit(_REPL_CHUNK).cast("long"),
+                        F.col("_m") - F.col("_chunk") * _REPL_CHUNK,
+                    ),
+                )
+            ),
+        )
+        .drop("_m", "_chunk", "_i")
+    )
+
+
 @query(
     "q12_set_ops",
     oracle=f"SELECT op, nkey FROM ({_SET_OPS_SQL}) ORDER BY op, nkey",
 )
 def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All six set-op variants in one op-tagged frame — the
-    consolidated driver-oracle form of the q12 family. The sides are
-    derived ONCE and shared across the six branches (Spark does not
-    dedup identical scans across separate DataFrame lineages, so
-    re-deriving them per variant would put 12 parquet scan nodes in
-    one plan where 2 suffice)."""
+    consolidated driver-oracle form of the q12 family.
+
+    Every distinct-flavored set op is a predicate over the per-key
+    multiplicity pair (cn, sn), and the ALL-flavored ones a replication
+    count over it — so ONE side-tagged aggregation derives five of the
+    six variants (UNION: any key; INTERSECT: cn>0 AND sn>0; EXCEPT:
+    cn>0 AND sn=0; INTERSECT ALL: min(cn, sn) copies; EXCEPT ALL:
+    max(cn-sn, 0) copies — the same counts-based rewrite Spark's own
+    RewriteIntersectAll/RewriteExceptAll use). UNION ALL needs no
+    computation at all and stays a bare tagged concat. Versus the six
+    independent branches this collapses the plan from 12 scans + one
+    wide/distinct exchange per variant to 4 scans + ONE aggregation
+    exchange (guide §2.4/§6); equivalence is pinned by the unchanged
+    DuckDB oracle, the slice-equivalence test, and the set-op fuzz
+    differential."""
     c, s = _set_sides(spark, sf_dir)
-    out = None
-    for op in _SET_OPS:
-        tagged = _set_op_frame(c, s, op).select(F.lit(op).alias("op"), "nkey")
-        out = tagged if out is None else out.unionByName(tagged)
+    tagged = c.select("nkey", F.lit(1).alias("c_n"), F.lit(0).alias("s_n")).unionByName(
+        s.select("nkey", F.lit(0).alias("c_n"), F.lit(1).alias("s_n"))
+    )
+    counts = tagged.groupBy("nkey").agg(
+        F.sum("c_n").alias("cn"), F.sum("s_n").alias("sn")
+    )
+    cn, sn = F.col("cn"), F.col("sn")
+    union_all = c.unionByName(s).select(F.lit("UNION ALL").alias("op"), "nkey")
+    branches = [
+        # every key in counts came from one of the sides: UNION keeps all
+        ("UNION", counts.select("nkey")),
+        ("INTERSECT", counts.where((cn > 0) & (sn > 0)).select("nkey")),
+        ("EXCEPT", counts.where((cn > 0) & (sn == 0)).select("nkey")),
+        ("INTERSECT ALL", _replicate(counts, F.least(cn, sn)).select("nkey")),
+        ("EXCEPT ALL", _replicate(counts, cn - sn).select("nkey")),
+    ]
+    out = union_all
+    for op, frame in branches:
+        out = out.unionByName(frame.select(F.lit(op).alias("op"), "nkey"))
     return out.orderBy("op", "nkey")
 
 

@@ -1,0 +1,136 @@
+"""Equivalence pins for the round-14 optimization rewrites.
+
+Each optimization here restructures HOW an operator computes, never
+WHAT it computes; these tests pin the rewritten form to a direct
+re-implementation of the old form on the real corpus tables, so any
+divergence (tie-breaks, fp rounding, multiplicity handling) fails
+loudly rather than shipping as a silent result change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_analytics_platform_spark.catalog import load
+from tests.conftest import SF_DIR
+
+
+def _sequential_semdedup_reference(pdf: pd.DataFrame, threshold: float):
+    """The pre-r14 per-row greedy, verbatim (gemv per row)."""
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    kept_rows: list[int] = []
+    kept = np.zeros(len(pdf), dtype=bool)
+    dup_of = np.full(len(pdf), -1, dtype=np.int64)
+    sim_to = np.full(len(pdf), np.nan)
+    for i in range(len(pdf)):
+        if kept_rows:
+            sims = (M[kept_rows] @ M[i]) / (nrm[kept_rows] * nrm[i])
+            j = int(np.argmax(sims))
+            if sims[j] > threshold:
+                dup_of[i] = ids[kept_rows[j]]
+                sim_to[i] = sims[j]
+                continue
+        kept[i] = True
+        kept_rows.append(i)
+    return ids, kept, dup_of, sim_to
+
+
+def test_x15_blocked_greedy_equals_sequential(spark):
+    """The blocked-leader kernel must reproduce the sequential greedy
+    EXACTLY — same keep/drop set, same absorbing leader, same cosine —
+    on every cell of the real embeddings corpus, including blocks
+    smaller than, equal to, and spanning the block size."""
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        SEMDEDUP_THRESHOLD,
+        ivf_assignments,
+        semdedup,
+        with_norm,
+    )
+
+    emb = with_norm(load(spark, SF_DIR, "embeddings"))
+    assigned, _ = ivf_assignments(emb)
+    got = {
+        r["vec_id"]: (r["kept"], r["dup_of"], r["leader_sim"])
+        for r in semdedup(assigned).collect()
+    }
+
+    pdf_all = assigned.toPandas()
+    n_checked = 0
+    for _, cell_pdf in pdf_all.groupby("cell"):
+        ids, kept, dup_of, sim_to = _sequential_semdedup_reference(
+            cell_pdf, SEMDEDUP_THRESHOLD
+        )
+        for i, vid in enumerate(ids):
+            k, d, s = got[int(vid)]
+            assert k == bool(kept[i]), f"kept flipped for vec {vid}"
+            assert (d if d is not None else -1) == int(dup_of[i]), (
+                f"leader changed for vec {vid}"
+            )
+            if not kept[i]:
+                assert s == pytest.approx(sim_to[i], abs=1e-12)
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 100
+
+
+def test_x15_blocked_greedy_small_block_boundaries(spark):
+    """Force multi-block execution (B=512) on a synthetic cell larger
+    than one block where near-dups straddle block boundaries."""
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    rows = []
+    vid = 0
+    # 1200 vectors in one cell: 40 leaders, each followed (much later,
+    # across block boundaries) by near-copies that must be absorbed
+    for rep in range(30):
+        for b in range(40):
+            v = base[b] + (0.0 if rep == 0 else 1e-3 * rng.normal(size=8))
+            rows.append((vid, [float(x) for x in v], float(np.linalg.norm(v)), 0))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, nrm double, cell int"
+    )
+    marked = semdedup(df).toPandas().sort_values("vec_id")
+
+    ids, kept, dup_of, sim_to = _sequential_semdedup_reference(
+        df.toPandas(), SEMDEDUP_THRESHOLD
+    )
+    assert list(marked["vec_id"]) == list(ids)
+    assert list(marked["kept"]) == list(kept)
+    got_dup = [(-1 if d is None or pd.isna(d) else int(d)) for d in marked["dup_of"]]
+    assert got_dup == list(dup_of)
+    # the near-copies really did cross block boundaries and get dropped
+    assert (~kept).sum() > 1000
+
+
+def test_x27_sweep_tiers_equal_standalone_runs(spark):
+    """hard_negatives_sweep must give BIT-IDENTICAL mined sets to a
+    standalone hard_negatives run at every tier: the stable-argsort
+    probe order makes each tier's cells a prefix of the widest tier's,
+    so the pos<t filter over the shared scored rows is exactly the
+    narrower run's candidate set."""
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        hard_negatives,
+        hard_negatives_sweep,
+        ivf_assignments,
+        with_norm,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(with_norm(emb))
+    sweep = hard_negatives_sweep(emb, (4, 8, 16), index=index)
+    for t in (4, 8, 16):
+        got = [tuple(r) for r in sweep[t].collect()]
+        want = [tuple(r) for r in hard_negatives(emb, nprobe=t, index=index).collect()]
+        assert got == want, f"tier {t} diverged from standalone run"
+        assert len(got) > 0

@@ -128,6 +128,31 @@ def test_x22_encode_matches_reference_tokenization(spark):
         assert all(t in legal or len(t) == 1 for t in got[w]), (w, got[w])
 
 
+def test_x22_trainer_state_equals_reencoding(spark):
+    """The r14 x22 rewrite rides the trainer's final symbol state
+    instead of re-applying all merges to the distinct-word table; the
+    two frames must be BITWISE identical per word (same toks array,
+    same count) — the invariant that makes the rewrite an optimization
+    and not a semantics change."""
+    from real_time_event_streaming_analytics_platform_spark.functions.vocab import (
+        bpe_merges_with_state,
+        encode_words,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    wf = word_freq(docs)
+    merges, final_syms = bpe_merges_with_state(spark, wf, N_MERGES)
+    ride = {
+        r["word"]: tuple(r["syms"]) for r in final_syms.collect()
+    }
+    reenc = {
+        r["word"]: tuple(r["toks"])
+        for r in encode_words(wf.select("word").distinct(), merges).collect()
+    }
+    assert ride == reenc
+    assert len(ride) > 20
+
+
 def test_x22_doc_totals_match_reference(spark):
     """The registered per-document rollup: n_bpe_tokens must equal the
     sum of reference-encoded word lengths over the doc's words."""
