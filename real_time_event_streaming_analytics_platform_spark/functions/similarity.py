@@ -839,51 +839,7 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame
     )
 
     def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Blocked-leader greedy (VERDICT r13 #5): the scan order and the
-        # keep/drop rule are EXACTLY the sequential greedy's — member i
-        # is dropped iff its max cosine against all previously-kept
-        # members exceeds the threshold, absorbed by the argmax leader
-        # (earliest kept wins ties) — but the dot products run as two
-        # matmuls per BLOCK (block × prior-leaders and block × block)
-        # instead of one per-row gemv, so the per-row Python work is a
-        # row slice over precomputed scores, not BLAS + list boxing.
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        n = len(pdf)
-        kept = np.zeros(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        sim_to = np.full(n, np.nan)
-        leaders: list[int] = []  # kept row indices, in processing order
-        B = 512
-        for s in range(0, n, B):
-            e = min(s + B, n)
-            Mb, nb = M[s:e], nrm[s:e]
-            if leaders:
-                S_old = (Mb @ M[leaders].T) / (nb[:, None] * nrm[leaders][None, :])
-                max_old = S_old.max(axis=1)
-                arg_old = S_old.argmax(axis=1)
-            S_blk = (Mb @ Mb.T) / (nb[:, None] * nb[None, :])
-            blk_leaders: list[int] = []  # block-local kept indices
-            for i in range(e - s):
-                best_sim, best_row = -np.inf, -1
-                if leaders:
-                    best_sim, best_row = max_old[i], leaders[arg_old[i]]
-                if blk_leaders:
-                    srow = S_blk[i, blk_leaders]
-                    j = int(np.argmax(srow))
-                    # strict >: earlier (prior-block) leaders win ties,
-                    # matching the sequential argmax over the kept list
-                    if srow[j] > best_sim:
-                        best_sim, best_row = srow[j], s + blk_leaders[j]
-                if best_row >= 0 and best_sim > threshold:
-                    dup_of[s + i] = ids[best_row]
-                    sim_to[s + i] = best_sim
-                else:
-                    kept[s + i] = True
-                    blk_leaders.append(i)
-            leaders.extend(s + j for j in blk_leaders)
+        pdf, ids, kept, dup_of, sim_to = _greedy_leader_scan(pdf, threshold)
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -899,6 +855,91 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame
     return emb.groupBy("cell").applyInPandas(_dedup_cell, out_schema)
 
 
+def _greedy_leader_scan(pdf: "pd.DataFrame", threshold: float):
+    """Blocked-leader greedy (VERDICT r13 #5): the scan order and the
+    keep/drop rule are EXACTLY the sequential greedy's — member i is
+    dropped iff its max cosine against all previously-kept members
+    exceeds the threshold, absorbed by the argmax leader (earliest kept
+    wins ties) — but the dot products run as two matmuls per BLOCK
+    (block × prior-leaders and block × block) instead of one per-row
+    gemv, so the per-row Python work is a row slice over precomputed
+    scores, not BLAS + list boxing."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    n = len(pdf)
+    kept = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    sim_to = np.full(n, np.nan)
+    leaders: list[int] = []  # kept row indices, in processing order
+    B = 512
+    for s in range(0, n, B):
+        e = min(s + B, n)
+        Mb, nb = M[s:e], nrm[s:e]
+        if leaders:
+            S_old = (Mb @ M[leaders].T) / (nb[:, None] * nrm[leaders][None, :])
+            max_old = S_old.max(axis=1)
+            arg_old = S_old.argmax(axis=1)
+        S_blk = (Mb @ Mb.T) / (nb[:, None] * nb[None, :])
+        blk_leaders: list[int] = []  # block-local kept indices
+        for i in range(e - s):
+            best_sim, best_row = -np.inf, -1
+            if leaders:
+                best_sim, best_row = max_old[i], leaders[arg_old[i]]
+            if blk_leaders:
+                srow = S_blk[i, blk_leaders]
+                j = int(np.argmax(srow))
+                # strict >: earlier (prior-block) leaders win ties,
+                # matching the sequential argmax over the kept list
+                if srow[j] > best_sim:
+                    best_sim, best_row = srow[j], s + blk_leaders[j]
+            if best_row >= 0 and best_sim > threshold:
+                dup_of[s + i] = ids[best_row]
+                sim_to[s + i] = best_sim
+            else:
+                kept[s + i] = True
+                blk_leaders.append(i)
+        leaders.extend(s + j for j in blk_leaders)
+    return pdf, ids, kept, dup_of, sim_to
+
+
+def semdedup_cell_stats(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """Per-cluster funnel of the greedy near-dup pruning, aggregated
+    INSIDE the kernel: one output row per cell instead of one per
+    vector, so the Python boundary carries nlist rows, the per-vector
+    frame never materializes, and the post-kernel groupBy exchange
+    disappears (guide §2.3 applied at the kernel boundary). Keep/drop
+    decisions are the same _greedy_leader_scan as ``semdedup``;
+    equality of the two funnel forms is pinned by
+    tests/test_r14_optimizations.py."""
+    import numpy as np
+
+    def _cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        _, _ids, kept, _dup_of, sim_to = _greedy_leader_scan(pdf, threshold)
+        dropped = ~kept
+        return pd.DataFrame(
+            {
+                "cell": pd.Series([cell], dtype="int32"),
+                "members": pd.Series([len(kept)], dtype="int64"),
+                "kept_n": pd.Series([int(kept.sum())], dtype="int64"),
+                "dropped_n": pd.Series([int(dropped.sum())], dtype="int64"),
+                "avg_dup_sim": pd.Series(
+                    [float(np.mean(sim_to[dropped])) if dropped.any() else None],
+                    dtype="float64",
+                ),
+            }
+        )
+
+    return emb.groupBy("cell").applyInPandas(
+        _cell_stats,
+        "cell int, members long, kept_n long, dropped_n long, avg_dup_sim double",
+    )
+
+
 @query("x15_semdedup")
 def x15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: cluster with the IVF coarse
@@ -910,19 +951,14 @@ def x15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall, kept-set validity, and determinism tests."""
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     assigned, _centers = ivf_assignments(emb)
-    marked = semdedup(assigned)
-    return (
-        marked.groupBy("cell")
-        .agg(
-            F.count("*").alias("members"),
-            F.sum(F.col("kept").cast("int")).alias("kept_n"),
-            F.sum((~F.col("kept")).cast("int")).alias("dropped_n"),
-            round2(F.avg(F.when(~F.col("kept"), F.col("leader_sim")))).alias(
-                "avg_dup_sim"
-            ),
-        )
-        .orderBy("cell")
-    )
+    stats = semdedup_cell_stats(assigned)
+    return stats.select(
+        "cell",
+        "members",
+        "kept_n",
+        "dropped_n",
+        round2(F.col("avg_dup_sim")).alias("avg_dup_sim"),
+    ).orderBy("cell")
 
 
 # ---------------------------------------------------------------------------

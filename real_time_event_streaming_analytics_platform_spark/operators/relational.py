@@ -553,19 +553,35 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_n").alias("cn"), F.sum("s_n").alias("sn")
     )
     cn, sn = F.col("cn"), F.col("sn")
-    union_all = c.unionByName(s).select(F.lit("UNION ALL").alias("op"), "nkey")
-    branches = [
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    # all five counts-derived variants in ONE projection over the single
+    # aggregation subtree (separate per-variant frames would replicate
+    # the scan+agg subtree once per branch in the physical plan — Spark
+    # does not CSE across union branches statically, and the measured
+    # interleaved A/B showed the replicated form losing to the old
+    # six-branch query)
+    variants = F.array(
         # every key in counts came from one of the sides: UNION keeps all
-        ("UNION", counts.select("nkey")),
-        ("INTERSECT", counts.where((cn > 0) & (sn > 0)).select("nkey")),
-        ("EXCEPT", counts.where((cn > 0) & (sn == 0)).select("nkey")),
-        ("INTERSECT ALL", _replicate(counts, F.least(cn, sn)).select("nkey")),
-        ("EXCEPT ALL", _replicate(counts, cn - sn).select("nkey")),
-    ]
-    out = union_all
-    for op, frame in branches:
-        out = out.unionByName(frame.select(F.lit(op).alias("op"), "nkey"))
-    return out.orderBy("op", "nkey")
+        F.struct(F.lit("UNION").alias("op"), one.alias("mult")),
+        F.struct(
+            F.lit("INTERSECT").alias("op"),
+            F.when((cn > 0) & (sn > 0), one).otherwise(zero).alias("mult"),
+        ),
+        F.struct(
+            F.lit("EXCEPT").alias("op"),
+            F.when((cn > 0) & (sn == 0), one).otherwise(zero).alias("mult"),
+        ),
+        F.struct(F.lit("INTERSECT ALL").alias("op"), F.least(cn, sn).alias("mult")),
+        F.struct(F.lit("EXCEPT ALL").alias("op"), (cn - sn).alias("mult")),
+    )
+    derived = _replicate(
+        counts.select("nkey", F.explode(variants).alias("v")).select(
+            F.col("v.op").alias("op"), "nkey", F.col("v.mult").alias("mult")
+        ),
+        F.col("mult"),
+    ).select("op", "nkey")
+    union_all = c.unionByName(s).select(F.lit("UNION ALL").alias("op"), "nkey")
+    return union_all.unionByName(derived).orderBy("op", "nkey")
 
 
 @query("q12_union")

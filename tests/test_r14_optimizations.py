@@ -113,6 +113,53 @@ def test_x15_blocked_greedy_small_block_boundaries(spark):
     assert (~kept).sum() > 1000
 
 
+def test_x15_in_kernel_funnel_equals_dataframe_agg(spark):
+    """x15's per-cell funnel computed inside the kernel (one row per
+    cell crosses the Python boundary) must equal the dataframe-side
+    groupBy over the per-vector semdedup frame — including the rounded
+    mean absorbed similarity."""
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        ivf_assignments,
+        semdedup,
+        semdedup_cell_stats,
+        with_norm,
+    )
+    from real_time_event_streaming_analytics_platform_spark.operators.helpers import (
+        round2,
+    )
+
+    emb = with_norm(load(spark, SF_DIR, "embeddings"))
+    assigned, _ = ivf_assignments(emb)
+    via_frame = {
+        r["cell"]: tuple(r)[1:]
+        for r in semdedup(assigned)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("members"),
+            F.sum(F.col("kept").cast("int")).alias("kept_n"),
+            F.sum((~F.col("kept")).cast("int")).alias("dropped_n"),
+            round2(F.avg(F.when(~F.col("kept"), F.col("leader_sim")))).alias(
+                "avg_dup_sim"
+            ),
+        )
+        .collect()
+    }
+    in_kernel = {
+        r["cell"]: tuple(r)[1:]
+        for r in semdedup_cell_stats(assigned)
+        .select(
+            "cell",
+            "members",
+            "kept_n",
+            "dropped_n",
+            round2(F.col("avg_dup_sim")).alias("avg_dup_sim"),
+        )
+        .collect()
+    }
+    assert in_kernel == via_frame
+    assert len(in_kernel) > 1
+
+
 def test_x27_sweep_tiers_equal_standalone_runs(spark):
     """hard_negatives_sweep must give BIT-IDENTICAL mined sets to a
     standalone hard_negatives run at every tier: the stable-argsort
