@@ -614,7 +614,6 @@ def x3d_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks are driver-trained numpy state no SQL engine reproduces)."""
     import numpy as np
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     sample = (
@@ -641,26 +640,45 @@ def x3d_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [Q[:, m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)], axis=1
     )
 
-    @pandas_udf("array<double>")
-    def _adc(codes: pd.Series) -> pd.Series:
-        C = np.array(codes.tolist(), dtype=np.int64)  # (B, M)
-        acc = np.zeros((len(C), len(qids)))
-        for m in range(PQ_M):
-            acc += T[:, m, C[:, m]].T  # (B, Q)
-        return pd.Series(list(acc))
+    # Map-side top-k (r14, guide §2.3): the old shape exploded the ADC
+    # score array to one JVM row per (candidate, query) — corpus × Q
+    # rows shuffled into the global rank window. The ADC kernel now
+    # selects each batch's per-query top-PQ_RERANK itself (top-R of a
+    # union of per-batch top-Rs == global top-R under the same total
+    # order, so the shortlist is bit-identical), and the window ranks
+    # only batches × Q × PQ_RERANK tiny rows.
+    qid_np = np.array(qids, dtype=np.int64)
 
-    qid_arr = F.array(*[F.lit(q) for q in qids])
-    qnrm_arr = F.array(*[F.lit(float(n)) for n in qnrm])
-    scored = (
-        encoded.select("vec_id", "nrm", F.posexplode(_adc("codes")).alias("qpos", "adot"))
-        .select(
-            F.get(qid_arr, F.col("qpos")).alias("qid"),
-            F.col("vec_id").alias("cid"),
-            (F.col("adot") / (F.get(qnrm_arr, F.col("qpos")) * F.col("nrm"))).alias(
-                "approx_cos"
-            ),
-        )
-        .where(F.col("cid") != F.col("qid"))
+    def _adc_topk(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, M)
+            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm_b = pdf["nrm"].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(C), len(qids)))
+            for m in range(PQ_M):
+                acc += T[:, m, C[:, m]].T  # (B, Q)
+            S = acc / (qnrm[None, :] * nrm_b[:, None])
+            S[ids_b[:, None] == qid_np[None, :]] = -np.inf  # self-pairs out
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(qids)):
+                col = S[:, qi]
+                order = np.lexsort((ids_b, -col))[:PQ_RERANK]
+                order = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_c.append(ids_b[order])
+                out_s.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "cid": np.concatenate(out_c),
+                    "approx_cos": np.concatenate(out_s),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        _adc_topk, "qid long, cid long, approx_cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), "cid")
     shortlist = (
@@ -741,7 +759,6 @@ def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) 
     per-query probe cost (mirrors ivf_probe for x3c)."""
     import numpy as np
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     sub = books.shape[2]
 
@@ -749,7 +766,6 @@ def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) 
         emb.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
     )
     qids = [int(r["vec_id"]) for r in qrows]
-    qpos = {q: i for i, q in enumerate(qids)}
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qnrm = np.array([r["nrm"] for r in qrows])
     # per-query ADC tables over the residual codebooks: T[q, m, k]
@@ -759,35 +775,55 @@ def ivfadc_probe(spark: SparkSession, idx: DataFrame, C, books, emb: DataFrame) 
     # nprobe nearest cells per query + the <q, centroid> term of the score
     d = ((C[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)  # (Q, nlist)
     qdotc = Q @ C.T
-    probe_rows = [
-        (qids[i], int(cell), float(qdotc[i, cell]), float(qnrm[i]))
-        for i in range(len(qids))
-        for cell in np.argsort(d[i])[:IVF_NPROBE]
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, "qid long, cell int, qdotc double, q_nrm double"
-    )
+    nlist = len(C)
+    probed = np.zeros((len(qids), nlist), dtype=bool)
+    for i in range(len(qids)):
+        probed[i, np.argsort(d[i])[:IVF_NPROBE]] = True
+    qid_np = np.array(qids, dtype=np.int64)
 
-    @pandas_udf("double")
-    def _adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
-        qi = qid.map(qpos).to_numpy(dtype=np.int64)
-        Cd = np.array(codes.tolist(), dtype=np.int64)  # (B, M)
-        acc = np.zeros(len(Cd))
-        for m in range(PQ_M):
-            acc += T[qi, m, Cd[:, m]]
-        return pd.Series(acc)
+    # Map-side top-k (r14, guide §2.3/§4): the old shape broadcast a
+    # (qid, cell) probe table, joined it to the index — one JVM row per
+    # (candidate, probing query) — and ran a scalar Arrow UDF plus the
+    # global rank window over all those pair rows. The kernel now scans
+    # index batches directly: per query it masks the batch to probed
+    # cells, scores from codes, and emits only the batch-local
+    # top-PQ_RERANK (top-R of per-batch top-Rs == global top-R under
+    # the same total order, so the shortlist is bit-identical); the
+    # join, the pair-row explosion, and the wide window input are gone.
+    def _adc_topk(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, M)
+            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm_b = pdf["nrm"].to_numpy(dtype=np.float64)
+            cell_b = pdf["cell"].to_numpy(dtype=np.int64)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(qid_np)):
+                m_rows = probed[qi, cell_b] & (ids_b != qid_np[qi])
+                if not m_rows.any():
+                    continue
+                sub = np.where(m_rows)[0]
+                acc = np.zeros(len(sub))
+                for m in range(PQ_M):
+                    acc += T[qi, m, Cd[sub, m]]
+                score = (qdotc[qi, cell_b[sub]] + acc) / (qnrm[qi] * nrm_b[sub])
+                order = np.lexsort((ids_b[sub], -score))[:PQ_RERANK]
+                out_q.append(np.full(len(order), qid_np[qi], dtype=np.int64))
+                out_c.append(ids_b[sub][order])
+                out_s.append(score[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "cid": np.concatenate(out_c),
+                    "approx_cos": np.concatenate(out_s),
+                }
+            )
 
-    scored = (
-        idx.join(F.broadcast(probes), "cell")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            (
-                (F.col("qdotc") + _adc("qid", "codes"))
-                / (F.col("q_nrm") * F.col("nrm"))
-            ).alias("approx_cos"),
-        )
+    scored = idx.select("vec_id", "nrm", "cell", "codes").mapInPandas(
+        _adc_topk, "qid long, cid long, approx_cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("approx_cos").desc(), "cid")
     shortlist = (

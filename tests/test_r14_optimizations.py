@@ -160,6 +160,89 @@ def test_x15_in_kernel_funnel_equals_dataframe_agg(spark):
     assert len(in_kernel) > 1
 
 
+def test_x3d_mapside_topk_matches_driver_reference(spark):
+    """x3d's in-kernel per-batch top-R must reproduce the full global
+    ADC ranking: reference = complete corpus × query score matrix in
+    driver numpy, top-PQ_RERANK per query by the same (score desc, cid)
+    order, exact-cosine re-rank — compared to the query output."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+    from real_time_event_streaming_analytics_platform_spark.functions.similarity import (
+        IVF_TRAIN_MAX,
+        N_QUERIES,
+        PQ_M,
+        PQ_RERANK,
+        TOP_K,
+        pq_encode,
+        pq_train,
+        with_norm,
+    )
+
+    emb = with_norm(load(spark, SF_DIR, "embeddings"))
+    sample = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(IVF_TRAIN_MAX)
+        .collect()
+    )
+    books = pq_train(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    sub = books.shape[2]
+    enc = {r["vec_id"]: (r["nrm"], r["codes"]) for r in pq_encode(emb, books).collect()}
+    cids = np.array(sorted(enc), dtype=np.int64)
+    nrm = np.array([enc[i][0] for i in cids])
+    codes = np.array([enc[i][1] for i in cids], dtype=np.int64)
+    qrows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
+    )
+    emb_map = {r["vec_id"]: (np.array(r["embedding"]), r["nrm"]) for r in
+               emb.collect()}
+
+    expect = []
+    for r in qrows:
+        q = np.array(r["embedding"], dtype=np.float64)
+        T = np.stack([q[m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)])
+        adot = T[np.arange(PQ_M)[:, None], codes.T].sum(axis=0)
+        score = adot / (r["nrm"] * nrm)
+        score[cids == r["vec_id"]] = -np.inf
+        short = np.lexsort((cids, -score))[:PQ_RERANK]
+        short = short[np.isfinite(score[short])]
+        exact = []
+        for j in short:
+            ce, cn = emb_map[int(cids[j])]
+            exact.append((float(q @ ce / (r["nrm"] * cn)), int(cids[j])))
+        exact.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, cid) in enumerate(exact[:TOP_K], start=1):
+            expect.append((int(r["vec_id"]), cid, rank, cos))
+
+    got = [
+        (r["qid"], r["cid"], r["rank"], r["cos"])
+        for r in engine.QUERIES["x3d_ann_pq"](spark, SF_DIR).collect()
+    ]
+    assert [(g[0], g[1], g[2]) for g in got] == [(e[0], e[1], e[2]) for e in expect]
+    for g, e in zip(got, expect):
+        assert g[3] == pytest.approx(round(e[3], 2), abs=1e-9)
+    assert len(got) > 0
+
+
+def test_x3d_x3e_output_invariant_to_arrow_batch_size(spark):
+    """The per-batch top-R selection must be invariant to how the scan
+    is batched: force tiny Arrow batches (many per-batch top-Rs) and
+    compare both queries' full output against the default batching."""
+    import real_time_event_streaming_analytics_platform_spark as engine
+
+    def run(name):
+        return [tuple(r) for r in engine.QUERIES[name](spark, SF_DIR).collect()]
+
+    base = {n: run(n) for n in ("x3d_ann_pq", "x3e_ann_ivfadc")}
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        tiny = {n: run(n) for n in ("x3d_ann_pq", "x3e_ann_ivfadc")}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert tiny == base
+    assert all(len(v) > 0 for v in base.values())
+
+
 def test_x27_sweep_tiers_equal_standalone_runs(spark):
     """hard_negatives_sweep must give BIT-IDENTICAL mined sets to a
     standalone hard_negatives run at every tier: the stable-argsort
