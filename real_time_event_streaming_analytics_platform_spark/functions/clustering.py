@@ -105,12 +105,47 @@ def kmeans_fit(
     from ..plans.registry import track_persist
 
     vectors = track_persist(emb.select("embedding"))
+    # Merge strategy is ADAPTIVE on the known partial size (the langid
+    # IRLS discipline, measured there and re-measured here: the dense
+    # driver pull ran one Lloyd iteration in 0.21 s vs 0.35 s for the
+    # per-cell groupBy merge at sf0.1 — the per-iteration exchange +
+    # barrier is pure constant cost when parts × k × (dim+1) doubles
+    # fit a small driver budget). Past the budget — the 100 TB shape —
+    # the (cluster, pos) groupBy tree merge takes over so the merge
+    # happens in the cluster, not a driver megapull. Both paths sum the
+    # same per-partition statistics and differ only in float-add order
+    # (covered by the replay test's ULP tolerance; each path is
+    # individually deterministic — collect preserves partition order).
+    import os
+
+    parts = vectors.rdd.getNumPartitions()
+    dense_budget = int(
+        os.environ.get("SPARK_GRAFT_KMEANS_DENSE_MAX", str(30_000_000))
+    )
+    dense = parts * k * (dim + 1) <= dense_budget
     it = 0
     for it in range(1, max_iters + 1):
         Cb = C.copy()
         c_sq = (Cb**2).sum(axis=1)
 
-        def _partials(batches):
+        def _partials_arrays(batches):
+            S = np.zeros((k, dim))
+            N = np.zeros(k, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                seen = True
+                M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                a = (c_sq[None, :] - 2.0 * (M @ Cb.T)).argmin(axis=1)
+                for j in np.unique(a):
+                    m = a == j
+                    S[j] += M[m].sum(axis=0)
+                    N[j] += int(m.sum())
+            if seen:
+                yield pd.DataFrame({"s": [S.ravel().tolist()], "n": [N.tolist()]})
+
+        def _partials_rows(batches):
             S = np.zeros((k, dim))
             N = np.zeros(k, dtype=np.int64)
             for pdf in batches:
@@ -138,24 +173,36 @@ def kmeans_fit(
                     }
                 )
 
-        merged = (
-            vectors.mapInPandas(
-                _partials, "cluster int, pos int, s double, n long"
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
         new_C = C.copy()  # empty clusters keep their previous center
-        counts = {}
-        sums = {}
-        for r in merged:
-            sums[(r["cluster"], r["pos"])] = r["s"]
-            if r["pos"] == 0:
-                counts[r["cluster"]] = r["n"]
-        for j, nj in counts.items():
-            if nj:
-                new_C[j] = [sums[(j, p)] / nj for p in range(dim)]
+        if dense:
+            S = np.zeros(k * dim)
+            N = np.zeros(k, dtype=np.int64)
+            for r in vectors.mapInPandas(
+                _partials_arrays, "s array<double>, n array<long>"
+            ).collect():
+                S += np.asarray(r["s"])
+                N += np.asarray(r["n"])
+            S = S.reshape(k, dim)
+            for j in np.flatnonzero(N):
+                new_C[j] = S[j] / N[j]
+        else:
+            merged = (
+                vectors.mapInPandas(
+                    _partials_rows, "cluster int, pos int, s double, n long"
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            counts = {}
+            sums = {}
+            for r in merged:
+                sums[(r["cluster"], r["pos"])] = r["s"]
+                if r["pos"] == 0:
+                    counts[r["cluster"]] = r["n"]
+            for j, nj in counts.items():
+                if nj:
+                    new_C[j] = [sums[(j, p)] / nj for p in range(dim)]
         shift = float(np.abs(new_C - C).max())
         C = new_C
         if shift < tol:
